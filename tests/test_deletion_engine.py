@@ -1,0 +1,217 @@
+"""End-to-end deletion-engine tests.
+
+Ports the reference's 4 golden integration scenarios
+(/root/reference/src/test/java/com/bigdata/hive/deletion/
+HiveTableDeletionJobIntegrationTest.java:109-303, TESTING.md:7-12) and adds
+the invariants the reference documents but never tests (SURVEY §5):
+untouched-partition preservation, the empty-partition drop path, and the
+backup/restore round trip.
+"""
+
+from __future__ import annotations
+
+import itertools
+from datetime import datetime
+
+import pytest
+
+from bd_delete_records_from_external_hive_table_spark.config import DeletionCriteria, EngineConfig
+from bd_delete_records_from_external_hive_table_spark.job import DeletionJob
+from bd_delete_records_from_external_hive_table_spark.operators.backup import BackupManager
+from bd_delete_records_from_external_hive_table_spark.operators.deletion import DeletionExecutor
+
+_seq = itertools.count()
+
+DB = "test_db"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _db(spark):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    yield
+
+
+@pytest.fixture
+def table(spark):
+    """Fresh reference fixture table per test (test:68-89)."""
+    name = f"test_deletion_table_{next(_seq)}"
+    spark.sql(f"""
+        CREATE TABLE {DB}.{name} (
+          id BIGINT, name STRING, status STRING, row_create_ts TIMESTAMP
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+    """)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+    # drop any backup tables this test created (test:91-107)
+    for t in spark.catalog.listTables(DB):
+        if t.name.startswith(f"{name}_backup_"):
+            spark.sql(f"DROP TABLE IF EXISTS {DB}.{t.name}")
+
+
+def seed(spark, table: str, partition: str = "20260213",
+         hourly: bool = False, ids=range(1, 11)) -> None:
+    """10 rows; every 3rd (i%3==2 → ids 2,5,8) INACTIVE; fixed 09:00 or
+    hourly 09:00..18:00 timestamps (test:308-350)."""
+    day = f"{partition[0:4]}-{partition[4:6]}-{partition[6:8]}"
+    rows = []
+    for i in ids:
+        status = "INACTIVE" if i % 3 == 2 else "ACTIVE"
+        hour = 9 + (i - min(ids)) if hourly else 9
+        rows.append(f"({i}, 'User{i}', '{status}', "
+                    f"TIMESTAMP '{day} {hour:02d}:00:00')")
+    spark.sql(f"INSERT INTO {DB}.{table} PARTITION (partition_id='{partition}') "
+              f"VALUES {', '.join(rows)}")
+
+
+def _cfg(table: str, criteria: DeletionCriteria, **kw) -> EngineConfig:
+    kw.setdefault("backup_enabled", False)
+    kw.setdefault("validation_enabled", True)
+    return EngineConfig(database=DB, table=table, criteria=criteria, **kw)
+
+
+def remaining_ids(spark, table: str) -> list[int]:
+    return [r.id for r in
+            spark.table(f"{DB}.{table}").orderBy("id").select("id").collect()]
+
+
+# -- golden scenario 1: delete one record from ten (test:109-180) -----------
+
+def test_delete_one_record_from_ten(spark, table):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(
+        where_clause="id = 5",
+        start_time=datetime(2026, 2, 13, 0, 0, 0),
+        end_time=datetime(2026, 2, 13, 23, 59, 59)))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 1
+    assert remaining_ids(spark, table) == [1, 2, 3, 4, 6, 7, 8, 9, 10]
+    assert outcome.validation is not None and outcome.validation.passed
+
+
+# -- golden scenario 2: pure time window, start incl / end excl (test:182-219)
+
+def test_delete_with_time_window(spark, table):
+    seed(spark, table, hourly=True)  # id i has ts 2026-02-13 (8+i):00
+    cfg = _cfg(table, DeletionCriteria(
+        start_time=datetime(2026, 2, 13, 11, 0, 0),
+        end_time=datetime(2026, 2, 13, 13, 0, 0)))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    # ids 3 (11:00, inclusive) and 4 (12:00); id 5 at 13:00 excluded
+    assert outcome.result.deleted == 2
+    assert remaining_ids(spark, table) == [1, 2, 5, 6, 7, 8, 9, 10]
+
+
+# -- golden scenario 3: delete by status (test:221-264) ----------------------
+
+def test_delete_by_status(spark, table):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(where_clause="status = 'INACTIVE'"))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 3
+    assert remaining_ids(spark, table) == [1, 3, 4, 6, 7, 9, 10]
+    inactive = spark.table(f"{DB}.{table}").where("status='INACTIVE'").count()
+    assert inactive == 0
+
+
+# -- golden scenario 4: dry run (test:266-303) -------------------------------
+
+def test_dry_run_reports_but_does_not_delete(spark, table):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(
+        where_clause="id = 5",
+        start_time=datetime(2026, 2, 13, 0, 0, 0),
+        end_time=datetime(2026, 2, 13, 23, 59, 59)), dry_run=True)
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.dry_run
+    assert outcome.result.deleted == 1  # would-delete
+    assert spark.table(f"{DB}.{table}").count() == 10
+
+
+# -- documented-but-untested invariants --------------------------------------
+
+def test_untouched_partition_preserved_and_empty_partition_dropped(spark, table):
+    """Dynamic-partition-overwrite invariant (DYNAMIC_PARTITION_VERIFICATION
+    .md:93-121) + empty-partition fast path (DeletionExecutor.java:164-214)."""
+    seed(spark, table, partition="20260213", ids=range(1, 11))
+    seed(spark, table, partition="20260214", ids=range(11, 21))
+    before_untouched = spark.table(f"{DB}.{table}") \
+        .where("partition_id='20260214'").collect()
+
+    # criteria matches every row of partition 20260213 and none of 20260214
+    cfg = _cfg(table, DeletionCriteria(
+        start_time=datetime(2026, 2, 13, 0, 0, 0),
+        end_time=datetime(2026, 2, 14, 0, 0, 0),
+        time_column="row_create_ts"))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 10
+    assert outcome.result.partitions_dropped == ["20260213"]
+    assert outcome.result.partitions_rewritten == []
+
+    # untouched partition byte-identical row set
+    after_untouched = spark.table(f"{DB}.{table}") \
+        .where("partition_id='20260214'").collect()
+    assert sorted(before_untouched) == sorted(after_untouched)
+
+    # emptied partition gone from metadata
+    parts = [r[0] for r in
+             spark.sql(f"SHOW PARTITIONS {DB}.{table}").collect()]
+    assert parts == ["partition_id=20260214"]
+
+
+def test_partial_rewrite_keeps_partition(spark, table):
+    seed(spark, table, partition="20260213")
+    seed(spark, table, partition="20260214", ids=range(11, 21))
+    cfg = _cfg(table, DeletionCriteria(where_clause="id IN (2, 15)"))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 2
+    assert sorted(outcome.result.partitions_rewritten) == ["20260213", "20260214"]
+    assert remaining_ids(spark, table) == \
+        [1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 18, 19, 20]
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {DB}.{table}").collect()]
+    assert parts == ["partition_id=20260213", "partition_id=20260214"]
+
+
+def test_count_reconciliation_invariant(spark, table):
+    """before == deleted + after (C7a, ValidationManager.java:142-163)."""
+    seed(spark, table, hourly=True)
+    before = spark.table(f"{DB}.{table}").count()
+    cfg = _cfg(table, DeletionCriteria(where_clause="status = 'ACTIVE'"))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    after = spark.table(f"{DB}.{table}").count()
+    assert before == outcome.result.deleted + after
+
+
+def test_backup_restore_round_trip(spark, table):
+    seed(spark, table)
+    crit = DeletionCriteria(where_clause="id = 5")
+    cfg = _cfg(table, crit, backup_enabled=True)
+    mgr = BackupManager(spark, cfg)
+    ref = mgr.create_backup(["20260213"], now=datetime(2026, 2, 13, 12, 0, 0))
+    assert mgr.strategy.backup_count(ref) == 10
+
+    # delete everything, then restore
+    DeletionExecutor(spark, _cfg(table, DeletionCriteria(
+        where_clause="id >= 1"))).execute()
+    assert spark.table(f"{DB}.{table}").count() == 0
+    restored = mgr.restore(ref)
+    assert restored == 10
+    assert remaining_ids(spark, table) == list(range(1, 11))
+
+
+def test_job_with_backup_and_cleanup(spark, table):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 7"),
+               backup_enabled=True, backup_retention_days=7)
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.backup is not None
+    assert outcome.metrics.backup_created
+    assert spark.table(outcome.backup.ref).count() == 10  # pre-delete snapshot
+    assert remaining_ids(spark, table) == [1, 2, 3, 4, 5, 6, 8, 9, 10]
