@@ -1,0 +1,59 @@
+"""Benchmark runner: executes every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing protocol: one warm-up action to absorb JVM/codegen startup, then
+each query timed end-to-end (plan + execute + materialize counts via a
+cheap ``df.count()`` equivalent — we use ``collect()`` since declared
+queries return tiny results by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bd_delete_records_from_external_hive_table_spark import plans
+from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = SessionFactory.create(
+        app_name="bd-engine-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    try:
+        # warm-up: JVM, parquet footer reads, codegen
+        load_table(spark, sf_dir, "lineitem").count()
+
+        timings: dict[str, float] = {}
+        for name, spec in plans.REGISTRY.items():
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = round(sum(timings.values()), 4)
+        print(json.dumps({
+            "metric": "declared_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
