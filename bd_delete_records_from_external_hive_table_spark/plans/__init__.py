@@ -4,6 +4,7 @@ Importing this package populates the registry; modules self-register via
 the :func:`registry.register` decorator.
 """
 
+from . import analytics  # noqa: F401
 from . import reference_queries  # noqa: F401
 from .registry import REGISTRY, oracle_sql, queries, register  # noqa: F401
 

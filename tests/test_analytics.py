@@ -1,0 +1,71 @@
+"""Behavioral tests for the Phase-3 analytics surface that the oracle
+harness can't cover: the approximate/sampling queries (no SQL oracle) and
+physical-plan assertions (broadcast actually broadcast, top-k not a full
+sort, filters pushed to the scan)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark import plans
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    approx = plans.REGISTRY["a05_approx_count_distinct"] \
+        .spark_fn(spark, sf_dir).first()["approx_customers"]
+    exact = (load_table(spark, sf_dir, "orders")
+             .agg(F.countDistinct("o_custkey")).first()[0])
+    assert abs(approx - exact) / exact < 0.1  # rsd=0.02, generous bound
+
+
+def test_bernoulli_sample_fraction(spark, sf_dir):
+    n = plans.REGISTRY["sa01_bernoulli_sample"] \
+        .spark_fn(spark, sf_dir).first()["sample_rows"]
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert 0.05 * total < n < 0.15 * total  # target fraction 0.1
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["j01_broadcast_join"]
+                    .spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _explain(plans.REGISTRY["j03_semi_join"].spark_fn(spark, sf_dir))
+    anti = _explain(plans.REGISTRY["j04_anti_join"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["s01_global_topk"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["q08_ordered_projection"]
+                    .spark_fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), EqualTo(l_quantity,50.0)]" \
+        in plan
+    # column pruning: only the 3 needed columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+@pytest.mark.parametrize("name", ["j05_star_join", "a01_pricing_summary",
+                                  "w01_topk_per_group"])
+def test_headline_queries_nonempty(spark, sf_dir, name):
+    assert len(plans.REGISTRY[name].spark_fn(spark, sf_dir).take(1)) == 1
