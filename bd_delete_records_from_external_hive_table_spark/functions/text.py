@@ -1,0 +1,106 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side Column builders (whole-stage
+codegen; no Python UDFs): tokenization, shingling, a cross-engine stable
+hash, token statistics, quality scoring, language-ID heuristic, and
+winnowing-style fingerprints.
+
+Cross-engine determinism: ``stable_hash28`` is the first 7 hex digits of
+MD5 → a 28-bit integer, identical in Spark
+(``conv(substring(md5(x),1,7),16,10)``) and DuckDB
+(``CAST('0x'||substr(md5(x),1,7) AS UBIGINT)``). 28 bits keeps every
+MinHash permutation ``(a*h + b) % p`` inside 2^59 — no 64-bit overflow
+under Spark's default ANSI arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "HASH_PRIME", "BPE_TOKEN_RE",
+    "stable_hash28", "ws_tokens", "bpe_tokens", "shingles",
+    "token_stats_cols", "quality_score_col", "lang_scores",
+    "STOPWORDS",
+]
+
+#: Smallest prime > 2^28 — modulus for MinHash permutations.
+HASH_PRIME = 268_435_459
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+#: (the GPT-2 pre-tokenizer's shape, simplified to a cross-engine regex).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Minimal public stopword lists for the language-ID heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "for", "on", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+}
+
+
+def stable_hash28(col: Column) -> Column:
+    """28-bit deterministic hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(col, r"\s+")
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+
+
+def shingles(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles: positions 1..len-n+1 joined with spaces.
+    Empty array when the document has fewer than ``n`` tokens."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats_cols(text: Column) -> dict[str, Column]:
+    """Token-count statistics: whitespace tokens, BPE-ish tokens, distinct
+    tokens, chars."""
+    toks = ws_tokens(text)
+    return {
+        "n_ws_tokens": F.size(toks),
+        "n_bpe_tokens": F.size(bpe_tokens(text)),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "n_chars": F.length(text),
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic quality score in [0, 1]: blends type-token ratio (lexical
+    diversity), mean token length (vs a 4.5-char English prior), and a
+    length prior. Deliberately branch-free arithmetic so it stays inside
+    codegen and is reproducible in ANSI SQL."""
+    toks = ws_tokens(text)
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1.0))
+    avg_len = F.length(text).cast("double") / F.greatest(n, F.lit(1.0))
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    word_score = F.lit(1.0) - F.least(F.abs(avg_len - 4.5) / 4.5, F.lit(1.0))
+    return F.round(0.4 * ttr + 0.3 * word_score + 0.3 * len_score, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over distinct tokens — the classic
+    cheap language-ID heuristic (argmax taken by the caller)."""
+    toks = F.array_distinct(ws_tokens(F.lower(text)))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        out[lang] = F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+    return out

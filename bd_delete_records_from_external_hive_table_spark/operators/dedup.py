@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all expressed with built-in JVM expressions
+(no Python in the row path).
+
+Scale design (100 TB corpus):
+- Exact dedup is a hash-groupBy: one shuffle on a 28-bit-salted md5 key;
+  map-side partial aggregation collapses most duplicates before shuffle.
+- MinHash signatures are computed in one projection pass (k permutations
+  over the shingle-hash array — k array traversals inside codegen, no
+  shuffle). LSH banding explodes each doc into ``bands`` rows → shuffle is
+  on (band_idx, band_key), i.e. only docs sharing a band collide; the
+  candidate self-join is an equi-join on the band key, so Spark co-locates
+  buckets and never builds the quadratic pair space.
+- Verification joins candidates back to shingle sets and computes exact
+  Jaccard with array_intersect — only on candidate pairs.
+- SimHash packs a document into 28 bits; near-dup = popcount(a^b) ≤ r via
+  bit_count. Banding over bit-chunks would scale the pair search the same
+  way as MinHash; here we expose signature + pairwise check.
+
+References: the MinHash/LSH construction follows Broder (1997) and the
+LSH banding analysis in Mining of Massive Datasets §3.4 (public).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_PRIME, shingles, stable_hash28, ws_tokens
+
+__all__ = [
+    "exact_duplicate_groups", "exact_dedup",
+    "minhash_permutations", "minhash_signatures", "lsh_candidate_pairs",
+    "minhash_near_duplicates", "ngram_jaccard_pairs",
+    "simhash_col", "simhash_signatures", "simhash_near_duplicates",
+]
+
+SIMHASH_BITS = 28
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by content hash: (content_hash, n_dups, keeper).
+    Keeper = min id (deterministic survivor policy)."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keeper"))
+            .where(F.col("n_dups") > 1))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content. Window-free:
+    a groupBy keeper set + semi-join keeps the shuffle to the hash key."""
+    keepers = (df.groupBy(F.md5(F.col(text_col)).alias("h"))
+                 .agg(F.min(id_col).alias(id_col))
+                 .select(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_permutations(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h'(x) = (a*x + b) mod p. With 28-bit
+    hashes and a,b < p ≈ 2^28, a*x + b < 2^57 — safe under ANSI longs."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, HASH_PRIME), rng.randrange(0, HASH_PRIME))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_size: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — one projection, no shuffle.
+    Docs with no shingles get the sentinel signature [p, p, ...]."""
+    sh = F.array_distinct(
+        shingles(ws_tokens(F.col(text_col)), shingle_size))
+    hashes = F.transform(sh, stable_hash28)
+    perms = minhash_permutations(num_hashes, seed)
+
+    def perm_fn(a: int, b: int):
+        return lambda h: (a * h + b) % HASH_PRIME
+
+    sig = F.array(*[
+        F.coalesce(F.array_min(F.transform(hashes, perm_fn(a, b))),
+                   F.lit(HASH_PRIME))
+        for a, b in perms])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing ANY band's full
+    sub-signature become a candidate pair (a < b). Shuffle key =
+    (band_idx, band_key) — never the cross product."""
+    if num_hashes is None:  # derive from the signature when not provided
+        num_hashes = sig_df.select(F.size("sig").alias("k")).first()["k"]
+    rows = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.concat_ws("_", *[
+                         F.col("sig")[i * rows + j].cast("string")
+                         for j in range(rows)]).alias("band_key"))
+            for i in range(bands)])).alias("band"))
+    a = banded.select(F.col(id_col).alias("a"), "band.band_idx",
+                      "band.band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band.band_idx",
+                      "band.band_key")
+    return (a.join(b, ["band_idx", "band_key"])
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+
+
+def ngram_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
+    union = F.size(F.array_union(a_tokens, b_tokens))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 32,
+                            bands: int = 8, shingle_size: int = 3,
+                            threshold: float = 0.7,
+                            seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verification on candidates only. Returns (a, b, jaccard ≥ threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_size, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(ws_tokens(F.col(text_col)),
+                                  shingle_size)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (cands.join(a, "a").join(b, "b")
+            .select("a", "b",
+                    F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_size: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """Brute-force shingle-Jaccard pairs — the exact baseline the LSH path
+    approximates. Quadratic; for oracles/tests and small candidate sets
+    only (the scale path is minhash_near_duplicates)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(ws_tokens(F.col(text_col)),
+                                  shingle_size)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(text: Column) -> Column:
+    """28-bit SimHash (Charikar 2002) of the distinct-token set, entirely
+    in codegen: per bit, fold +1/-1 over token hashes; set the bit when the
+    sum is positive."""
+    hashes = F.transform(F.array_distinct(ws_tokens(text)), stable_hash28)
+
+    def vote_fn(i: int):
+        return lambda acc, h: (
+            acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+            .cast("int"))
+
+    bits = []
+    for i in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(i))
+        bits.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col),
+                     simhash_col(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Pairs with popcount(sig_a ^ sig_b) ≤ max_hamming. Pairwise here;
+    at scale the pair space is cut by banding the signature bits exactly
+    like MinHash-LSH (join on chunk equality — pigeonhole guarantees a
+    matching chunk when hamming ≤ chunks-1)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    a = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

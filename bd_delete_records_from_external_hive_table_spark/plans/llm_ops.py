@@ -1,0 +1,306 @@
+"""Phase-4 LLM-training-data-pipeline queries: deduplication, similarity
+search, and text analysis over the ``documents`` / ``embeddings`` tables —
+the operations a 100 TB pretraining corpus pipeline runs daily.
+
+Oracle strategy: everything deterministic is DuckDB-checked (list
+comprehensions mirror Spark's higher-order functions; the shared 28-bit
+md5 hash makes fingerprints engine-identical). The LSH-based approximate
+paths (MinHash banding, hyperplane ANN) have no tractable SQL oracle and
+register ``oracle=None``; their quality (recall vs the exact baselines) is
+asserted in tests/test_llm_ops.py instead.
+
+The testdata has no exact duplicates, so the dedup demos augment the
+corpus with replicated subsets *inside the query* (same augmentation in
+the oracle SQL) — the dedup machinery then provably finds exactly the
+planted duplicates plus the organic near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_RE, STOPWORDS, lang_scores, quality_score_col, shingles,
+    stable_hash28, token_stats_cols, ws_tokens,
+)
+from ..operators import dedup, similarity
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB SQL fragments mirroring functions/text.py expressions ------------
+
+_DUCK_TOKENS = "string_split_regex(text, '\\s+')"
+_DUCK_SHINGLES3 = ("list_distinct([array_to_string(ts[i:i+2], ' ') "
+                   "for i in range(1, len(ts) - 1)])")
+_DUCK_HASH28 = "CAST(concat('0x', substr(md5({0}), 1, 7)) AS UBIGINT)"
+
+_AUG_DOCS = ("SELECT * FROM documents UNION ALL "
+             "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+             "FROM documents WHERE doc_id % 10 = 0")
+
+_AUG_EMB = ("SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 100000 AS vec_id, embedding "
+            "FROM embeddings WHERE vec_id % 25 = 0")
+
+
+def _aug_docs(spark, sf_dir):
+    """documents plus a replicated 10% (ids offset by 100000)."""
+    docs = load_table(spark, sf_dir, "documents")
+    extra = (docs.where(F.col("doc_id") % 10 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    return docs.unionByName(extra)
+
+
+def _aug_emb(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    extra = (emb.where(F.col("vec_id") % 25 == 0)
+             .withColumn("vec_id", F.col("vec_id") + 100000))
+    return emb.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register("d01_exact_dup_groups",
+          f"WITH aug AS ({_AUG_DOCS}) "
+          "SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, "
+          "MIN(doc_id) AS keeper FROM aug GROUP BY content_hash "
+          "HAVING COUNT(*) > 1 ORDER BY keeper")
+def d01(spark, sf_dir):
+    """Exact dedup discovery: hash-groupBy duplicate groups with a
+    deterministic keeper (min id). One shuffle on the content hash."""
+    return (dedup.exact_duplicate_groups(_aug_docs(spark, sf_dir))
+            .orderBy("keeper"))
+
+
+@register("d02_exact_dedup_count",
+          f"WITH aug AS ({_AUG_DOCS}) "
+          "SELECT COUNT(*) AS n FROM (SELECT MIN(doc_id) FROM aug "
+          "GROUP BY md5(text))")
+def d02(spark, sf_dir):
+    """Exact dedup execution: surviving-row count == distinct contents."""
+    return (dedup.exact_dedup(_aug_docs(spark, sf_dir))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("d03_ngram_jaccard_pairs",
+          "WITH sh AS (SELECT doc_id, "
+          f"{_DUCK_SHINGLES3} AS s FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts "
+          "FROM documents WHERE doc_id < 100)) "
+          "SELECT a.doc_id AS a, b.doc_id AS b, "
+          "ROUND(len(list_intersect(a.s, b.s))::DOUBLE / "
+          "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1), 4) "
+          "AS jaccard FROM sh a, sh b WHERE a.doc_id < b.doc_id "
+          "AND len(list_intersect(a.s, b.s))::DOUBLE / "
+          "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5 "
+          "ORDER BY a, b")
+def d03(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard near-dup pairs (brute-force baseline
+    the MinHash-LSH path approximates; quadratic, bounded subset)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    return (dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.5)
+            .orderBy("a", "b"))
+
+
+@register("d04_minhash_lsh_neardup", None)  # LSH banding: no SQL oracle
+def d04(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified at
+    0.5 — the scale path: candidate generation is a band-key equi-join,
+    never the cross product. Recall vs d03 asserted in tests."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    return (dedup.minhash_near_duplicates(
+        docs, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
+        .orderBy("a", "b"))
+
+
+@register("d05_simhash_signatures", None)  # property-tested instead
+def d05(spark, sf_dir):
+    """28-bit SimHash signatures (codegen-only bit votes over token
+    hashes). Self-agreement and near-dup hamming properties in tests."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    return dedup.simhash_signatures(docs).orderBy("doc_id")
+
+
+@register("e01_embedding_neardup",
+          f"WITH aug AS ({_AUG_EMB}) "
+          "SELECT a.vec_id AS a, b.vec_id AS b, "
+          "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+          "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+          "FROM aug a, aug b WHERE a.vec_id < b.vec_id AND "
+          "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+          "CAST(b.embedding AS DOUBLE[])), 4) >= 0.99 ORDER BY a, b")
+def e01(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the augmented corpus (planted
+    exact duplicates). Spark side runs the LSH-bucketed pipeline; at a
+    0.99 threshold bucket agreement is certain, so it matches the oracle's
+    brute force exactly."""
+    return (similarity.embedding_near_duplicates(
+        _aug_emb(spark, sf_dir), threshold=0.99, bits=4)
+        .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register("n01_ann_bruteforce_topk",
+          "SELECT query_id, neighbor_id, sim, rnk FROM ("
+          "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+          "ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+          "CAST(c.embedding AS DOUBLE[])), 4) AS sim, "
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+          "ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+          "CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk "
+          "FROM embeddings q, embeddings c "
+          "WHERE q.vec_id < 5 AND q.vec_id != c.vec_id) "
+          "WHERE rnk <= 5 ORDER BY query_id, rnk")
+def n01(spark, sf_dir):
+    """Exact cosine top-5 for 5 query vectors: broadcast queries scored
+    against the corpus scan, per-query row_number top-k (corpus is never
+    shuffled; only k rows per query survive)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5)
+        .withColumnRenamed("rank", "rnk"))
+
+
+@register("n02_ann_lsh_topk", None)  # approximate: recall asserted in tests
+def n02(spark, sf_dir):
+    """Hyperplane-LSH ANN top-5 with hamming-1 multiprobe — the 100 TB
+    path: each query scores only its bucket's candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, bits=4)
+        .withColumnRenamed("rank", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register("t01_token_stats",
+          "SELECT doc_id, len(string_split_regex(text, '\\s+')) AS "
+          "n_ws_tokens, len(regexp_extract_all(text, "
+          f"'{BPE_TOKEN_RE}')) AS n_bpe_tokens, "
+          "len(list_distinct(string_split_regex(text, '\\s+'))) AS "
+          "n_distinct_tokens, length(text) AS n_chars "
+          "FROM documents WHERE doc_id < 100 ORDER BY doc_id")
+def t01(spark, sf_dir):
+    """Token counting: whitespace, BPE-ish regex, distinct, chars — all
+    codegen expressions."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    stats = token_stats_cols(F.col("text"))
+    return (docs.select("doc_id",
+                        *[c.alias(n) for n, c in stats.items()])
+            .orderBy("doc_id"))
+
+
+@register("t02_quality_scores",
+          "SELECT doc_id, ROUND("
+          "0.4 * (len(list_distinct(ts)) / GREATEST(len(ts), 1)) + "
+          "0.3 * (1.0 - LEAST(ABS(length(text) / GREATEST(len(ts), 1) - 4.5)"
+          " / 4.5, 1.0)) + "
+          "0.3 * LEAST(len(ts) / 64.0, 1.0), 4) AS quality "
+          f"FROM (SELECT doc_id, text, {_DUCK_TOKENS} AS ts FROM documents "
+          "WHERE doc_id < 100) ORDER BY doc_id")
+def t02(spark, sf_dir):
+    """Heuristic quality score: type-token ratio + word-length prior +
+    length prior (branch-free arithmetic, reproducible in ANSI SQL)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    return (docs.select("doc_id",
+                        quality_score_col(F.col("text")).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def _duck_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"ROUND(len(list_intersect(dts, [{words}])) / "
+            f"GREATEST(len(dts), 1), 4)")
+
+
+@register("t03_lang_id",
+          "SELECT doc_id, s_en, s_es, s_fr, s_de, "
+          "CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'"
+          " WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'"
+          " WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred "
+          "FROM (SELECT doc_id, "
+          + ", ".join(f"{_duck_lang_score(lang)} AS s_{lang}"
+                      for lang in ("en", "es", "fr", "de")) +
+          " FROM (SELECT doc_id, "
+          "list_distinct(string_split_regex(lower(text), '\\s+')) AS dts "
+          "FROM documents WHERE doc_id < 100)) ORDER BY doc_id")
+def t03(spark, sf_dir):
+    """Stopword-ratio language ID with deterministic argmax
+    (tie-break order en > es > fr > de)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    scores = lang_scores(F.col("text"))
+    scored = docs.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    s = {lang: F.col(f"s_{lang}") for lang in scores}
+    pred = (F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"])
+                   & (s["en"] >= s["de"]), "en")
+            .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+            .when(s["fr"] >= s["de"], "fr")
+            .otherwise("de"))
+    return (scored.withColumn("lang_pred", pred).orderBy("doc_id"))
+
+
+@register("t04_fingerprint",
+          "SELECT doc_id, "
+          f"list_min([{_DUCK_HASH28.format('s')} for s in sh]) AS fp, "
+          "len(sh) AS n_shingles FROM (SELECT doc_id, "
+          f"{_DUCK_SHINGLES3} AS sh FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts"
+          " FROM documents WHERE doc_id < 100)) ORDER BY doc_id")
+def t04(spark, sf_dir):
+    """Document fingerprint: min 28-bit hash over distinct 3-gram shingles
+    (the winnowing primitive) + shingle count. Hash is engine-identical
+    (md5 prefix), so values — not just counts — oracle-match."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100))
+    sh = F.array_distinct(shingles(ws_tokens(F.col("text")), 3))
+    return (docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, stable_hash28)).alias("fp"),
+        F.size(sh).alias("n_shingles"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch form; streaming equivalents in streaming/)
+# ---------------------------------------------------------------------------
+
+@register("st01_tumbling_window",
+          "SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, "
+          "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+          "FROM events GROUP BY wstart ORDER BY wstart")
+def st01(spark, sf_dir):
+    """Daily tumbling window aggregation (batch form of the streaming
+    windowed agg; epoch-aligned like time_bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("w.start").alias("wstart"), "n", "total")
+            .orderBy("wstart"))
+
+
+@register("st02_sliding_window",
+          "SELECT time_bucket(INTERVAL '1 day', ts) "
+          "- (o * INTERVAL '1 day') AS wstart, COUNT(*) AS n "
+          "FROM events, (VALUES (0), (1)) t(o) GROUP BY wstart "
+          "ORDER BY wstart")
+def st02(spark, sf_dir):
+    """Sliding window (2-day length, 1-day slide): every event lands in
+    two windows; the oracle replicates via an offset cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+            .orderBy("wstart"))

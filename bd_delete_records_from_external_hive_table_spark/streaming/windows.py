@@ -1,0 +1,145 @@
+"""Structured Streaming operators over the events-stream shape
+(event_id, ts, user_id, event_type, value, props).
+
+The reference is batch-only (SURVEY §2k); this is the engine's extension
+surface: watermarked tumbling/sliding/session windows, streaming dedup,
+and a custom stateful operator via applyInPandasWithState.
+
+Scale notes: all aggregations are keyed by (window[, key]) so state is
+partitioned across executors; watermarks bound state size (late rows
+beyond the delay are dropped, finalized windows are evicted). The batch
+equivalents of the window aggs are oracle-checked in plans/llm_ops.py
+(st01/st02) — streaming tests assert stream == batch on the same input.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+__all__ = [
+    "EVENTS_FILE_SCHEMA", "stream_events", "tumbling_counts",
+    "sliding_counts", "session_windows", "streaming_dedup",
+    "running_user_totals",
+]
+
+#: On-disk schema of events.parquet (ts stored as TIMESTAMP(NANOS) → read
+#: as long under nanosAsLong, converted to microsecond timestamps here).
+EVENTS_FILE_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events parquet under ``path`` with the same
+    nanos→micros conversion as the batch loader."""
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 day",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window count+sum — streaming form of st01."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("w.start").alias("wstart"), "n", "total"))
+
+
+def sliding_counts(events: DataFrame, length: str = "2 days",
+                   slide: str = "1 day",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window count — streaming form of st02."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", length, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows: a session extends while successive events
+    arrive within ``gap``. State is (user, open-session) — bounded by the
+    watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events",
+                    "session_value"))
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key stream: state holds keys only within the
+    watermark horizon (dropDuplicatesWithinWatermark), so dedup state
+    cannot grow unboundedly — the streaming form of exact dedup."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
+_USER_TOTALS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_USER_TOTALS_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) emitted every trigger — the pattern for stateful
+    logic Spark's built-in aggs can't express (per-key custom state
+    machines). Arrow-batched; state is two scalars per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, _USER_TOTALS_SCHEMA, _USER_TOTALS_STATE,
+        "update", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete"):
+    """Drain a stream into an in-memory table with availableNow (test/dev
+    helper): returns the finished StreamingQuery."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,98 @@
+"""Quality tests for the approximate (non-oracle) LLM-pipeline paths:
+MinHash-LSH recall vs the exact Jaccard baseline, SimHash properties,
+and hyperplane-ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark import plans
+from bd_delete_records_from_external_hive_table_spark.operators import dedup, similarity
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs100(spark, sf_dir):
+    return (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100).cache())
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir, docs100):
+    exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
+        docs100, shingle_size=3, threshold=0.5).collect()}
+    approx = {(r.a, r.b) for r in dedup.minhash_near_duplicates(
+        docs100, num_hashes=32, bands=8, shingle_size=3,
+        threshold=0.5).collect()}
+    assert exact, "baseline should find the planted near-dups"
+    # verification step makes LSH results a subset of the exact pairs
+    assert approx <= exact
+    # banding with s=0.5, r=4, b=8 → P(candidate) ≈ 1-(1-0.5^4)^8 ≈ 0.40;
+    # planted near-dups sit well above 0.5 so recall is high in practice
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall} too low: {exact - approx}"
+
+
+def test_minhash_identical_docs_always_pair(spark, docs100):
+    dup = docs100.union(
+        docs100.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000))
+    pairs = {(r.a, r.b) for r in dedup.minhash_near_duplicates(
+        dup, threshold=0.99).collect()}
+    for i in range(5):
+        assert (i, i + 1000) in pairs  # identical signature in every band
+
+
+def test_simhash_properties(spark, docs100):
+    sigs = dedup.simhash_signatures(docs100)
+    rows = sigs.collect()
+    assert all(0 <= r.simhash < 2 ** dedup.SIMHASH_BITS for r in rows)
+    # identical docs → identical simhash → hamming 0
+    dup = docs100.union(
+        docs100.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000))
+    near = dedup.simhash_near_duplicates(dup, max_hamming=0)
+    found = {(r.a, r.b) for r in near.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in found
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = plans.REGISTRY["n01_ann_bruteforce_topk"] \
+        .spark_fn(spark, sf_dir).collect()
+    approx = similarity.lsh_ann_topk(emb, queries, k=5, bits=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query answered, with hamming-1 multiprobe recall ≥ 0.2 overall
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(approx_sets[q] & exact_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.2, f"ANN recall {hits}/{total}"
+
+
+def test_lsh_prunes_pair_space(spark, sf_dir):
+    """The ANN path must score strictly fewer pairs than brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = similarity.random_hyperplanes(64, 4)
+    bucketed = emb.select(
+        similarity.hyperplane_bucket(F.col("embedding"), planes)
+        .alias("bucket"))
+    sizes = [r.c for r in
+             bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
+             .collect()]
+    assert len(sizes) > 1  # vectors actually spread over buckets
+    assert sum(s * s for s in sizes) < n * n / 2
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    once = dedup.exact_dedup(docs)
+    assert once.count() == docs.select("text").distinct().count()
+    assert dedup.exact_dedup(once).count() == once.count()
