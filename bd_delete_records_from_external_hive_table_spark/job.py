@@ -80,12 +80,12 @@ class DeletionJob:
                 self.metrics.backup_created = True
                 self.metrics.backup_ref = backup_ref.ref
 
-            # 4. counts: affected-partition totals come free from the plan;
-            # one extra count covers the untouched remainder of the table.
+            # 4. counts: affected-partition totals come free from the plan —
+            # no extra whole-table scan (HiveTableDeletionJob.java:117-123
+            # runs three full counts here; the plan aggregation subsumes them).
             before_affected = sum(t for t, _ in plan.counts.values())
             to_delete = plan.would_delete
             expected_retained_affected = before_affected - to_delete
-            total_before = self.spark.table(cfg.qualified_table).count()
 
             # 5. delete (dry-run early-exits inside)
             result = self.executor.execute(plan)
@@ -96,11 +96,15 @@ class DeletionJob:
             # 6. post-validation
             validation = None
             if cfg.validation_enabled:
-                total_expected = total_before - result.deleted
                 surviving = [p for p in affected
                              if p not in result.partitions_dropped]
+                # Scope every check to the partitions the deletion covered:
+                # rows outside the partition window may still match the
+                # criteria by design, and whole-table scans don't survive
+                # the 100 TB design point.
                 validation = self.validator.validate_post_deletion(
-                    total_expected, surviving)
+                    expected_retained_affected, surviving,
+                    scope_partitions=plan.candidates)
                 self.metrics.validation_passed = validation.passed
                 if not validation.passed:
                     raise RuntimeError(
@@ -125,13 +129,3 @@ class DeletionJob:
                   recovered=recovered)
             return JobOutcome(False, None, None, backup_ref, self.metrics,
                               recovered=recovered, error=str(exc))
-
-    def _expected_total_after(self, plan) -> int:
-        """Expected whole-table row count after deletion = current total −
-        would-delete. Uses one count over the (pruned) unaffected remainder
-        plus the plan's totals."""
-        cfg = self.config
-        whole = self.spark.table(cfg.qualified_table)
-        # plan.counts covers candidate partitions; rows outside candidates
-        # are untouched by construction of the rewrite/drop sets.
-        return whole.count()  # post-delete actual baseline for reconciliation

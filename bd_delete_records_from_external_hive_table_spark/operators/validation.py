@@ -67,10 +67,22 @@ class ValidationManager:
 
     def validate_post_deletion(self, expected_retained: int,
                                surviving_partitions: list[str] | None = None,
-                               seed: int = 42) -> ValidationReport:
+                               seed: int = 42,
+                               scope_partitions: list[str] | None = None) -> ValidationReport:
+        """``scope_partitions`` restricts every check to the partitions the
+        deletion actually covered (the candidate set after partition-window
+        pruning). Rows outside that scope may legitimately still match the
+        criteria, and at scale a whole-table validation scan is wasteful —
+        the IN-list predicate partition-prunes each check down to the
+        touched partitions. ``None`` keeps whole-table semantics
+        (ValidationManager.java:142-194 validates globally because the
+        reference has no independent partition window)."""
         cfg = self.config
         report = ValidationReport()
         table = self.spark.table(cfg.qualified_table)
+        if scope_partitions is not None:
+            table = table.where(
+                in_list_predicate(cfg.partition_column, scope_partitions))
         pred = cfg.criteria.to_column()
 
         # (a) count reconciliation with tolerance

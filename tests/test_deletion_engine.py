@@ -177,6 +177,28 @@ def test_partial_rewrite_keeps_partition(spark, table):
     assert parts == ["partition_id=20260213", "partition_id=20260214"]
 
 
+def test_partition_window_scopes_deletion_and_validation(spark, table):
+    """A partition window restricts both the delete AND post-validation:
+    rows outside the window that match the criteria must survive without
+    failing the zero-matching-remain check (validation is scoped to the
+    candidate partitions, not the whole table)."""
+    from datetime import date
+    seed(spark, table, partition="20260210")
+    seed(spark, table, partition="20260211", ids=range(11, 21))
+    cfg = _cfg(table, DeletionCriteria(where_clause="id >= 1"),
+               partition_start=date(2026, 2, 11),
+               partition_end=date(2026, 2, 12))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 10
+    assert outcome.result.partitions_dropped == ["20260211"]
+    assert outcome.validation is not None and outcome.validation.passed
+    # out-of-window partition untouched even though every row matches
+    assert remaining_ids(spark, table) == list(range(1, 11))
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {DB}.{table}").collect()]
+    assert parts == ["partition_id=20260210"]
+
+
 def test_count_reconciliation_invariant(spark, table):
     """before == deleted + after (C7a, ValidationManager.java:142-163)."""
     seed(spark, table, hourly=True)
