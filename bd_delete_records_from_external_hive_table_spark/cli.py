@@ -1,0 +1,122 @@
+"""Command-line entry point for the deletion job.
+
+Mirrors the reference CLI surface (the 11 commons-cli flags at
+``/root/reference/src/main/java/com/bigdata/hive/deletion/HiveTableDeletionJob.java:165-261``
+and the configuration precedence of ``loadConfiguration`` at 266-328:
+defaults < ``--config`` properties file < explicit flags). Exit code 0 on
+success, 1 on failure (HiveTableDeletionJob.java:63-74).
+
+Usage::
+
+    python -m bd_delete_records_from_external_hive_table_spark \
+        -d mydb -t mytable -w "status = 'INACTIVE'" \
+        -s "2026-01-01 00:00:00" -e "2026-02-01 00:00:00" --dry-run
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from datetime import datetime
+
+from .config import (
+    DeletionCriteria,
+    EngineConfig,
+    config_kwargs_from_properties,
+)
+
+__all__ = ["main", "build_parser", "config_from_args"]
+
+log = logging.getLogger(__name__)
+
+_TS_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bd-delete",
+        description="Safely delete records from external partitioned Hive "
+                    "tables via partition-granularity copy-on-write.")
+    p.add_argument("-d", "--database", required=True, help="Database name")
+    p.add_argument("-t", "--table", required=True, help="Table name")
+    p.add_argument("-w", "--where", help="WHERE clause for deletion criteria")
+    p.add_argument("-s", "--start-time",
+                   help="Start time (inclusive), yyyy-MM-dd HH:mm:ss")
+    p.add_argument("-e", "--end-time",
+                   help="End time (exclusive), yyyy-MM-dd HH:mm:ss")
+    p.add_argument("--time-column", default="row_create_ts",
+                   help="Time column name (default: row_create_ts)")
+    p.add_argument("--partition-column", default="partition_id",
+                   help="Partition column name (default: partition_id)")
+    p.add_argument("--backup-strategy", choices=("hive_table", "path", "hdfs"),
+                   help="Backup strategy (hdfs is an alias for path)")
+    p.add_argument("--backup-location",
+                   help="Backup location (for the path strategy)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="Report would-delete counts without deleting")
+    p.add_argument("-c", "--config", help="Path to a .properties config file")
+    p.add_argument("--master", default=None,
+                   help="Spark master override (default: whatever "
+                        "spark-submit / the environment provides)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> EngineConfig:
+    """defaults < properties file < flags (HiveTableDeletionJob.java:266-328)."""
+    kwargs: dict = {}
+    if args.config:
+        kwargs.update(config_kwargs_from_properties(args.config))
+
+    criteria = DeletionCriteria(
+        where_clause=args.where,
+        start_time=(datetime.strptime(args.start_time, _TS_FORMAT)
+                    if args.start_time else None),
+        end_time=(datetime.strptime(args.end_time, _TS_FORMAT)
+                  if args.end_time else None),
+        time_column=args.time_column,
+    )
+
+    if args.backup_strategy:
+        kwargs["backup_strategy"] = ("path" if args.backup_strategy == "hdfs"
+                                     else args.backup_strategy)
+    if args.backup_location:
+        kwargs["backup_location"] = args.backup_location
+    if args.dry_run:
+        kwargs["dry_run"] = True
+
+    return EngineConfig(
+        database=args.database,
+        table=args.table,
+        criteria=criteria,
+        partition_column=args.partition_column,
+        **kwargs,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s - %(message)s")
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    from .job import DeletionJob
+    from .session import SessionFactory
+
+    spark = SessionFactory.create(
+        app_name="bd-delete",
+        master=args.master,
+        hive=True,
+        extra_confs=config.extra or None,
+    )
+    try:
+        outcome = DeletionJob(spark, config).run()
+        print(outcome.metrics.report())
+        return 0 if outcome.success else 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

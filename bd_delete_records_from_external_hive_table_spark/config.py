@@ -158,3 +158,56 @@ class EngineConfig:
     @property
     def qualified_table(self) -> str:
         return f"{self.database}.{self.table}"
+
+
+# -- properties-file loading (JobConfig.java:274-306) ------------------------
+
+#: properties key → (EngineConfig field, parser). Mirrors
+#: src/main/resources/application.properties:13-32.
+_PROPERTY_KEYS = {
+    "backup.strategy": ("backup_strategy",
+                        lambda v: "path" if v == "hdfs" else v),
+    "backup.location": ("backup_location", str),
+    "backup.retention.days": ("backup_retention_days", int),
+    "validation.enabled": ("validation_enabled",
+                           lambda v: v.lower() == "true"),
+    "validation.sample.size": ("validation_sample_size", int),
+    "validation.tolerance.percent": ("validation_tolerance_pct", float),
+    "recovery.auto.enabled": ("auto_recovery", lambda v: v.lower() == "true"),
+    "recovery.max.retries": ("max_retries", int),
+    "partition.parallelism": ("partition_parallelism", int),
+    "batch.size": ("batch_size", int),
+    "dry.run.enabled": ("dry_run", lambda v: v.lower() == "true"),
+}
+
+
+def parse_properties(path: str) -> dict[str, str]:
+    """Minimal java-.properties reader: ``key=value`` lines, ``#``/``!``
+    comments, blank lines skipped."""
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith(("#", "!")) or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            props[key.strip()] = value.strip()
+    return props
+
+
+def config_kwargs_from_properties(path: str) -> dict:
+    """EngineConfig keyword overrides from a properties file. Keys the
+    engine doesn't model (spark.* session confs) are returned under
+    ``extra`` so the session factory can apply them."""
+    props = parse_properties(path)
+    kwargs: dict = {}
+    extra: dict = {}
+    for key, value in props.items():
+        if key in _PROPERTY_KEYS:
+            field_name, parse = _PROPERTY_KEYS[key]
+            kwargs[field_name] = parse(value)
+        elif key.startswith("spark."):
+            extra[key] = value
+    if extra:
+        kwargs["extra"] = extra
+    return kwargs

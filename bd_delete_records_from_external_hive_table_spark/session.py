@@ -92,18 +92,29 @@ class SessionFactory:
         builder = cls._apply(builder, extra_confs, shuffle_partitions)
 
         if hive:
-            if warehouse_dir is None or metastore_dir is None:
+            # Respect an externally-configured metastore/warehouse (e.g. a
+            # properties file pointing at a real Hive metastore, or
+            # hive-site.xml on the classpath); only fall back to a fresh
+            # embedded Derby dir for self-contained local/test runs.
+            extern = extra_confs or {}
+            has_metastore = ("spark.hadoop.javax.jdo.option.ConnectionURL"
+                             in extern or "hive.metastore.uris" in extern
+                             or "spark.hadoop.hive.metastore.uris" in extern)
+            if warehouse_dir is None or (metastore_dir is None
+                                         and not has_metastore):
                 base = tempfile.mkdtemp(prefix="bd_engine_")
-                warehouse_dir = warehouse_dir or os.path.join(base, "warehouse")
-                metastore_dir = metastore_dir or os.path.join(base, "metastore_db")
-            builder = (
-                builder.config("spark.sql.warehouse.dir", warehouse_dir)
-                .config(
+                if warehouse_dir is None:
+                    warehouse_dir = extern.get("spark.sql.warehouse.dir",
+                                               os.path.join(base, "warehouse"))
+                if metastore_dir is None and not has_metastore:
+                    metastore_dir = os.path.join(base, "metastore_db")
+            builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+            if metastore_dir is not None:
+                builder = builder.config(
                     "spark.hadoop.javax.jdo.option.ConnectionURL",
                     f"jdbc:derby:;databaseName={metastore_dir};create=true",
                 )
-                .enableHiveSupport()
-            )
+            builder = builder.enableHiveSupport()
 
         spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
