@@ -84,17 +84,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Docs with no shingles get the sentinel signature [p, p, ...]."""
     sh = F.array_distinct(
         shingles(ws_tokens(F.col(text_col)), shingle_size))
-    hashes = F.transform(sh, stable_hash28)
     perms = minhash_permutations(num_hashes, seed)
 
     def perm_fn(a: int, b: int):
         return lambda h: (a * h + b) % HASH_PRIME
 
+    # Materialize the shingle-hash array in its own projection: the k
+    # permutation expressions below each reference it, and CollapseProject
+    # keeps a multiply-referenced non-cheap expression in its own stage, so
+    # tokenize+shingle+hash runs once per row (not k times) and the codegen
+    # for the signature stays small.
+    hashed = df.select(F.col(id_col),
+                       F.transform(sh, stable_hash28).alias("_h"))
     sig = F.array(*[
-        F.coalesce(F.array_min(F.transform(hashes, perm_fn(a, b))),
+        F.coalesce(F.array_min(F.transform(F.col("_h"), perm_fn(a, b))),
                    F.lit(HASH_PRIME))
         for a, b in perms])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -176,11 +182,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_col(text: Column) -> Column:
-    """28-bit SimHash (Charikar 2002) of the distinct-token set, entirely
-    in codegen: per bit, fold +1/-1 over token hashes; set the bit when the
-    sum is positive."""
-    hashes = F.transform(F.array_distinct(ws_tokens(text)), stable_hash28)
+def simhash_col(hashes: Column) -> Column:
+    """28-bit SimHash (Charikar 2002) over an array of token hashes,
+    entirely in codegen: per bit, fold +1/-1 votes; set the bit when the
+    sum is positive. Pass a *materialized* hash-array column — the 28
+    bit-vote folds each reference it (see simhash_signatures)."""
 
     def vote_fn(i: int):
         return lambda acc, h: (
@@ -199,8 +205,14 @@ def simhash_col(text: Column) -> Column:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col),
-                     simhash_col(F.col(text_col)).alias("simhash"))
+    # Two-step projection for the same CollapseProject reason as MinHash:
+    # tokenize+hash once per row, 28 cheap bit-folds over the cached array.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(ws_tokens(F.col(text_col))),
+                    stable_hash28).alias("_h"))
+    return hashed.select(F.col(id_col),
+                         simhash_col(F.col("_h")).alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",

@@ -84,10 +84,28 @@ def d02(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+#: near-dup demo corpus: first 100 docs + perturbed copies of every 10th
+#: (two appended tokens shift only the trailing shingles → Jaccard stays
+#: well above 0.5, so the planted pairs are provably found at every SF).
+_AUG_NEARDUP = ("SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+                "UNION ALL SELECT doc_id + 1000 AS doc_id, "
+                "text || ' zq zq' AS text FROM documents "
+                "WHERE doc_id < 100 AND doc_id % 10 = 0")
+
+
+def _aug_neardup_docs(spark, sf_dir):
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100).select("doc_id", "text"))
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 1000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" zq zq")).alias("text")))
+    return docs.unionByName(planted)
+
+
 @register("d03_ngram_jaccard_pairs",
-          "WITH sh AS (SELECT doc_id, "
+          f"WITH aug AS ({_AUG_NEARDUP}), sh AS (SELECT doc_id, "
           f"{_DUCK_SHINGLES3} AS s FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts "
-          "FROM documents WHERE doc_id < 100)) "
+          "FROM aug)) "
           "SELECT a.doc_id AS a, b.doc_id AS b, "
           "ROUND(len(list_intersect(a.s, b.s))::DOUBLE / "
           "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1), 4) "
@@ -97,11 +115,12 @@ def d02(spark, sf_dir):
           "ORDER BY a, b")
 def d03(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard near-dup pairs (brute-force baseline
-    the MinHash-LSH path approximates; quadratic, bounded subset)."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < 100))
-    return (dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.5)
-            .orderBy("a", "b"))
+    the MinHash-LSH path approximates; quadratic, bounded subset).
+    Corpus includes planted perturbed copies so the result provably
+    contains the near-dup pairs at every scale factor."""
+    return (dedup.ngram_jaccard_pairs(
+        _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.5)
+        .orderBy("a", "b"))
 
 
 @register("d04_minhash_lsh_neardup", None)  # LSH banding: no SQL oracle
@@ -109,10 +128,9 @@ def d04(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified at
     0.5 — the scale path: candidate generation is a band-key equi-join,
     never the cross product. Recall vs d03 asserted in tests."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < 100))
     return (dedup.minhash_near_duplicates(
-        docs, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
+        _aug_neardup_docs(spark, sf_dir),
+        num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
         .orderBy("a", "b"))
 
 
