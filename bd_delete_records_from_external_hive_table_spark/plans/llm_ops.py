@@ -291,6 +291,40 @@ def t04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (deterministic fake decode; see operators/multimodal)
+# ---------------------------------------------------------------------------
+
+@register("m01_media_features", None)  # md5-chain decode: no SQL oracle
+def m01(spark, sf_dir):
+    """Multimodal feature extraction: synthetic binary corpus →
+    Arrow-batched mapInPandas decode (deterministic fake) → per-modality
+    feature summary. Exercises the full binary-payload pipeline shape:
+    schema, batching, UDF signature."""
+    from ..operators import multimodal
+    media = multimodal.synthetic_media(spark, n=64, payload_bytes=256)
+    feats = multimodal.extract_features(media, dim=8)
+    return (feats.groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.round(F.avg(F.aggregate(
+                     "features", F.lit(0.0), lambda a, x: a + x)), 4)
+                 .alias("avg_feat_sum"))
+            .orderBy("modality"))
+
+
+@register("m02_video_frame_sample", None)  # binary slicing: no SQL oracle
+def m02(spark, sf_dir):
+    """Video frame sampling: payload → fixed-size frames → every 2nd frame,
+    exploded one row per frame — all JVM expressions, no Python."""
+    from ..operators import multimodal
+    media = multimodal.synthetic_media(spark, n=64, payload_bytes=256)
+    frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
+    return (frames.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.length("frame")).alias("bytes_sampled"))
+            .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
 # Event-time windows (batch form; streaming equivalents in streaming/)
 # ---------------------------------------------------------------------------
 
