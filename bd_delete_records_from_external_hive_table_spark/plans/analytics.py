@@ -64,10 +64,13 @@ def j01(spark, sf_dir):
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
           "GROUP BY o_orderstatus ORDER BY o_orderstatus")
 def j02(spark, sf_dir):
-    """Fact-fact equi-join on the natural key: sort-merge (AQE may rewrite
-    to shuffled-hash / split skewed partitions at runtime)."""
+    """Fact-fact equi-join on the natural key. The MERGE hint pins
+    sort-merge — at 100 TB neither fact side broadcasts, and without the
+    hint the bench's small inputs fall under the broadcast threshold and
+    stop exercising the shuffle path (AQE still splits skewed partitions
+    at runtime)."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").hint("merge")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .groupBy("o_orderstatus")
             .agg(F.round(F.sum(F.col("l_extendedprice")

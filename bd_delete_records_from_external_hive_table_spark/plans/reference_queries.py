@@ -22,8 +22,11 @@ from ..config import DeletionCriteria
 from ..sources.tables import load_table
 from .registry import register
 
-_T0 = datetime(2025, 1, 1)
-_T1 = datetime(2025, 6, 1)
+# Bounds sit inside the events table's actual range (Jan 2024) so the
+# window selects a proper non-empty subset — an empty result would make
+# the oracle comparison vacuous.
+_T0 = datetime(2024, 1, 10)
+_T1 = datetime(2024, 1, 20)
 
 #: The events-table criteria used by Q02–Q04: the reference's P3+P4
 #: composition (time window + conjunctive user clause).
@@ -31,8 +34,8 @@ _EVENT_CRITERIA = DeletionCriteria(
     where_clause="event_type = 'click'",
     start_time=_T0, end_time=_T1, time_column="ts")
 
-_EVENT_WINDOW_SQL = ("ts >= TIMESTAMP '2025-01-01 00:00:00' "
-                     "AND ts < TIMESTAMP '2025-06-01 00:00:00'")
+_EVENT_WINDOW_SQL = ("ts >= TIMESTAMP '2024-01-10 00:00:00' "
+                     "AND ts < TIMESTAMP '2024-01-20 00:00:00'")
 
 
 @register("q01_scan_count", "SELECT COUNT(*) AS n FROM lineitem")
@@ -48,7 +51,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: time-window predicate, start inclusive / end exclusive
     (DeletionCriteria.java:51-64)."""
     window = DeletionCriteria(start_time=_T0, end_time=_T1, time_column="ts")
-    return (load_table(spark, sf_dir, "events")
+    return (load_table(spark, sf_dir, "events", ts_start=_T0, ts_end=_T1)
             .where(window.to_column())
             .agg(F.count(F.lit(1)).alias("n")))
 
@@ -58,7 +61,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
           "AND (event_type = 'click')")
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: window AND parenthesized user clause (DeletionCriteria.java:66-74)."""
-    return (load_table(spark, sf_dir, "events")
+    return (load_table(spark, sf_dir, "events", ts_start=_T0, ts_end=_T1)
             .where(_EVENT_CRITERIA.to_column())
             .agg(F.count(F.lit(1)).alias("n")))
 

@@ -13,6 +13,8 @@ oracle sides.
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,9 +26,31 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _epoch_nanos(ts: datetime) -> int:
+    """Naive datetimes are UTC (the session timezone is pinned to UTC)."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               ts_start: datetime | None = None,
+               ts_end: datetime | None = None) -> DataFrame:
+    """Load a testdata table. For ``events``, optional [ts_start, ts_end)
+    bounds are applied to the RAW nanosecond long *before* the timestamp
+    conversion: a predicate on ``timestamp_micros(ts div 1000)`` cannot be
+    pushed into the parquet scan (the reader sees only the derived
+    expression), while a plain long comparison reaches the row-group stats
+    and skips non-matching groups — the difference between scanning a 100 TB
+    event log and scanning one day of it. Callers still apply their own
+    (semantically identical) timestamp predicate afterwards; this pre-filter
+    only prunes I/O."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if ts_start is not None:
+            df = df.where(F.col("ts") >= F.lit(_epoch_nanos(ts_start)))
+        if ts_end is not None:
+            df = df.where(F.col("ts") < F.lit(_epoch_nanos(ts_end)))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -74,13 +74,13 @@ def test_criteria_compiles_on_testdata(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("ev")
     c = _crit(where_clause="event_type = 'click'",
-              start_time=datetime(2025, 1, 1),
-              end_time=datetime(2025, 6, 1),
+              start_time=datetime(2024, 1, 10),
+              end_time=datetime(2024, 1, 20),
               time_column="ts")
     n_pred = events.where(c.to_column()).count()
     n_sql = spark.sql(
-        "SELECT COUNT(*) FROM ev WHERE ts >= TIMESTAMP '2025-01-01 00:00:00' "
-        "AND ts < TIMESTAMP '2025-06-01 00:00:00' "
+        "SELECT COUNT(*) FROM ev WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-20 00:00:00' "
         "AND (event_type = 'click')").first()[0]
     assert n_pred == n_sql
     # retention complement partitions the table (no NULLs in this predicate)
