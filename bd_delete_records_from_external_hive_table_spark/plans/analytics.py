@@ -360,6 +360,19 @@ def u03(spark, sf_dir):
     return c.exceptAll(o).distinct()
 
 
+@register("u04_except_all",
+          "SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 45 "
+          "EXCEPT ALL SELECT s_suppkey AS suppkey FROM supplier")
+def u04(spark, sf_dir):
+    """EXCEPT ALL — bag semantics: duplicate multiplicities subtract
+    instead of collapsing (exceptAll keeps count(l) - count(r) copies)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45) \
+        .select(F.col("l_suppkey").alias("suppkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"))
+    return li.exceptAll(s)
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (SURVEY §2i — extension surface)
 # ---------------------------------------------------------------------------
@@ -458,6 +471,30 @@ def f06(spark, sf_dir):
                     F.size("embedding").alias("dim"),
                     F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
             .orderBy("vec_id"))
+
+
+@register("f07_map_funcs",
+          "SELECT o_orderpriority, "
+          "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt, "
+          "COUNT(DISTINCT o_orderstatus) AS n_statuses "
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+def f07(spark, sf_dir):
+    """Map functions: per-priority status→count map via map_from_entries,
+    probed with element_at and sized with map_keys. The oracle computes
+    the same facts relationally — the check pins the map semantics, not
+    the representation."""
+    per = (_t(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority", "o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt"))))
+    return (per.groupBy("o_orderpriority")
+            .agg(m.alias("status_map"))
+            .select("o_orderpriority",
+                    F.coalesce(F.element_at("status_map", "F"), F.lit(0))
+                    .alias("f_cnt"),
+                    F.size(F.map_keys("status_map")).alias("n_statuses"))
+            .orderBy("o_orderpriority"))
 
 
 # ---------------------------------------------------------------------------
