@@ -1,0 +1,92 @@
+"""Temporal join operators Spark lacks as builtins: as-of join and range
+join — expressed as compositions of existing DataFrame ops (SURVEY §2d
+extension surface; the reference contains no joins at all).
+
+Scale design (100 TB event logs):
+- **As-of join** avoids the naive theta-join (every left row × every
+  earlier right row) entirely: union both sides, one shuffle on the key,
+  and a running ``last(ignorenulls)`` window carries the most recent right
+  value forward onto left rows. Cost = one shuffle + one sort per key
+  group, independent of time-range density. This is the standard
+  union-merge formulation (same algorithm pandas.merge_asof uses locally,
+  re-expressed as a distributed window).
+- **Range join** (point-in-interval) avoids the BroadcastNestedLoopJoin
+  Spark would plan for a non-equi condition: both sides map onto a bucket
+  grid of width ``granularity`` (intervals explode to every bucket they
+  overlap), the join becomes an equi-join on the bucket id, and a residual
+  predicate removes false positives. Pair space shrinks from |L|×|R| to
+  overlap-proportional; the join co-locates by bucket hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["as_of_join", "range_join"]
+
+
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str = "ts", right_ts: str = "ts",
+               value_cols: list[str] | None = None,
+               suffix: str = "_asof") -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same ``on`` key (backward as-of,
+    inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+    Left rows with no prior right row keep NULLs.
+
+    Returns all left columns plus ``<value_col><suffix>`` for each value
+    column of the right side.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+          for c in value_cols])
+    rhs = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols])
+
+    # Right rows sort before left rows at equal ts (_is_left ascending) so
+    # the inclusive bound holds; the running last(ignorenulls) carries each
+    # right value forward within the key group.
+    w = (Window.partitionBy(on).orderBy("_ts", "_is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = lhs.unionByName(rhs).select(
+        "*", *[F.last(f"_v_{c}", ignorenulls=True).over(w)
+               .alias(f"_carr_{c}") for c in value_cols])
+    return (carried.where(F.col("_is_left") == 1)
+            .select(*[F.col(f"_row.{c}").alias(c) for c in left.columns],
+                    *[F.col(f"_carr_{c}").alias(f"{c}{suffix}")
+                      for c in value_cols]))
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, lo_col: str, hi_col: str,
+               granularity: float,
+               how: str = "inner") -> DataFrame:
+    """Join point rows to interval rows where ``lo <= point < hi`` via a
+    bucket-grid equi-join plus residual filter (no nested-loop join).
+
+    ``granularity`` is the bucket width — pick it near the typical
+    interval length so intervals explode into O(1) buckets each.
+    """
+    if how != "inner":
+        raise ValueError("range_join currently supports inner joins only")
+    g = float(granularity)
+    p = points.withColumn("_bucket",
+                          F.floor(F.col(point_col) / F.lit(g)).cast("long"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(g)).cast("long"),
+            # hi is exclusive: a bucket starting exactly at hi can't match
+            F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(g)).cast("long"))))
+    return (p.join(iv, "_bucket")
+            .where((F.col(point_col) >= F.col(lo_col))
+                   & (F.col(point_col) < F.col(hi_col)))
+            .drop("_bucket"))

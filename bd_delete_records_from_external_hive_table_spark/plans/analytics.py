@@ -139,6 +139,53 @@ def j05(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
+@register("j06_asof_join",
+          "SELECT p.event_id, p.user_id, p.value AS purchase_value, "
+          "c.value AS last_click_value FROM "
+          "(SELECT * FROM events WHERE event_type = 'purchase') p "
+          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+          " ON p.user_id = c.user_id AND p.ts >= c.ts "
+          "ORDER BY p.event_id")
+def j06(spark, sf_dir):
+    """As-of join: each purchase gets the user's most recent prior click
+    value. Union-window formulation — one shuffle on user_id, no
+    theta-join (operators/temporal.py)."""
+    from ..operators.temporal import as_of_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    return (as_of_join(purchases, clicks, on="user_id",
+                       value_cols=["value"], suffix="_click")
+            .select("event_id", "user_id",
+                    F.col("value").alias("purchase_value"),
+                    F.col("value_click").alias("last_click_value"))
+            .orderBy("event_id"))
+
+
+@register("j07_range_join",
+          "SELECT band_id, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS "
+          "total FROM orders JOIN (SELECT i AS band_id, i * 50000.0 AS lo, "
+          "(i + 1) * 50000.0 AS hi FROM range(12) t(i)) bands "
+          "ON o_totalprice >= lo AND o_totalprice < hi "
+          "GROUP BY band_id ORDER BY band_id")
+def j07(spark, sf_dir):
+    """Range join (point-in-interval) via bucket-grid equi-join + residual
+    filter — no BroadcastNestedLoopJoin (operators/temporal.py)."""
+    from ..operators.temporal import range_join
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.range(12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"))
+    return (range_join(orders, bands, "o_totalprice", "lo", "hi",
+                       granularity=50000.0)
+            .groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("band_id"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2e — extension surface)
 # ---------------------------------------------------------------------------
