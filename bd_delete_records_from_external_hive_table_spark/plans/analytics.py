@@ -279,6 +279,41 @@ def a06(spark, sf_dir):
             .orderBy(F.col("order_count").desc(), "o_custkey"))
 
 
+@register("a07_percentiles",
+          "SELECT o_orderstatus, "
+          "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
+          "ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90, "
+          "ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99 "
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+def a07(spark, sf_dir):
+    """Exact interpolated percentiles per group (F.percentile — at 100 TB
+    swap for percentile_approx, which merges t-digest sketches map-side
+    instead of sorting each group)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(*[F.round(F.percentile("o_totalprice", F.lit(q)), 2)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.9, 0.99)])
+            .orderBy("o_orderstatus"))
+
+
+@register("a08_grouping_sets",
+          "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+          "FROM orders GROUP BY GROUPING SETS "
+          "((o_orderstatus), (o_orderpriority), ()) "
+          "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")
+def a08(spark, sf_dir):
+    """Explicit GROUPING SETS (the generalization rollup/cube compile to):
+    per-status totals, per-priority totals, and the grand total in one
+    pass over the data."""
+    return (_t(spark, sf_dir, "orders")
+            .groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                          "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                     F.col("o_orderpriority").asc_nulls_first()))
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2f — extension surface)
 # ---------------------------------------------------------------------------

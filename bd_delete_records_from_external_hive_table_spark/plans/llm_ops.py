@@ -356,3 +356,28 @@ def st02(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("wstart"), "n")
             .orderBy("wstart"))
+
+
+@register("st03_session_window",
+          "WITH d AS (SELECT user_id, ts, value, CASE WHEN "
+          "LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > "
+          "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events "
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+          "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+          "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id FROM d) "
+          "SELECT user_id, MIN(ts) AS session_start, "
+          "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value "
+          "FROM s GROUP BY user_id, sess_id "
+          "ORDER BY user_id, session_start")
+def st03(spark, sf_dir):
+    """Session windows (30-min gap) in batch via F.session_window — the
+    same operator the streaming path uses with a watermark; the oracle is
+    the classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "session_value")
+            .orderBy("user_id", "session_start"))
