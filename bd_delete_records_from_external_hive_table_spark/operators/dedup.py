@@ -35,6 +35,7 @@ __all__ = [
     "minhash_permutations", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
+    "connected_components",
 ]
 
 SIMHASH_BITS = 28
@@ -176,6 +177,62 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
                     .alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (transitive closure over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(node, component) where component = min node id reachable through
+    the pair graph — the transitive-closure step that turns pairwise
+    near-dup hits into dedup clusters (A~B, B~C ⇒ {A,B,C} share one
+    survivor).
+
+    Iterative min-label propagation with pointer doubling: each round
+    every node adopts the smallest label among itself and its neighbors
+    (one shuffle: edges ⨝ labels, groupBy node), then labels compress
+    through themselves (component := component-of-component), giving
+    O(log diameter) convergence instead of O(diameter) — the same
+    two-phase structure as the large-star/small-star algorithm
+    (Kiveris et al. 2014). ``localCheckpoint`` truncates lineage so plan
+    size stays constant across rounds. Convergence is detected by the
+    (strictly decreasing, integral) sum of labels reaching a fixpoint —
+    one cheap aggregate per round, no change-join.
+    """
+    e = pairs.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct().localCheckpoint()
+    labels = (edges.select(F.col("u").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("component"))
+              .localCheckpoint())
+    prev_sum = None
+    for _ in range(max_iterations):
+        # phase 1: min over neighbors
+        neigh = (edges.join(labels, edges.v == labels.node)
+                 .groupBy("u").agg(F.min("component").alias("nc")))
+        labels = (labels.join(neigh, labels.node == neigh.u, "left")
+                  .select(labels.node,
+                          F.least(labels.component,
+                                  F.coalesce(neigh.nc, labels.component))
+                          .alias("component")))
+        # phase 2: pointer doubling — follow the label's own label
+        lab2 = labels.select(F.col("node").alias("n2"),
+                             F.col("component").alias("c2"))
+        labels = (labels.join(lab2, labels.component == lab2.n2, "left")
+                  .select(labels.node,
+                          F.least(labels.component,
+                                  F.coalesce(lab2.c2, labels.component))
+                          .alias("component"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 # ---------------------------------------------------------------------------

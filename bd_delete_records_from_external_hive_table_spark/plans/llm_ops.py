@@ -134,6 +134,39 @@ def d04(spark, sf_dir):
         .orderBy("a", "b"))
 
 
+_PAIRS_SQL = (
+    f"WITH aug AS ({_AUG_NEARDUP}), sh AS (SELECT doc_id, "
+    f"{_DUCK_SHINGLES3} AS s FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts "
+    "FROM aug)) "
+    "SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b "
+    "WHERE a.doc_id < b.doc_id "
+    "AND len(list_intersect(a.s, b.s))::DOUBLE / "
+    "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5")
+
+
+@register("d06_dup_clusters",
+          f"WITH RECURSIVE pairs AS ({_PAIRS_SQL}), "
+          "und AS (SELECT a AS src, b AS dst FROM pairs "
+          "UNION SELECT b, a FROM pairs), "
+          "reach AS (SELECT src, dst FROM und UNION "
+          "SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src "
+          "WHERE r.src != u.dst), "
+          "lab AS (SELECT src AS node, LEAST(src, MIN(dst)) AS component "
+          "FROM reach GROUP BY src) "
+          "SELECT component, COUNT(*) AS n_members FROM lab "
+          "GROUP BY component ORDER BY component")
+def d06(spark, sf_dir):
+    """Duplicate clustering: near-dup pairs → connected components
+    (iterative min-label propagation) → cluster sizes. The oracle computes
+    the same transitive closure with a recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    return (comps.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("component"))
+
+
 @register("d05_simhash_signatures", None)  # property-tested instead
 def d05(spark, sf_dir):
     """28-bit SimHash signatures (codegen-only bit votes over token

@@ -91,6 +91,31 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     assert sum(s * s for s in sizes) < n * n / 2
 
 
+def test_connected_components_chains_and_merges(spark):
+    """Transitive closure: chains collapse to one component, disjoint
+    components stay apart, and late edges merge previously separate
+    components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11),                    # separate pair
+         (20, 21), (22, 23), (21, 22)],  # two pairs merged by (21,22)
+        "a long, b long")
+    comps = {r.node: r.component
+             for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1,
+                     10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 30-node path graph needs multiple propagation rounds."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "a long, b long")
+    comps = dedup.connected_components(pairs)
+    assert comps.select("component").distinct().count() == 1
+    assert comps.count() == 31
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     once = dedup.exact_dedup(docs)
