@@ -1,0 +1,82 @@
+"""Scale patterns: salted aggregation equivalence and bucketed co-located
+joins (shuffle-free sort-merge)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark.operators.skew import salted_aggregate, with_salt
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+def test_salted_aggregate_equals_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {r.l_returnflag: (r.n, round(r.qty, 2), r.mn, r.mx)
+             for r in li.groupBy("l_returnflag").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").alias("qty"),
+                 F.min("l_orderkey").alias("mn"),
+                 F.max("l_orderkey").alias("mx")).collect()}
+    salted = {r.l_returnflag: (r.n, round(r.qty, 2), r.mn, r.mx)
+              for r in salted_aggregate(
+                  li, ["l_returnflag"],
+                  {"n": ("count", "l_quantity"),
+                   "qty": ("sum", "l_quantity"),
+                   "mn": ("min", "l_orderkey"),
+                   "mx": ("max", "l_orderkey")},
+                  salt_buckets=8).collect()}
+    assert salted == plain
+
+
+def test_salt_is_uniform_and_deterministic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    s1 = with_salt(li, 16).groupBy("_salt").count().collect()
+    assert len(s1) == 16
+    counts = [r["count"] for r in s1]
+    assert max(counts) < 2 * min(counts)  # roughly uniform
+    # deterministic across evaluations
+    a = with_salt(li, 16).select("_salt").collect()
+    b = with_salt(li, 16).select("_salt").collect()
+    assert a == b
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_aggregate(li, ["l_returnflag"],
+                         {"m": ("median", "l_quantity")})
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Tables bucketed on the join key sort-merge-join without any
+    Exchange — the co-location pattern that makes repeated fact-fact
+    joins affordable at 100 TB (shuffle paid once at write time)."""
+    orders = load_table(spark, sf_dir, "orders").limit(5000)
+    li = load_table(spark, sf_dir, "lineitem").limit(5000)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+    spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+    (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+     .format("parquet").saveAsTable("bkt.orders_b"))
+    (li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+     .format("parquet").saveAsTable("bkt.lineitem_b"))
+    try:
+        a = spark.table("bkt.orders_b")
+        b = spark.table("bkt.lineitem_b")
+        joined = (a.join(b.hint("merge"),
+                         a.o_orderkey == b.l_orderkey)
+                  .groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no shuffle feeds the join — the only allowed Exchange is the
+        # post-join aggregation's
+        assert not re.search(r"Exchange hashpartitioning\([lo]_orderkey",
+                             plan), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
