@@ -1,0 +1,60 @@
+"""User-defined function surface (SURVEY §2l — the reference registers no
+UDFs; this is the engine's extension surface).
+
+The rule, demonstrated here: **builtins first**. ``sentence_split`` — the
+real operator — is pure JVM (split + posexplode, whole-stage codegen).
+``SentenceSplitter`` is the same logic as a Python UDTF, kept as the
+template for logic that genuinely cannot be expressed with builtins; the
+test suite asserts both produce identical rows. Arrow-optimized
+(``useArrow=True``) scalar UDFs are the middle ground when a per-row
+Python function is unavoidable but the logic is scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SENT_RE", "sentence_split", "make_sentence_splitter_udtf"]
+
+#: Sentence boundary: split on '.', '!', '?' followed by whitespace.
+SENT_RE = r"(?<=[.!?])\s+"
+
+
+def sentence_split(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, sent_idx, sentence, n_tokens) — one row per non-empty sentence.
+    All JVM expressions: split → posexplode → filter."""
+    parts = F.split(F.col(text_col), SENT_RE)
+    return (df.select(F.col(id_col),
+                      F.posexplode(parts).alias("sent_idx", "sentence"))
+            .where(F.trim("sentence") != "")
+            .withColumn("n_tokens",
+                        F.size(F.split(F.trim("sentence"), r"\s+"))))
+
+
+def make_sentence_splitter_udtf():
+    """Python UDTF equivalent (lazy import so module import never requires
+    a live session). Register with::
+
+        spark.udtf.register("split_sentences", make_sentence_splitter_udtf())
+        spark.sql("SELECT s.* FROM docs, LATERAL split_sentences(doc_id, text) s")
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string, "
+                     "n_tokens: int")
+    class SentenceSplitter:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in re.split(SENT_RE, text):
+                s = raw.strip()
+                if s:
+                    yield doc_id, idx, raw, len(s.split())
+                idx += 1
+
+    return SentenceSplitter

@@ -323,6 +323,32 @@ def t04(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+@register("t05_sentence_split",
+          "WITH src AS (SELECT doc_id, regexp_replace(text, ' spark ', "
+          "'. ', 'g') AS text FROM documents WHERE doc_id < 50), "
+          r"d AS (SELECT doc_id, regexp_replace(text, '([.!?])\s+', "
+          "'\\1' || chr(1), 'g') AS t FROM src), "
+          "arr AS (SELECT doc_id, string_split(t, chr(1)) AS parts FROM d), "
+          "ex AS (SELECT doc_id, unnest([{'sent_idx': i - 1, "
+          "'sentence': parts[i]} for i in range(1, len(parts) + 1)], "
+          "recursive := true) FROM arr) "
+          "SELECT doc_id, sent_idx, sentence, "
+          r"len(string_split_regex(trim(sentence), '\s+')) AS n_tokens "
+          "FROM ex WHERE trim(sentence) != '' ORDER BY doc_id, sent_idx")
+def t05(spark, sf_dir):
+    """Sentence segmentation: split → posexplode → per-sentence token
+    count, all JVM expressions (functions/udx.py; the Python-UDTF
+    equivalent is API-parity only and test-asserted identical). The
+    corpus has no punctuation, so a deterministic token→period rewrite
+    creates sentence boundaries identically in both engines."""
+    from ..functions.udx import sentence_split
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 50)
+            .select("doc_id",
+                    F.regexp_replace("text", " spark ", ". ").alias("text")))
+    return sentence_split(docs).orderBy("doc_id", "sent_idx")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (deterministic fake decode; see operators/multimodal)
 # ---------------------------------------------------------------------------
