@@ -11,7 +11,10 @@ Two strategies, same contract as the reference:
   overwrite back into the original (60-75); retention drops backup tables
   older than N days (98-138).
 - **PathBackupStrategy** — partitioned ORC written to a filesystem path plus
-  a ``_metadata.txt`` manifest (HDFSBackupStrategy.java:28-53,151-175);
+  a ``_manifest.txt`` manifest (HDFSBackupStrategy.java:28-53,151-175 —
+  the reference names it ``_metadata.txt``, but Spark's file index treats
+  names starting with ``_metadata`` as parquet summary files and would
+  feed it to the ORC reader; ``_manifest`` stays properly hidden);
   restore reads the ORC back (56-73); retention deletes old dirs by
   modification time (100-129).
 
@@ -161,7 +164,7 @@ class PathBackupStrategy:
             f"backup_timestamp={now.strftime(_TS_FMT)}",
             f"partitions={','.join(partitions)}",
         ])
-        self.fs.write_text(f"{path}/_metadata.txt", manifest)
+        self.fs.write_text(f"{path}/_manifest.txt", manifest)
         return BackupRef(self.name, path, cfg.qualified_table,
                          tuple(partitions), now)
 

@@ -64,7 +64,7 @@ class HadoopFS:
         return out
 
     def write_text(self, path: str, content: str) -> None:
-        """Write a small driver-side text file (the backup ``_metadata.txt``,
+        """Write a small driver-side text file (the backup ``_manifest.txt``,
         HDFSBackupStrategy.java:151-175)."""
         p = self._path(path)
         fs = self._fs(p)

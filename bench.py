@@ -34,8 +34,15 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     try:
-        # warm-up: JVM, parquet footer reads, codegen
-        load_table(spark, sf_dir, "lineitem").count()
+        # Warm-up: JVM + codegen, parquet footers for every table, and one
+        # trivial mapInPandas so the Python/Arrow worker pool is up —
+        # queries are then measured on execution cost, not process spawn.
+        from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES
+        for t in TABLES:
+            load_table(spark, sf_dir, t).count()
+        import pandas as _pd
+        spark.range(4).mapInPandas(
+            lambda it: it, "id long").count()
 
         timings: dict[str, float] = {}
         for name, spec in plans.REGISTRY.items():

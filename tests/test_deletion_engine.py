@@ -227,6 +227,47 @@ def test_backup_restore_round_trip(spark, table):
     assert remaining_ids(spark, table) == list(range(1, 11))
 
 
+def test_path_backup_round_trip_with_manifest_and_retention(spark, table,
+                                                            tmp_path):
+    """Path strategy (the reference's HDFSBackupStrategy analog,
+    HDFSBackupStrategy.java:28-73,100-129): partitioned-ORC copy +
+    manifest file, restore via dynamic-partition overwrite, retention
+    sweep by directory age."""
+    seed(spark, table)
+    loc = str(tmp_path / "backups")
+    crit = DeletionCriteria(where_clause="id = 5")
+    cfg = _cfg(table, crit, backup_enabled=True,
+               backup_strategy="path", backup_location=loc)
+    mgr = BackupManager(spark, cfg)
+    t_old = datetime(2026, 2, 1, 0, 0, 0)
+    t_new = datetime(2026, 2, 13, 12, 0, 0)
+    ref_old = mgr.create_backup(["20260213"], now=t_old)
+    ref = mgr.create_backup(["20260213"], now=t_new)
+    assert mgr.strategy.backup_count(ref) == 10
+
+    import os
+    assert os.path.exists(ref.ref.replace("file:", "") + "/_manifest.txt")
+    manifest = open(ref.ref.replace("file:", "") + "/_manifest.txt").read()
+    assert f"source_table={DB}.{table}" in manifest
+    assert "partitions=20260213" in manifest
+
+    # wipe the partition, restore from the path backup
+    DeletionExecutor(spark, _cfg(table, DeletionCriteria(
+        where_clause="id >= 1"))).execute()
+    assert spark.table(f"{DB}.{table}").count() == 0
+    assert mgr.restore(ref) == 10
+    assert remaining_ids(spark, table) == list(range(1, 11))
+
+    # retention sweeps by directory mtime (HDFSBackupStrategy.java:111):
+    # age the old dir on disk, then clean with a 7-day window
+    old_dir = ref_old.ref.replace("file:", "")
+    os.utime(old_dir, (t_old.timestamp(), t_old.timestamp()))
+    removed = mgr.cleanup_old_backups(now=t_new)
+    assert len(removed) == 1 and "backup_20260201" in removed[0]
+    assert not os.path.exists(old_dir)
+    assert mgr.strategy.backup_count(ref) == 10  # fresh backup intact
+
+
 def test_job_with_backup_and_cleanup(spark, table):
     seed(spark, table)
     cfg = _cfg(table, DeletionCriteria(where_clause="id = 7"),
