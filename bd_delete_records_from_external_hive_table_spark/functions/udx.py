@@ -30,7 +30,7 @@ def sentence_split(df: DataFrame, text_col: str = "text",
                       F.posexplode(parts).alias("sent_idx", "sentence"))
             .where(F.trim("sentence") != "")
             .withColumn("n_tokens",
-                        F.size(F.split(F.trim("sentence"), r"\s+"))))
+                        F.size(F.split(F.trim("sentence"), r"\s+")).cast("long")))
 
 
 def make_sentence_splitter_udtf():

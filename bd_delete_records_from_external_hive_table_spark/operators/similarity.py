@@ -58,7 +58,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (c.crossJoin(F.broadcast(q))
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", sim.alias("sim"))
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
 
@@ -108,7 +108,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", sim.alias("sim"))
             .distinct()
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
 

@@ -175,7 +175,7 @@ def j07(spark, sf_dir):
     from ..operators.temporal import range_join
     orders = _t(spark, sf_dir, "orders")
     bands = spark.range(12).select(
-        F.col("id").cast("int").alias("band_id"),
+        F.col("id").alias("band_id"),
         (F.col("id") * 50000.0).alias("lo"),
         ((F.col("id") + 1) * 50000.0).alias("hi"))
     return (range_join(orders, bands, "o_totalprice", "lo", "hi",
@@ -330,7 +330,7 @@ def w01(spark, sf_dir):
               .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (_t(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice",
-                    F.row_number().over(w).alias("rn"))
+                    F.row_number().over(w).cast("long").alias("rn"))
             .where(F.col("rn") <= 3)
             .orderBy("o_orderstatus", "rn"))
 
@@ -383,7 +383,7 @@ def w04(spark, sf_dir):
     return (_t(spark, sf_dir, "customer")
             .where(F.col("c_custkey") <= 200)
             .select("c_mktsegment", "c_custkey",
-                    F.rank().over(w).alias("bal_rank"))
+                    F.rank().over(w).cast("long").alias("bal_rank"))
             .orderBy("c_mktsegment", "bal_rank", "c_custkey"))
 
 
@@ -470,7 +470,7 @@ def f01(spark, sf_dir):
             .where(F.col("p_size") == 1)
             .select("p_partkey",
                     F.upper("p_brand").alias("brand_uc"),
-                    F.length("p_name").alias("name_len"),
+                    F.length("p_name").cast("long").alias("name_len"),
                     F.substring("p_type", 1, 5).alias("type_prefix"),
                     F.concat_ws("/", "p_brand", "p_type").alias("brand_type"))
             .orderBy("p_partkey"))
@@ -550,7 +550,7 @@ def f06(spark, sf_dir):
     return (_t(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") < 50)
             .select("vec_id",
-                    F.size("embedding").alias("dim"),
+                    F.size("embedding").cast("long").alias("dim"),
                     F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
             .orderBy("vec_id"))
 
@@ -575,7 +575,7 @@ def f07(spark, sf_dir):
             .select("o_orderpriority",
                     F.coalesce(F.element_at("status_map", "F"), F.lit(0))
                     .alias("f_cnt"),
-                    F.size(F.map_keys("status_map")).alias("n_statuses"))
+                    F.size(F.map_keys("status_map")).cast("long").alias("n_statuses"))
             .orderBy("o_orderpriority"))
 
 

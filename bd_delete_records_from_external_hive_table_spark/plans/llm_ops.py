@@ -247,7 +247,7 @@ def t01(spark, sf_dir):
             .where(F.col("doc_id") < 100))
     stats = token_stats_cols(F.col("text"))
     return (docs.select("doc_id",
-                        *[c.alias(n) for n, c in stats.items()])
+                        *[c.cast("long").alias(n) for n, c in stats.items()])
             .orderBy("doc_id"))
 
 
@@ -319,7 +319,7 @@ def t04(spark, sf_dir):
     return (docs.select(
         "doc_id",
         F.array_min(F.transform(sh, stable_hash28)).alias("fp"),
-        F.size(sh).alias("n_shingles"))
+        F.size(sh).cast("long").alias("n_shingles"))
         .orderBy("doc_id"))
 
 
