@@ -297,6 +297,26 @@ def a07(spark, sf_dir):
             .orderBy("o_orderstatus"))
 
 
+@register("a09_pivot",
+          "SELECT o_orderpriority, "
+          "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders, "
+          "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders, "
+          "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders "
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+def a09(spark, sf_dir):
+    """Pivot (wide conditional aggregation). The value list is explicit —
+    at scale an unlisted pivot first runs a distinct scan to discover
+    values; listing them keeps it a single pass."""
+    pv = (_t(spark, sf_dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", ["F", "O", "P"])
+          .count())
+    return (pv.select("o_orderpriority",
+                      *[F.coalesce(F.col(c), F.lit(0))
+                        .alias(f"{c.lower()}_orders") for c in ("F", "O", "P")])
+            .orderBy("o_orderpriority"))
+
+
 @register("a08_grouping_sets",
           "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
           "FROM orders GROUP BY GROUPING SETS "
@@ -553,6 +573,21 @@ def f06(spark, sf_dir):
                     F.size("embedding").cast("long").alias("dim"),
                     F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
             .orderBy("vec_id"))
+
+
+@register("f08_from_json",
+          "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 "
+          "AS k_bucket, COUNT(*) AS n FROM events "
+          "GROUP BY k_bucket ORDER BY k_bucket")
+def f08(spark, sf_dir):
+    """Schema-driven JSON parsing (from_json → typed struct), bucketed
+    histogram — the structured counterpart to f05's path extraction."""
+    parsed = (_t(spark, sf_dir, "events")
+              .select(F.from_json("props", "k BIGINT").alias("p")))
+    return (parsed
+            .groupBy(F.floor(F.col("p.k") / 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("k_bucket"))
 
 
 @register("f07_map_funcs",
