@@ -229,6 +229,18 @@ def n02(spark, sf_dir):
         .withColumnRenamed("rank", "rnk"))
 
 
+@register("n03_ann_ivf_topk", None)  # approximate: recall asserted in tests
+def n03(spark, sf_dir):
+    """IVF ANN top-5 (coarse k-means quantizer, nprobe=4 of nlist=16
+    buckets) — the FAISS-IVF-shaped scale path: centroid assignment is a
+    vectorized Pandas UDF (one numpy matmul per Arrow batch), candidate
+    scoring stays JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nlist=16, nprobe=4)
+        .withColumnRenamed("rank", "rnk"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

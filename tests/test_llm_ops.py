@@ -76,6 +76,35 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert hits / total >= 0.2, f"ANN recall {hits}/{total}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = plans.REGISTRY["n01_ann_bruteforce_topk"] \
+        .spark_fn(spark, sf_dir).collect()
+    approx = similarity.ivf_ann_topk(emb, queries, k=5,
+                                     nlist=16, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets)  # every query answered
+    hits = sum(len(approx_sets[q] & exact_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    # probing 4/16 buckets: recall well above random
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = similarity.train_ivf_centroids(emb, nlist=8, sample_size=512)
+    c2 = similarity.train_ivf_centroids(emb, nlist=8, sample_size=512)
+    import numpy as np
+    assert np.array_equal(c1, c2)
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-6)
+
+
 def test_lsh_prunes_pair_space(spark, sf_dir):
     """The ANN path must score strictly fewer pairs than brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
