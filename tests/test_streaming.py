@@ -60,6 +60,74 @@ def test_streaming_dedup_removes_replayed_file(spark, sf_dir, tmp_path):
     assert n == distinct
 
 
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data handling: with a 30-min watermark and 1-hour tumbling
+    windows in append mode, rows arriving after their window's watermark
+    has passed are dropped — bounded state is what makes streaming aggs
+    viable at scale."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    base = datetime(2026, 3, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                         "user_id long, event_type string, "
+                                         "value double, props string")
+        # single file per trigger; convert to the on-disk long-nanos shape
+        (df.select("event_id",
+                   (F.unix_timestamp("ts") * 1_000_000_000).alias("ts"),
+                   "user_id", "event_type", "value", "props")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / f"stage_{name}")))
+        import glob
+        import shutil
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"{name}.parquet")
+
+    def ts(h, m=0):
+        return base.replace(hour=h, minute=m)
+
+    # Three checkpointed runs = three ordered micro-batches (the
+    # checkpoint carries watermark + window state across runs):
+    # 1) events 02:00/02:10        → watermark advances to 01:40
+    # 2) on-time 02:30 + late 00:05 (00:00 window far behind watermark
+    #    → the late row must be dropped, never re-opening the window)
+    # 3) event 04:00               → watermark 03:30 closes [02:00,03:00)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        stream = (sw.stream_events(spark, str(d))
+                  .withWatermark("ts", "30 minutes")
+                  .groupBy(F.window("ts", "1 hour").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.col("w.start").alias("wstart"), "n"))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_file("a", [(1, ts(2, 0), 1, "click", 1.0, "{}"),
+                     (2, ts(2, 10), 1, "click", 1.0, "{}")])
+    run_batch()
+    write_file("b", [(3, ts(2, 30), 1, "click", 1.0, "{}"),
+                     (4, ts(0, 5), 1, "click", 1.0, "{}")])
+    run_batch()
+    write_file("c", [(5, ts(4, 0), 1, "click", 1.0, "{}")])
+    run_batch()
+
+    emitted = {r.wstart: r.n for r in spark.read.parquet(out).collect()}
+    # the late row was dropped: the 00:00 window never emitted anywhere
+    assert ts(0, 0) not in emitted, emitted
+    # the finalized 02:00 window counts only the on-time rows 1,2,3
+    assert emitted.get(ts(2, 0)) == 3, emitted
+
+
 def test_running_user_totals_stateful(spark, sf_dir, events_dir):
     stream = sw.running_user_totals(sw.stream_events(spark, events_dir))
     sw.run_to_memory(stream, "user_totals_t", "update")
