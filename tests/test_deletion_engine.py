@@ -199,6 +199,43 @@ def test_partition_window_scopes_deletion_and_validation(spark, table):
     assert parts == ["partition_id=20260210"]
 
 
+def test_external_table_drop_removes_files_on_disk(spark, tmp_path):
+    """The reference's core case: EXTERNAL tables keep their files after
+    DROP PARTITION, so the engine must delete the directory itself
+    (DeletionExecutor.java:164-214,251-269). Assert the emptied
+    partition's directory is physically gone while the untouched
+    partition's files survive."""
+    import os
+    loc = str(tmp_path / "ext_table")
+    name = f"test_ext_{next(_seq)}"
+    spark.sql(f"""
+        CREATE EXTERNAL TABLE {DB}.{name} (
+          id BIGINT, name STRING, status STRING, row_create_ts TIMESTAMP
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+        LOCATION '{loc}'
+    """)
+    try:
+        seed(spark, name, partition="20260213")
+        seed(spark, name, partition="20260214", ids=range(11, 21))
+        d13 = os.path.join(loc, "partition_id=20260213")
+        d14 = os.path.join(loc, "partition_id=20260214")
+        assert os.path.isdir(d13) and os.path.isdir(d14)
+
+        cfg = _cfg(name, DeletionCriteria(
+            start_time=datetime(2026, 2, 13, 0, 0, 0),
+            end_time=datetime(2026, 2, 14, 0, 0, 0)))
+        outcome = DeletionJob(spark, cfg).run()
+        assert outcome.success, outcome.error
+        assert outcome.result.partitions_dropped == ["20260213"]
+
+        assert not os.path.exists(d13), "external partition dir must be deleted"
+        assert os.path.isdir(d14) and os.listdir(d14), \
+            "untouched partition files must survive"
+        assert spark.table(f"{DB}.{name}").count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+
+
 def test_count_reconciliation_invariant(spark, table):
     """before == deleted + after (C7a, ValidationManager.java:142-163)."""
     seed(spark, table, hourly=True)
