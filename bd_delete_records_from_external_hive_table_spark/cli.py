@@ -21,6 +21,7 @@ import sys
 from datetime import datetime
 
 from .config import (
+    CriteriaValidationError,
     DeletionCriteria,
     EngineConfig,
     config_kwargs_from_properties,
@@ -98,8 +99,15 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s - %(message)s")
-    args = build_parser().parse_args(argv)
-    config = config_from_args(args)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        config = config_from_args(args)
+    except CriteriaValidationError as exc:
+        # clean operator-facing message + usage, not a traceback
+        parser.print_usage(sys.stderr)
+        print(f"bd-delete: error: {exc}", file=sys.stderr)
+        return 1
 
     from .job import DeletionJob
     from .session import SessionFactory

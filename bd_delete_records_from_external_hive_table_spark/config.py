@@ -92,6 +92,18 @@ class DeletionCriteria:
             return ~p | p.isNull()
         return ~p
 
+    def deletion_column(self, null_safe: bool = False) -> Column:
+        """The exact complement of :meth:`retention_column` — the set of
+        rows the rewrite will physically drop. Under plain three-valued
+        logic NULL-of-P rows satisfy neither P nor NOT(P), so the default
+        retention scan drops them; counting the delete-set with P alone
+        would under-count and break count reconciliation. This column is
+        what partition analysis and dry-run must count."""
+        p = self.to_column()
+        if null_safe:
+            return p & ~p.isNull()
+        return p | p.isNull()
+
     def describe(self) -> str:
         parts = []
         if self.start_time is not None:

@@ -74,18 +74,28 @@ class DeletionJob:
             if not pre.passed:
                 raise RuntimeError(f"pre-validation failed: {pre.details}")
 
-            # 3. backup affected partitions
-            if cfg.backup_enabled and not cfg.dry_run and affected:
-                backup_ref = self.backups.create_backup(affected)
+            # When the probe failed, the executor conservatively rewrites
+            # EVERY candidate (counts are the (-1,-1) sentinel) — so the
+            # backup must cover every candidate too, and count-based
+            # expectations are unknowable.
+            probe_failed = any(m < 0 for _, m in plan.counts.values())
+            backup_set = plan.candidates if probe_failed else affected
+
+            # 3. backup the partitions the executor may touch
+            if cfg.backup_enabled and not cfg.dry_run and backup_set:
+                backup_ref = self.backups.create_backup(backup_set)
                 self.metrics.backup_created = True
                 self.metrics.backup_ref = backup_ref.ref
 
             # 4. counts: affected-partition totals come free from the plan —
             # no extra whole-table scan (HiveTableDeletionJob.java:117-123
             # runs three full counts here; the plan aggregation subsumes them).
-            before_affected = sum(t for t, _ in plan.counts.values())
-            to_delete = plan.would_delete
-            expected_retained_affected = before_affected - to_delete
+            if probe_failed:
+                expected_retained_affected = None
+            else:
+                before_affected = sum(t for t, _ in plan.counts.values())
+                to_delete = plan.would_delete
+                expected_retained_affected = before_affected - to_delete
 
             # 5. delete (dry-run early-exits inside)
             result = self.executor.execute(plan)

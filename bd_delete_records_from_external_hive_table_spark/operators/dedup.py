@@ -48,8 +48,11 @@ SIMHASH_BITS = 28
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups by content hash: (content_hash, n_dups, keeper).
-    Keeper = min id (deterministic survivor policy)."""
+    Keeper = min id (deterministic survivor policy). NULL content is
+    non-comparable — md5(NULL) is NULL and would collapse every NULL-text
+    row into one bogus group, so those rows are excluded."""
     return (df
+            .where(F.col(text_col).isNotNull())
             .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.min(id_col).alias("keeper"))
@@ -59,11 +62,14 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row (min id) per distinct content. Window-free:
-    a groupBy keeper set + semi-join keeps the shuffle to the hash key."""
-    keepers = (df.groupBy(F.md5(F.col(text_col)).alias("h"))
-                 .agg(F.min(id_col).alias(id_col))
-                 .select(id_col))
-    return df.join(keepers, id_col, "left_semi")
+    a groupBy keeper set + semi-join keeps the shuffle to the hash key.
+    NULL-text rows are non-comparable and always survive."""
+    nonnull = df.where(F.col(text_col).isNotNull())
+    keepers = (nonnull.groupBy(F.md5(F.col(text_col)).alias("h"))
+               .agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return (nonnull.join(keepers, id_col, "left_semi")
+            .unionByName(df.where(F.col(text_col).isNull())))
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +117,17 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     sub-signature become a candidate pair (a < b). Shuffle key =
     (band_idx, band_key) — never the cross product."""
     if num_hashes is None:  # derive from the signature when not provided
-        num_hashes = sig_df.select(F.size("sig").alias("k")).first()["k"]
+        row = sig_df.select(F.size("sig").alias("k")).first()
+        if row is None:  # empty input → no pairs
+            return (sig_df.select(F.col(id_col).alias("a"))
+                    .crossJoin(sig_df.select(F.col(id_col).alias("b"))))
+        num_hashes = row["k"]
     rows = num_hashes // bands
+    # Shingle-less docs share the sentinel signature [p, p, ...] — banding
+    # them would put millions of short/empty docs into ONE bucket and turn
+    # the candidate join quadratic. They cannot be near-dups of anything
+    # (Jaccard undefined/0), so they are excluded from banding.
+    sig_df = sig_df.where(F.col("sig")[0] < HASH_PRIME)
     banded = sig_df.select(
         F.col(id_col),
         F.explode(F.array(*[

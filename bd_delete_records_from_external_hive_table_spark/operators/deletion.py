@@ -127,7 +127,10 @@ class PartitionHandler:
         plan = PartitionPlan(candidates=candidates)
         if not candidates:
             return plan
-        pred = cfg.criteria.to_column()
+        # count the rows the rewrite will actually drop (NULL-of-P rows
+        # are dropped by the default retention scan, so P alone would
+        # under-count and break reconciliation)
+        pred = cfg.criteria.deletion_column(cfg.null_safe_retention)
         pcol = cfg.partition_column
         try:
             rows = (
@@ -163,8 +166,20 @@ class DeletionExecutor:
         DeletionExecutor.java:77-107)."""
         plan = plan or self.handler.analyze()
         self.metrics.dry_run = True
-        deleted = plan.would_delete
-        retained = sum(t for t, _ in plan.counts.values()) - deleted
+        if any(t < 0 for t, _ in plan.counts.values()):
+            # probe failed (sentinel counts): measure directly — dry run is
+            # read-only, so the extra scan is the whole point
+            cfg = self.config
+            scoped = (self.spark.table(cfg.qualified_table)
+                      .where(in_list_predicate(cfg.partition_column,
+                                               plan.candidates)))
+            total = scoped.count()
+            deleted = scoped.where(
+                cfg.criteria.deletion_column(cfg.null_safe_retention)).count()
+            retained = total - deleted
+        else:
+            deleted = plan.would_delete
+            retained = sum(t for t, _ in plan.counts.values()) - deleted
         audit("dry_run", table=self.config.qualified_table,
               would_delete=deleted, affected=plan.affected)
         return DeletionResult(deleted=deleted, retained=retained,
@@ -224,15 +239,29 @@ class DeletionExecutor:
         """Dynamic-partition overwrite of one batch (DeletionExecutor.java:
         215-222). NO ``partitionBy`` on insertInto — the table's partition
         spec governs (reference constraint, TEST_FIX.md:16-41)."""
+        cfg = self.config
+        probe_failed = any(plan.counts.get(p, (-1, -1))[0] < 0 for p in batch)
+        if probe_failed:
+            # sentinel counts: measure for real (extra actions only on the
+            # conservative failure path)
+            before = (self.spark.table(cfg.qualified_table)
+                      .where(in_list_predicate(cfg.partition_column, batch))
+                      .count())
         retained_df = self.retention_scan(batch)
         # insertInto is positional: align to the table's column order.
-        cols = self.spark.table(self.config.qualified_table).columns
+        cols = self.spark.table(cfg.qualified_table).columns
         (retained_df.select(*cols)
          .write.mode("overwrite")
-         .insertInto(self.config.qualified_table))
-        before = sum(plan.counts[p][0] for p in batch)
-        per_part = {p: plan.counts[p][1] for p in batch}
-        retained = before - sum(per_part.values())
+         .insertInto(cfg.qualified_table))
+        if probe_failed:
+            retained = (self.spark.table(cfg.qualified_table)
+                        .where(in_list_predicate(cfg.partition_column, batch))
+                        .count())
+            per_part: dict[str, int] = {}
+        else:
+            before = sum(plan.counts[p][0] for p in batch)
+            per_part = {p: plan.counts[p][1] for p in batch}
+            retained = before - sum(per_part.values())
         self.metrics.record_batch(batch, before, retained, per_part)
 
     def _drop_partitions(self, partitions: list[str]) -> list[str]:

@@ -118,13 +118,15 @@ def sample_frames(df: DataFrame, frame_bytes: int = 32,
     hexp = F.hex(F.col("payload"))
     n_frames = F.floor(F.length("payload") / frame_bytes).cast("int")
     idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        F.sequence(F.lit(0), n_frames - 1),
         lambda i: i % every_n == 0)
     frame = F.transform(
         idx, lambda i: F.struct(
             i.alias("frame_idx"),
             F.unhex(F.substring(hexp, i * (frame_bytes * 2) + 1,
                                 frame_bytes * 2)).alias("frame")))
-    return (df.where(F.col("modality") == "video")
+    # a payload with zero complete frames emits no rows (explode of an
+    # empty array), never a truncated partial frame
+    return (df.where((F.col("modality") == "video") & (n_frames > 0))
             .select("media_id", F.explode(frame).alias("f"))
             .select("media_id", "f.frame_idx", "f.frame"))

@@ -32,12 +32,17 @@ _COMBINABLE = {
 
 def with_salt(df: DataFrame, salt_buckets: int,
               salt_col: str = "_salt") -> DataFrame:
-    """Uniform deterministic salt in [0, salt_buckets) — derived from a
-    hash of the whole row (monotonically_increasing_id would couple salt
-    to partition layout; rand() would break retry determinism)."""
+    """Uniform salt in [0, salt_buckets): row-content hash mixed with a
+    per-row sequence id. The sequence id is essential — a pure content
+    hash would send *identical* rows (exactly the repeated-sentinel-row
+    shape that causes the skew) to one salt bucket. The id makes the salt
+    dependent on partition layout, which is safe here: salted_aggregate's
+    combine step is commutative, so results are identical for any salt
+    assignment."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                          *[F.col(c) for c in df.columns]),
                F.lit(salt_buckets)))
 
 

@@ -41,27 +41,33 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)]
 
+    # Carry the right VALUES inside one struct so (a) all value columns
+    # come from the same right row (never a chimera of two rows) and
+    # (b) a legitimately-NULL value in the latest right row stays NULL —
+    # only the struct itself is NULL on left rows, so last(ignorenulls)
+    # skips left rows but never skips a real right row.
+    vals = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    rhs = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
+        vals.alias("_vals"))
     lhs = left.select(
         F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-          for c in value_cols])
-    rhs = right.select(
-        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
-        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols])
+        F.lit(None).cast(rhs.schema["_vals"].dataType).alias("_vals"))
+    rhs = rhs.withColumn(
+        "_row", F.lit(None).cast(lhs.schema["_row"].dataType)) \
+        .select(*lhs.columns)
 
     # Right rows sort before left rows at equal ts (_is_left ascending) so
-    # the inclusive bound holds; the running last(ignorenulls) carries each
-    # right value forward within the key group.
+    # the inclusive bound holds; the running last(ignorenulls) carries the
+    # latest right ROW forward within the key group.
     w = (Window.partitionBy(on).orderBy("_ts", "_is_left")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lhs.unionByName(rhs).select(
-        "*", *[F.last(f"_v_{c}", ignorenulls=True).over(w)
-               .alias(f"_carr_{c}") for c in value_cols])
+        "*", F.last("_vals", ignorenulls=True).over(w).alias("_carr"))
     return (carried.where(F.col("_is_left") == 1)
             .select(*[F.col(f"_row.{c}").alias(c) for c in left.columns],
-                    *[F.col(f"_carr_{c}").alias(f"{c}{suffix}")
+                    *[F.col(f"_carr.{c}").alias(f"{c}{suffix}")
                       for c in value_cols]))
 
 

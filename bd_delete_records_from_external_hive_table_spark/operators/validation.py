@@ -65,7 +65,7 @@ class ValidationManager:
 
     # -- post-deletion ------------------------------------------------------
 
-    def validate_post_deletion(self, expected_retained: int,
+    def validate_post_deletion(self, expected_retained: int | None,
                                surviving_partitions: list[str] | None = None,
                                seed: int = 42,
                                scope_partitions: list[str] | None = None) -> ValidationReport:
@@ -83,14 +83,19 @@ class ValidationManager:
         if scope_partitions is not None:
             table = table.where(
                 in_list_predicate(cfg.partition_column, scope_partitions))
-        pred = cfg.criteria.to_column()
+        # "zero matching remain" means zero rows the deletion would drop —
+        # under null-safe retention, surviving NULL-of-P rows are intended
+        pred = cfg.criteria.deletion_column(cfg.null_safe_retention)
 
-        # (a) count reconciliation with tolerance
+        # (a) count reconciliation with tolerance — skipped when the
+        # partition probe failed and no expectation exists (None)
         actual = table.count()
-        tol = expected_retained * cfg.validation_tolerance_pct / 100.0
-        ok = abs(actual - expected_retained) <= tol
-        report.record("count_reconciliation", ok,
-                      f"expected={expected_retained} actual={actual} tol={tol}")
+        if expected_retained is not None:
+            tol = expected_retained * cfg.validation_tolerance_pct / 100.0
+            ok = abs(actual - expected_retained) <= tol
+            report.record("count_reconciliation", ok,
+                          f"expected={expected_retained} actual={actual} "
+                          f"tol={tol}")
 
         # (d) zero remaining matches — single pruned count
         remaining = table.where(pred).count()
@@ -138,4 +143,5 @@ class ValidationManager:
         df = self.spark.table(cfg.qualified_table)
         if partitions:
             df = df.where(in_list_predicate(cfg.partition_column, partitions))
-        return df.where(cfg.criteria.to_column()).count()
+        return df.where(
+            cfg.criteria.deletion_column(cfg.null_safe_retention)).count()

@@ -199,6 +199,39 @@ def test_partition_window_scopes_deletion_and_validation(spark, table):
     assert parts == ["partition_id=20260210"]
 
 
+def test_null_predicate_rows_counted_and_validated(spark, table):
+    """Rows where the predicate is NULL are dropped by the default
+    retention scan (3-valued logic) — they must be COUNTED as deleted so
+    reconciliation holds, and validation must pass."""
+    seed(spark, table)
+    spark.sql(f"INSERT INTO {DB}.{table} PARTITION (partition_id='20260213') "
+              f"VALUES (100, 'NullStatus', NULL, "
+              f"TIMESTAMP '2026-02-13 09:00:00')")
+    cfg = _cfg(table, DeletionCriteria(where_clause="status = 'INACTIVE'"))
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    # 3 INACTIVE + 1 NULL-status row are physically dropped, all counted
+    assert outcome.result.deleted == 4
+    assert remaining_ids(spark, table) == [1, 3, 4, 6, 7, 9, 10]
+    assert outcome.validation is not None and outcome.validation.passed
+
+
+def test_null_safe_retention_keeps_null_rows(spark, table):
+    """null_safe_retention=True: NULL-of-P rows survive ('delete only
+    what provably matches') and are not counted as deleted."""
+    seed(spark, table)
+    spark.sql(f"INSERT INTO {DB}.{table} PARTITION (partition_id='20260213') "
+              f"VALUES (100, 'NullStatus', NULL, "
+              f"TIMESTAMP '2026-02-13 09:00:00')")
+    cfg = _cfg(table, DeletionCriteria(where_clause="status = 'INACTIVE'"),
+               null_safe_retention=True)
+    outcome = DeletionJob(spark, cfg).run()
+    assert outcome.success, outcome.error
+    assert outcome.result.deleted == 3
+    assert remaining_ids(spark, table) == [1, 3, 4, 6, 7, 9, 10, 100]
+    assert outcome.validation is not None and outcome.validation.passed
+
+
 def test_external_table_drop_removes_files_on_disk(spark, tmp_path):
     """The reference's core case: EXTERNAL tables keep their files after
     DROP PARTITION, so the engine must delete the directory itself

@@ -31,16 +31,30 @@ def test_salted_aggregate_equals_plain_groupby(spark, sf_dir):
     assert salted == plain
 
 
-def test_salt_is_uniform_and_deterministic(spark, sf_dir):
+def test_salt_is_uniform_and_spreads_identical_rows(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").limit(2000)
     s1 = with_salt(li, 16).groupBy("_salt").count().collect()
     assert len(s1) == 16
     counts = [r["count"] for r in s1]
     assert max(counts) < 2 * min(counts)  # roughly uniform
-    # deterministic across evaluations
-    a = with_salt(li, 16).select("_salt").collect()
-    b = with_salt(li, 16).select("_salt").collect()
-    assert a == b
+    # the degenerate skew case: byte-identical rows of one hot key must
+    # still spread across salt buckets
+    from pyspark.sql import functions as F
+    dup = spark.range(2000).select(F.lit("hot").alias("k"),
+                                   F.lit(1).alias("v"))
+    spread = with_salt(dup, 16).select("_salt").distinct().count()
+    assert spread == 16
+
+
+def test_salted_aggregate_correct_on_identical_rows(spark):
+    from pyspark.sql import functions as F
+    dup = spark.range(5000).select(F.lit("hot").alias("k"),
+                                   F.lit(2).alias("v"))
+    got = salted_aggregate(dup, ["k"], {"n": ("count", "v"),
+                                        "s": ("sum", "v")},
+                           salt_buckets=16).collect()
+    assert len(got) == 1
+    assert (got[0].n, got[0].s) == (5000, 10000)
 
 
 def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):

@@ -34,6 +34,21 @@ def test_asof_backward_inclusive(spark):
     assert out[(2, _ts("2026-01-01T12:30:00"))] == 99.0  # per-key isolation
 
 
+def test_asof_null_value_in_latest_right_row_stays_null(spark):
+    """The latest right row wins even when its value is NULL — and with
+    two value columns both must come from the SAME right row."""
+    left = spark.createDataFrame(
+        [(1, _ts("2026-01-01T13:30:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T12:00:00"), 10.0, "a"),
+         (1, _ts("2026-01-01T13:00:00"), None, "b")],
+        "k long, ts timestamp, v double, tag string")
+    row = as_of_join(left, right, on="k",
+                     value_cols=["v", "tag"]).collect()[0]
+    assert row.v_asof is None      # latest row's NULL preserved
+    assert row.tag_asof == "b"     # both fields from the 13:00 row
+
+
 def test_asof_preserves_left_cardinality(spark, sf_dir):
     from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
     ev = load_table(spark, sf_dir, "events")
