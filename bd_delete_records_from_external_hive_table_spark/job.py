@@ -81,27 +81,36 @@ class DeletionJob:
             probe_failed = any(m < 0 for _, m in plan.counts.values())
             backup_set = plan.candidates if probe_failed else affected
 
-            # 3. backup the partitions the executor may touch
+            # 3. backup the partitions the executor may touch; the plan's
+            # totals spare the backup validation its own source scan
+            # (unknown when the probe failed)
             if cfg.backup_enabled and not cfg.dry_run and backup_set:
-                backup_ref = self.backups.create_backup(backup_set)
+                expected = None if probe_failed else sum(
+                    plan.counts[p][0] for p in backup_set)
+                backup_ref = self.backups.create_backup(
+                    backup_set, expected_count=expected)
                 self.metrics.backup_created = True
                 self.metrics.backup_ref = backup_ref.ref
 
-            # 4. counts: affected-partition totals come free from the plan —
-            # no extra whole-table scan (HiveTableDeletionJob.java:117-123
-            # runs three full counts here; the plan aggregation subsumes them).
-            if probe_failed:
-                expected_retained_affected = None
-            else:
-                before_affected = sum(t for t, _ in plan.counts.values())
-                to_delete = plan.would_delete
-                expected_retained_affected = before_affected - to_delete
-
-            # 5. delete (dry-run early-exits inside)
+            # 5. delete (dry-run early-exits inside). On the probe-failed
+            # path the executor repairs plan.counts (in place) with a real
+            # scan before mutating anything.
             result = self.executor.execute(plan)
             if result.dry_run:
                 self.metrics.finish(True)
                 return JobOutcome(True, result, None, backup_ref, self.metrics)
+
+            # 4./6. counts: affected-partition totals come free from the
+            # plan — no extra whole-table scan (HiveTableDeletionJob.java:
+            # 117-123 runs three full counts here; the plan aggregation
+            # subsumes them). Computed after execute() so the repaired
+            # counts are used when the original probe failed.
+            if any(t < 0 for t, _ in plan.counts.values()):
+                expected_retained_affected = None  # probe never recovered
+            else:
+                before_affected = sum(t for t, _ in plan.counts.values())
+                expected_retained_affected = \
+                    before_affected - plan.would_delete
 
             # 6. post-validation
             validation = None

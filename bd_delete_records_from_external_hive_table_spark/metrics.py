@@ -62,6 +62,15 @@ class MetricsCollector:
                 self.per_partition_deleted[pid] = (
                     self.per_partition_deleted.get(pid, 0) + n)
 
+    def record_dropped_partition(self, pid: str, deleted: int) -> None:
+        """Metadata-only DROP fast path: rows are deleted but no rewrite
+        batch ran and no data was read back — batches_processed and
+        records_read stay untouched."""
+        self.partitions_processed += 1
+        self.records_deleted += deleted
+        self.per_partition_deleted[pid] = (
+            self.per_partition_deleted.get(pid, 0) + deleted)
+
     def finish(self, succeeded: bool, error: str | None = None) -> None:
         self.finished_at = time.time()
         self.succeeded = succeeded

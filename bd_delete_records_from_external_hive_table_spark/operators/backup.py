@@ -100,11 +100,14 @@ class HiveTableBackupStrategy:
     def cleanup_old(self, retention_days: int, now: datetime) -> list[str]:
         """Drop backup tables older than the retention window
         (HiveTableBackupStrategy.java:98-138)."""
-        prefix = f"{self.config.table}_backup_"
+        # Hive lowercases table names in the catalog; compare
+        # case-insensitively or mixed-case configs never match their
+        # own backups and retention silently stops working.
+        prefix = f"{self.config.table}_backup_".lower()
         cutoff = now - timedelta(days=retention_days)
         dropped = []
         for t in self.spark.catalog.listTables(self.config.database):
-            if not t.name.startswith(prefix):
+            if not t.name.lower().startswith(prefix):
                 continue
             ts = _parse_backup_ts(self.spark, f"{self.config.database}.{t.name}",
                                   t.name, prefix)
@@ -202,12 +205,16 @@ class BackupManager:
             self.strategy = PathBackupStrategy(spark, config)
 
     def create_backup(self, partitions: list[str],
-                      now: datetime | None = None) -> BackupRef:
+                      now: datetime | None = None,
+                      expected_count: int | None = None) -> BackupRef:
+        """``expected_count`` lets the caller pass a source-row count it
+        already holds (the deletion job's single-scan partition analysis);
+        omitting it costs one extra scan of the source partitions."""
         if not partitions:
             raise BackupError("no partitions to back up")
         now = now or datetime.now()
         cfg = self.config
-        source_count = (
+        source_count = expected_count if expected_count is not None else (
             self.spark.table(cfg.qualified_table)
             .where(in_list_predicate(cfg.partition_column, partitions))
             .count())

@@ -194,14 +194,26 @@ class DeletionExecutor:
         if cfg.dry_run:
             return self.dry_run(plan)
 
-        probe_failed = any(t < 0 for t, _ in plan.counts.values())
-        if probe_failed:
-            # conservative path: rewrite everything, no drop fast path
-            to_drop: list[str] = []
-            to_rewrite = plan.candidates
-        else:
-            to_drop = plan.to_drop
-            to_rewrite = plan.to_rewrite
+        if any(t < 0 for t, _ in plan.counts.values()):
+            # Probe failed (sentinel counts). Rewrite-only would be WRONG
+            # for a partition whose rows ALL match: its retention scan is
+            # empty, and dynamic-partition overwrite writes nothing for a
+            # partition absent from the data — the matching rows would
+            # silently survive. Repair the plan with one scan counting
+            # (total, retained) per candidate; if this scan also fails,
+            # the exception aborts the job BEFORE any mutation.
+            pcol = cfg.partition_column
+            keep = cfg.criteria.retention_column(cfg.null_safe_retention)
+            rows = (self.spark.table(cfg.qualified_table)
+                    .where(in_list_predicate(pcol, plan.candidates))
+                    .groupBy(pcol)
+                    .agg(F.count(F.lit(1)).alias("total"),
+                         F.count(F.when(keep, 1)).alias("retained"))
+                    .collect())
+            plan.counts = {r[pcol]: (r["total"], r["total"] - r["retained"])
+                           for r in rows}
+        to_drop = plan.to_drop
+        to_rewrite = plan.to_rewrite
 
         dropped = self._drop_partitions(to_drop)
         rewritten: list[str] = []
@@ -210,8 +222,8 @@ class DeletionExecutor:
             rewritten.extend(batch)
 
         for pid in dropped:
-            total, matches = plan.counts[pid]
-            self.metrics.record_batch([pid], total, 0, {pid: matches})
+            _total, matches = plan.counts[pid]
+            self.metrics.record_dropped_partition(pid, matches)
         self.metrics.partitions_dropped = len(dropped)
 
         deleted = self.metrics.records_deleted
@@ -240,28 +252,17 @@ class DeletionExecutor:
         215-222). NO ``partitionBy`` on insertInto — the table's partition
         spec governs (reference constraint, TEST_FIX.md:16-41)."""
         cfg = self.config
-        probe_failed = any(plan.counts.get(p, (-1, -1))[0] < 0 for p in batch)
-        if probe_failed:
-            # sentinel counts: measure for real (extra actions only on the
-            # conservative failure path)
-            before = (self.spark.table(cfg.qualified_table)
-                      .where(in_list_predicate(cfg.partition_column, batch))
-                      .count())
         retained_df = self.retention_scan(batch)
         # insertInto is positional: align to the table's column order.
         cols = self.spark.table(cfg.qualified_table).columns
         (retained_df.select(*cols)
          .write.mode("overwrite")
          .insertInto(cfg.qualified_table))
-        if probe_failed:
-            retained = (self.spark.table(cfg.qualified_table)
-                        .where(in_list_predicate(cfg.partition_column, batch))
-                        .count())
-            per_part: dict[str, int] = {}
-        else:
-            before = sum(plan.counts[p][0] for p in batch)
-            per_part = {p: plan.counts[p][1] for p in batch}
-            retained = before - sum(per_part.values())
+        # plan.counts is always real here: execute() repairs sentinel
+        # counts before batching.
+        before = sum(plan.counts[p][0] for p in batch)
+        per_part = {p: plan.counts[p][1] for p in batch}
+        retained = before - sum(per_part.values())
         self.metrics.record_batch(batch, before, retained, per_part)
 
     def _drop_partitions(self, partitions: list[str]) -> list[str]:

@@ -102,15 +102,16 @@ class ValidationManager:
         report.record("zero_matching_remain", remaining == 0,
                       f"remaining_matches={remaining}")
 
-        # (b) sampled integrity check
+        # (b) sampled integrity check — when everything fits in the
+        # sample, check (d) already counted the identical full scan
         if cfg.validation_sample_size > 0 and actual > 0:
             if actual <= cfg.validation_sample_size:
-                sample = table
+                bad = remaining
             else:
                 fraction = min(1.0, cfg.validation_sample_size / actual)
                 sample = table.sample(withReplacement=False,
                                       fraction=fraction, seed=seed)
-            bad = sample.where(pred).count()
+                bad = sample.where(pred).count()
             report.record("sample_integrity", bad == 0,
                           f"sampled_matches={bad}")
 
@@ -138,10 +139,12 @@ class ValidationManager:
             return False
 
     def count_matching(self, partitions: list[str] | None = None) -> int:
-        """COUNT(*) of rows matching the criteria, optionally pruned."""
+        """COUNT(*) of rows the deletion would drop; ``partitions`` prunes
+        the scan — an explicit empty list means an empty scope (count 0),
+        only ``None`` means whole-table."""
         cfg = self.config
         df = self.spark.table(cfg.qualified_table)
-        if partitions:
+        if partitions is not None:
             df = df.where(in_list_predicate(cfg.partition_column, partitions))
         return df.where(
             cfg.criteria.deletion_column(cfg.null_safe_retention)).count()

@@ -455,11 +455,13 @@ def u02(spark, sf_dir):
           "SELECT c_custkey FROM customer EXCEPT "
           "SELECT o_custkey AS c_custkey FROM orders")
 def u03(spark, sf_dir):
-    """EXCEPT: the anti-join as a set operation."""
+    """EXCEPT (distinct set semantics): the anti-join as a set operation.
+    subtract() IS EXCEPT DISTINCT — exceptAll().distinct() would diverge
+    whenever a duplicated left row also appears on the right."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @register("u04_except_all",

@@ -199,6 +199,35 @@ def test_partition_window_scopes_deletion_and_validation(spark, table):
     assert parts == ["partition_id=20260210"]
 
 
+def test_probe_failure_conservative_path_still_deletes_and_backs_up(
+        spark, table):
+    """When partition analysis fails (sentinel counts), the job must
+    still: back up every candidate, DROP a fully-matching partition
+    (rewrite-only would leave its rows untouched under dynamic
+    overwrite), rewrite partials, and validate."""
+    from bd_delete_records_from_external_hive_table_spark.operators.deletion import PartitionPlan
+    seed(spark, table, partition="20260213")              # partial match
+    seed(spark, table, partition="20260214", ids=range(11, 21))  # all match
+    crit = DeletionCriteria(where_clause="status = 'INACTIVE' OR id >= 11")
+    cfg = _cfg(table, crit, backup_enabled=True)
+    job = DeletionJob(spark, cfg)
+    sentinel = PartitionPlan(candidates=["20260213", "20260214"],
+                             counts={"20260213": (-1, -1),
+                                     "20260214": (-1, -1)})
+    job.handler.analyze = lambda: sentinel
+    outcome = job.run()
+    assert outcome.success, outcome.error
+    assert outcome.backup is not None  # all candidates backed up
+    assert spark.table(outcome.backup.ref).count() == 20
+    assert outcome.result.partitions_dropped == ["20260214"]
+    assert outcome.result.partitions_rewritten == ["20260213"]
+    assert outcome.result.deleted == 13  # ids 2,5,8 + 11..20
+    assert remaining_ids(spark, table) == [1, 3, 4, 6, 7, 9, 10]
+    assert outcome.validation is not None and outcome.validation.passed
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {DB}.{table}").collect()]
+    assert parts == ["partition_id=20260213"]
+
+
 def test_null_predicate_rows_counted_and_validated(spark, table):
     """Rows where the predicate is NULL are dropped by the default
     retention scan (3-valued logic) — they must be COUNTED as deleted so
