@@ -65,9 +65,19 @@ class DeletionJob:
             affected = plan.affected
             if not affected and not any(m < 0 for _, m in plan.counts.values()):
                 log.info("no partitions affected; nothing to delete")
+                if cfg.dry_run:
+                    result = self.executor.dry_run(plan)
+                else:
+                    # a REAL run that found nothing: report a real result,
+                    # not a dry-run one (no dry_run metrics/audit event)
+                    result = DeletionResult(
+                        deleted=0, retained=0, partitions_rewritten=[],
+                        partitions_dropped=[], dry_run=False,
+                        metrics=self.metrics)
+                    audit("deletion_executed", table=cfg.qualified_table,
+                          deleted=0, retained=0, dropped=[], rewritten=[])
                 self.metrics.finish(True)
-                return JobOutcome(True, self.executor.dry_run(plan), None,
-                                  None, self.metrics)
+                return JobOutcome(True, result, None, None, self.metrics)
 
             # 2. pre-validation
             pre = self.validator.validate_pre_deletion()
@@ -112,10 +122,13 @@ class DeletionJob:
                 expected_retained_affected = \
                     before_affected - plan.would_delete
 
-            # 6. post-validation
+            # 6. post-validation — plan.affected is re-read here because
+            # execute() repairs sentinel counts in place on the
+            # probe-failed path (the pre-execute `affected` would be
+            # stale/empty and silently skip the structure check)
             validation = None
             if cfg.validation_enabled:
-                surviving = [p for p in affected
+                surviving = [p for p in plan.affected
                              if p not in result.partitions_dropped]
                 # Scope every check to the partitions the deletion covered:
                 # rows outside the partition window may still match the
@@ -129,9 +142,16 @@ class DeletionJob:
                     raise RuntimeError(
                         f"post-validation failed: {validation.details}")
 
-            # 7. backup retention cleanup
+            # 7. backup retention cleanup — best-effort: the deletion has
+            # already committed and validated, so a cleanup failure must
+            # NOT reach the recovery handler (restoring the backup would
+            # resurrect the just-deleted rows)
             if self.backups is not None:
-                self.backups.cleanup_old_backups()
+                try:
+                    self.backups.cleanup_old_backups()
+                except Exception as exc:
+                    log.warning("backup retention cleanup failed "
+                                "(non-fatal): %s", exc)
 
             self.metrics.finish(True)
             audit("job_succeeded", table=cfg.qualified_table,

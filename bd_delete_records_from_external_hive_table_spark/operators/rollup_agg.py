@@ -25,14 +25,19 @@ def _bucket(ts_col: str, width: str):
     return F.window(ts_col, width).getField("start")
 
 
-def materialize_rollup(events: DataFrame, ts_col: str = "ts",
+def materialize_rollup(events: DataFrame, *, cutoff,
+                       ts_col: str = "ts",
                        width: str = "1 day",
                        keys: list[str] | None = None,
-                       value_col: str = "value",
-                       cutoff=None) -> DataFrame:
+                       value_col: str = "value") -> DataFrame:
     """Rollup rows: (bucket[, keys...], n, total, vmin, vmax) for events
-    strictly before ``cutoff`` (exclusive — the tail starts there)."""
-    src = events if cutoff is None else events.where(F.col(ts_col) < cutoff)
+    strictly before ``cutoff`` (exclusive — the tail starts there).
+
+    ``cutoff`` is required: a rollup over *all* events would double-count
+    every tail row once served through :func:`rollup_with_tail` with any
+    later cutoff. The same cutoff value must be passed to both calls.
+    """
+    src = events.where(F.col(ts_col) < cutoff)
     return (src.groupBy(_bucket(ts_col, width).alias("bucket"),
                         *(keys or []))
             .agg(F.count(F.lit(1)).alias("n"),

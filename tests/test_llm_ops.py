@@ -18,11 +18,14 @@ def docs100(spark, sf_dir):
             .where(F.col("doc_id") < 100).cache())
 
 
-def test_minhash_lsh_recall_vs_exact(spark, sf_dir, docs100):
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    # planted-perturbation corpus: near-dup pairs exist at every SF
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_neardup_docs
+    corpus = _aug_neardup_docs(spark, sf_dir)
     exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
-        docs100, shingle_size=3, threshold=0.5).collect()}
+        corpus, shingle_size=3, threshold=0.5).collect()}
     approx = {(r.a, r.b) for r in dedup.minhash_near_duplicates(
-        docs100, num_hashes=32, bands=8, shingle_size=3,
+        corpus, num_hashes=32, bands=8, shingle_size=3,
         threshold=0.5).collect()}
     assert exact, "baseline should find the planted near-dups"
     # verification step makes LSH results a subset of the exact pairs
