@@ -139,6 +139,45 @@ def j05(spark, sf_dir):
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
+@register("j08_tpch_q3_shape",
+          "SELECT l_orderkey, "
+          "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+          "o_orderdate, o_orderpriority FROM customer "
+          "JOIN orders ON c_custkey = o_custkey "
+          "JOIN lineitem ON l_orderkey = o_orderkey "
+          "WHERE c_mktsegment = 'BUILDING' "
+          "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+          "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+          "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+          "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10")
+def j08(spark, sf_dir):
+    """TPC-H Q3 shape (order priority stands in for ship priority —
+    the synthetic orders table has no o_shippriority): filtered
+    broadcast dim →
+    fact-fact join → grouped revenue → global top-10. The segment and
+    date filters push to the scans; the LIMIT becomes
+    TakeOrderedAndProject after the aggregation."""
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
 @register("j06_asof_join",
           "SELECT p.event_id, p.user_id, p.value AS purchase_value, "
           "c.value AS last_click_value FROM "
