@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Backup location (for the path strategy)")
     p.add_argument("--dry-run", action="store_true",
                    help="Report would-delete counts without deleting")
+    p.add_argument("--partition-start",
+                   help="Engine extension: only consider partitions whose "
+                        "ID date is >= this date (yyyy-MM-dd)")
+    p.add_argument("--partition-end",
+                   help="Engine extension: only consider partitions whose "
+                        "ID date is < this date (yyyy-MM-dd)")
     p.add_argument("-c", "--config", help="Path to a .properties config file")
     p.add_argument("--master", default=None,
                    help="Spark master override (default: whatever "
@@ -85,6 +91,12 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         kwargs["backup_location"] = args.backup_location
     if args.dry_run:
         kwargs["dry_run"] = True
+    if args.partition_start:
+        kwargs["partition_start"] = datetime.strptime(
+            args.partition_start, "%Y-%m-%d").date()
+    if args.partition_end:
+        kwargs["partition_end"] = datetime.strptime(
+            args.partition_end, "%Y-%m-%d").date()
 
     return EngineConfig(
         database=args.database,

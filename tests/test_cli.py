@@ -85,6 +85,16 @@ def test_defaults_match_reference():
     assert cfg.dry_run is False
 
 
+def test_partition_window_flags():
+    from datetime import date
+    args = build_parser().parse_args([
+        "-d", "db", "-t", "tbl", "-w", "id = 1",
+        "--partition-start", "2026-02-01", "--partition-end", "2026-03-01"])
+    cfg = config_from_args(args)
+    assert cfg.partition_start == date(2026, 2, 1)
+    assert cfg.partition_end == date(2026, 3, 1)
+
+
 def test_required_flags_enforced(capsys):
     with pytest.raises(SystemExit):
         build_parser().parse_args(["-t", "tbl"])
