@@ -1,0 +1,58 @@
+"""Streaming sink into a partitioned table via foreachBatch + dynamic
+partition overwrite.
+
+The pattern the deletion engine's storage layout implies: events stream
+in, land in date partitions, and REPLAYED micro-batches must not
+duplicate rows. ``foreachBatch`` gives each micro-batch as a regular
+DataFrame; writing it with ``insertInto(overwrite=True)`` under
+``partitionOverwriteMode=dynamic`` replaces exactly the partitions
+present in the batch — so re-processing a batch after a failure
+converges to the same state (idempotent per partition) instead of
+appending duplicates. The checkpoint makes Spark replay at-least-once;
+partition-overwrite turns that into effectively-once per partition.
+
+Caveat (documented, inherent to the pattern): a partition is rewritten
+with the rows of the CURRENT batch, so this sink fits
+partition-complete batches — e.g. late-arriving data grouped by its
+partition, CDC snapshots per day, or compaction jobs — not continuous
+drip into one open partition. For the drip shape, use the watermarked
+append sinks in windows.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_stream_to_partitioned_table"]
+
+
+def write_stream_to_partitioned_table(stream_df: DataFrame, table: str,
+                                      partition_col: str,
+                                      partition_expr,
+                                      checkpoint: str,
+                                      trigger_available_now: bool = True):
+    """Start a stream that lands each micro-batch into ``table``'s
+    partitions idempotently. ``partition_expr`` is a Column producing the
+    partition value (e.g. ``F.date_format("ts", "yyyyMMdd")``).
+
+    Returns the started StreamingQuery.
+    """
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = spark.table(table).columns
+        out = batch_df.withColumn(partition_col, partition_expr)
+        # insertInto is positional — align to the table's column order
+        out.select(*cols).write.mode("overwrite").insertInto(table)
+        # overwrite replaced files under existing partitions: drop the
+        # session's cached file listing so same-session readers don't
+        # chase deleted part-files
+        spark.catalog.refreshTable(table)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(upsert_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

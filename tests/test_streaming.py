@@ -128,6 +128,48 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     assert emitted.get(ts(2, 0)) == 3, emitted
 
 
+def test_stream_to_partitioned_table_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: replaying the same
+    input (fresh checkpoint, same files) converges to the same table
+    state instead of appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from bd_delete_records_from_external_hive_table_spark.streaming.sink import (
+        write_stream_to_partitioned_table,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_db")
+    spark.sql("DROP TABLE IF EXISTS stream_db.events_by_day")
+    spark.sql("""
+        CREATE TABLE stream_db.events_by_day (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) PARTITIONED BY (day STRING) STORED AS PARQUET
+    """)
+    try:
+        def run(ckpt):
+            q = write_stream_to_partitioned_table(
+                sw.stream_events(spark, str(d)),
+                "stream_db.events_by_day", "day",
+                F.date_format("ts", "yyyyMMdd"), checkpoint=str(ckpt))
+            q.awaitTermination()
+
+        run(tmp_path / "ckpt1")
+        n1 = spark.table("stream_db.events_by_day").count()
+        run(tmp_path / "ckpt2")  # full replay with a fresh checkpoint
+        n2 = spark.table("stream_db.events_by_day").count()
+        expected = load_table(spark, sf_dir, "events").count()
+        assert n1 == expected
+        assert n2 == expected  # no duplicates after the replay
+        days = spark.sql("SHOW PARTITIONS stream_db.events_by_day").count()
+        assert days >= 2  # actually partitioned by day
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_db.events_by_day")
+
+
 def test_running_user_totals_stateful(spark, sf_dir, events_dir):
     stream = sw.running_user_totals(sw.stream_events(spark, events_dir))
     sw.run_to_memory(stream, "user_totals_t", "update")
