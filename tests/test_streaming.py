@@ -157,10 +157,16 @@ def test_stream_to_partitioned_table_idempotent(spark, sf_dir, tmp_path):
                 F.date_format("ts", "yyyyMMdd"), checkpoint=str(ckpt))
             q.awaitTermination()
 
+        def count():
+            # foreachBatch runs in a cloned session; this session's file
+            # listing must be refreshed after the overwrite
+            spark.catalog.refreshTable("stream_db.events_by_day")
+            return spark.table("stream_db.events_by_day").count()
+
         run(tmp_path / "ckpt1")
-        n1 = spark.table("stream_db.events_by_day").count()
+        n1 = count()
         run(tmp_path / "ckpt2")  # full replay with a fresh checkpoint
-        n2 = spark.table("stream_db.events_by_day").count()
+        n2 = count()
         expected = load_table(spark, sf_dir, "events").count()
         assert n1 == expected
         assert n2 == expected  # no duplicates after the replay
