@@ -21,7 +21,6 @@ import sys
 from datetime import datetime
 
 from .config import (
-    CriteriaValidationError,
     DeletionCriteria,
     EngineConfig,
     config_kwargs_from_properties,
@@ -115,8 +114,10 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     try:
         config = config_from_args(args)
-    except CriteriaValidationError as exc:
-        # clean operator-facing message + usage, not a traceback
+    except (ValueError, OSError) as exc:
+        # clean operator-facing message + usage, not a traceback —
+        # covers CriteriaValidationError (a ValueError), malformed
+        # dates from strptime, and an unreadable --config file
         parser.print_usage(sys.stderr)
         print(f"bd-delete: error: {exc}", file=sys.stderr)
         return 1

@@ -47,8 +47,12 @@ def stable_hash28(col: Column) -> Column:
 
 
 def ws_tokens(col: Column) -> Column:
-    """Whitespace tokenization."""
-    return F.split(col, r"\s+")
+    """Whitespace tokenization — NON-EMPTY tokens only. A raw split of
+    an empty or whitespace-bounded string yields phantom '' elements
+    that would count as tokens (an empty document would score a perfect
+    type-token ratio); the DuckDB oracle fragment applies the same
+    list_filter."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
 def bpe_tokens(col: Column) -> Column:

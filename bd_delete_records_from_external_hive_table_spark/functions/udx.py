@@ -23,14 +23,18 @@ SENT_RE = r"(?<=[.!?])\s+"
 
 def sentence_split(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """(id, sent_idx, sentence, n_tokens) — one row per non-empty sentence.
-    All JVM expressions: split → posexplode → filter."""
+    """(id, sent_idx, sentence, n_tokens) — one row per sentence with at
+    least one non-empty token. All JVM expressions: split → posexplode →
+    filter. Tokens are counted as NON-EMPTY split parts (a trim-based
+    count disagrees between surfaces on exotic whitespace: F.trim strips
+    only spaces, Python strip() strips all whitespace)."""
     parts = F.split(F.col(text_col), SENT_RE)
+    toks = F.filter(F.split(F.col("sentence"), r"\s+"),
+                    lambda x: x != "")
     return (df.select(F.col(id_col),
                       F.posexplode(parts).alias("sent_idx", "sentence"))
-            .where(F.trim("sentence") != "")
-            .withColumn("n_tokens",
-                        F.size(F.split(F.trim("sentence"), r"\s+")).cast("long")))
+            .withColumn("n_tokens", F.size(toks).cast("long"))
+            .where(F.col("n_tokens") > 0))
 
 
 def make_sentence_splitter_udtf():
@@ -45,16 +49,17 @@ def make_sentence_splitter_udtf():
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: long, sent_idx: int, sentence: string, "
-                     "n_tokens: int")
+                     "n_tokens: long")
     class SentenceSplitter:
         def eval(self, doc_id: int, text: str):
             if text is None:
                 return
             idx = 0
             for raw in re.split(SENT_RE, text):
-                s = raw.strip()
-                if s:
-                    yield doc_id, idx, raw, len(s.split())
+                # same token rule as the JVM path: non-empty split parts
+                toks = [t for t in re.split(r"\s+", raw) if t]
+                if toks:
+                    yield doc_id, idx, raw, len(toks)
                 idx += 1
 
     return SentenceSplitter

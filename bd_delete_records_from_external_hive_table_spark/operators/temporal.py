@@ -47,9 +47,14 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     # only the struct itself is NULL on left rows, so last(ignorenulls)
     # skips left rows but never skips a real right row.
     vals = F.struct(*[F.col(c).alias(c) for c in value_cols])
-    rhs = right.select(
-        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
-        vals.alias("_vals"))
+    # A right row with a NULL key or NULL ts can never satisfy
+    # `l.key = r.key AND l.ts >= r.ts` (SQL comparisons with NULL are
+    # never true) — but the ascending sort would place NULL ts FIRST and
+    # carry its values onto everything, so such rows are dropped here.
+    rhs = (right
+           .where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+           .select(F.col(on), F.col(right_ts).alias("_ts"),
+                   F.lit(0).alias("_is_left"), vals.alias("_vals")))
     lhs = left.select(
         F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_row"),
@@ -84,14 +89,23 @@ def range_join(points: DataFrame, intervals: DataFrame,
     if how != "inner":
         raise ValueError("range_join currently supports inner joins only")
     g = float(granularity)
+    if g <= 0:
+        raise ValueError("granularity must be positive")
     p = points.withColumn("_bucket",
                           F.floor(F.col(point_col) / F.lit(g)).cast("long"))
-    iv = intervals.withColumn(
-        "_bucket",
-        F.explode(F.sequence(
-            F.floor(F.col(lo_col) / F.lit(g)).cast("long"),
-            # hi is exclusive: a bucket starting exactly at hi can't match
-            F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(g)).cast("long"))))
+    lo_b = F.floor(F.col(lo_col) / F.lit(g)).cast("long")
+    # hi is exclusive: when hi sits exactly on a bucket boundary that
+    # bucket can't match. Integer arithmetic, not a float epsilon — an
+    # epsilon below one ulp (e.g. epoch-scale doubles) silently no-ops.
+    hi_b = F.floor(F.col(hi_col) / F.lit(g)).cast("long") - \
+        F.when(F.pmod(F.col(hi_col), F.lit(g)) == 0, F.lit(1)) \
+         .otherwise(F.lit(0))
+    iv = (intervals
+          # empty/inverted intervals match nothing; without this guard a
+          # malformed hi < lo row would explode a DESCENDING sequence
+          .where(F.col(hi_col) > F.col(lo_col))
+          .withColumn("_bucket",
+                      F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b)))))
     return (p.join(iv, "_bucket")
             .where((F.col(point_col) >= F.col(lo_col))
                    & (F.col(point_col) < F.col(hi_col)))

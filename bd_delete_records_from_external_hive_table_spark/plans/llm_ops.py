@@ -29,7 +29,8 @@ from .registry import register
 
 # DuckDB SQL fragments mirroring functions/text.py expressions ------------
 
-_DUCK_TOKENS = "string_split_regex(text, '\\s+')"
+_DUCK_TOKENS = ("list_filter(string_split_regex(text, '\\s+'), "
+                "t -> t <> '')")
 _DUCK_SHINGLES3 = ("list_distinct([array_to_string(ts[i:i+2], ' ') "
                    "for i in range(1, len(ts) - 1)])")
 _DUCK_HASH28 = "CAST(concat('0x', substr(md5({0}), 1, 7)) AS UBIGINT)"
@@ -251,10 +252,12 @@ def n03(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register("t01_token_stats",
-          "SELECT doc_id, len(string_split_regex(text, '\\s+')) AS "
+          "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+          "t -> t <> '')) AS "
           "n_ws_tokens, len(regexp_extract_all(text, "
           f"'{BPE_TOKEN_RE}')) AS n_bpe_tokens, "
-          "len(list_distinct(string_split_regex(text, '\\s+'))) AS "
+          "len(list_distinct(list_filter(string_split_regex(text, '\\s+'), "
+          "t -> t <> ''))) AS "
           "n_distinct_tokens, length(text) AS n_chars "
           "FROM documents WHERE doc_id < 100 ORDER BY doc_id")
 def t01(spark, sf_dir):
@@ -301,7 +304,8 @@ def _duck_lang_score(lang: str) -> str:
           + ", ".join(f"{_duck_lang_score(lang)} AS s_{lang}"
                       for lang in ("en", "es", "fr", "de")) +
           " FROM (SELECT doc_id, "
-          "list_distinct(string_split_regex(lower(text), '\\s+')) AS dts "
+          "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), "
+          "t -> t <> '')) AS dts "
           "FROM documents WHERE doc_id < 100)) ORDER BY doc_id")
 def t03(spark, sf_dir):
     """Stopword-ratio language ID with deterministic argmax
@@ -350,8 +354,10 @@ def t04(spark, sf_dir):
           "'sentence': parts[i]} for i in range(1, len(parts) + 1)], "
           "recursive := true) FROM arr) "
           "SELECT doc_id, sent_idx, sentence, "
-          r"len(string_split_regex(trim(sentence), '\s+')) AS n_tokens "
-          "FROM ex WHERE trim(sentence) != '' ORDER BY doc_id, sent_idx")
+          r"len(list_filter(string_split_regex(sentence, '\s+'), "
+          "t -> t <> '')) AS n_tokens "
+          r"FROM ex WHERE len(list_filter(string_split_regex(sentence, "
+          r"'\s+'), t -> t <> '')) > 0 ORDER BY doc_id, sent_idx")
 def t05(spark, sf_dir):
     """Sentence segmentation: split → posexplode → per-sentence token
     count, all JVM expressions (functions/udx.py; the Python-UDTF

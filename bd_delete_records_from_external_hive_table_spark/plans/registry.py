@@ -33,6 +33,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 def register(name: str, oracle: str | None):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # silent overwrite would drop a query from the correctness
+            # gate with no error (e.g. a copy-pasted name)
+            raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle)
         return fn
     return deco

@@ -38,17 +38,25 @@ def write_stream_to_partitioned_table(stream_df: DataFrame, table: str,
 
     Returns the started StreamingQuery.
     """
+    # the caller's session — foreachBatch runs in a CLONE, so cache
+    # invalidation must target this one for the caller's readers
+    caller_session = stream_df.sparkSession
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Correctness-critical: static overwrite mode would truncate the
+        # WHOLE table on every micro-batch. SessionFactory pins dynamic,
+        # but this is a public API — enforce it here too.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
         cols = spark.table(table).columns
         out = batch_df.withColumn(partition_col, partition_expr)
         # insertInto is positional — align to the table's column order
         out.select(*cols).write.mode("overwrite").insertInto(table)
-        # overwrite replaced files under existing partitions: drop the
-        # session's cached file listing so same-session readers don't
-        # chase deleted part-files
-        spark.catalog.refreshTable(table)
+        # overwrite replaced files under existing partitions: invalidate
+        # the CALLER's cached file listing (refreshing the clone's catalog
+        # would not help the caller's readers)
+        caller_session.catalog.refreshTable(table)
 
     writer = (stream_df.writeStream
               .foreachBatch(upsert_batch)
