@@ -49,6 +49,33 @@ def test_asof_null_value_in_latest_right_row_stays_null(spark):
     assert row.tag_asof == "b"     # both fields from the 13:00 row
 
 
+def test_asof_ignores_null_ts_and_null_key_right_rows(spark):
+    """SQL comparisons with NULL are never true: a right row with NULL ts
+    or NULL key matches nothing (it must not sort first and leak its
+    values), and a left row with no real prior match stays NULL."""
+    left = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0),                       # NULL ts — never matches
+         (None, _ts("2026-01-01T09:00:00"), 77.0),  # NULL key
+         (1, _ts("2026-01-01T11:00:00"), 10.0)],    # after left ts
+        "k long, ts timestamp, v double")
+    row = as_of_join(left, right, on="k", value_cols=["v"]).collect()[0]
+    assert row.v_asof is None
+
+
+def test_range_join_rejects_bad_inputs(spark):
+    points = spark.createDataFrame([(5.0,)], "x double")
+    intervals = spark.createDataFrame(
+        [(0, 10.0, 0.0)], "band int, lo double, hi double")  # inverted
+    # inverted interval matches nothing (and must not explode)
+    assert range_join(points, intervals, "x", "lo", "hi",
+                      granularity=1.0).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_join(points, intervals, "x", "lo", "hi", granularity=0)
+
+
 def test_asof_preserves_left_cardinality(spark, sf_dir):
     from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
     ev = load_table(spark, sf_dir, "events")
