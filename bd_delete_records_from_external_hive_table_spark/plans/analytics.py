@@ -431,6 +431,23 @@ def w03(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
+@register("w05_moving_avg",
+          "SELECT user_id, event_id, ROUND(AVG(value) OVER ("
+          "PARTITION BY user_id ORDER BY event_id "
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg "
+          "FROM events WHERE user_id < 10 ORDER BY user_id, event_id")
+def w05(spark, sf_dir):
+    """Bounded-frame window: 3-row moving average per user — the frame
+    keeps per-row state at O(frame), unlike an unbounded running agg."""
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("user_id") < 10)
+            .select("user_id", "event_id",
+                    F.round(F.avg("value").over(w), 4).alias("mavg"))
+            .orderBy("user_id", "event_id"))
+
+
 @register("w04_rank_share",
           "SELECT c_mktsegment, c_custkey, "
           "RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) "
@@ -668,3 +685,17 @@ def sa01(spark, sf_dir):
     return (_t(spark, sf_dir, "lineitem")
             .sample(withReplacement=False, fraction=0.1, seed=42)
             .agg(F.count(F.lit(1)).alias("sample_rows")))
+
+
+@register("sa02_stratified_sample", None)  # sampler RNG differs per engine
+def sa02(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-stratum fractions — the
+    downsampling shape corpus balancing uses (e.g. cap an over-represented
+    source). Rows-only driver check; the companion test bounds each
+    stratum's realized fraction."""
+    return (_t(spark, sf_dir, "orders")
+            .sampleBy("o_orderstatus", {"F": 0.2, "O": 0.05, "P": 1.0},
+                      seed=42)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("sampled"))
+            .orderBy("o_orderstatus"))

@@ -37,6 +37,21 @@ def test_bernoulli_sample_fraction(spark, sf_dir):
     assert 0.05 * total < n < 0.15 * total  # target fraction 0.1
 
 
+def test_stratified_sample_fractions(spark, sf_dir):
+    got = {r.o_orderstatus: r.sampled
+           for r in plans.REGISTRY["sa02_stratified_sample"]
+           .spark_fn(spark, sf_dir).collect()}
+    totals = {r.o_orderstatus: r.n for r in
+              load_table(spark, sf_dir, "orders")
+              .groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    targets = {"F": 0.2, "O": 0.05, "P": 1.0}
+    for status, frac in targets.items():
+        realized = got.get(status, 0) / totals[status]
+        assert abs(realized - frac) <= max(0.05, 0.5 * frac), \
+            f"{status}: realized {realized} vs target {frac}"
+
+
 def test_broadcast_join_is_broadcast(spark, sf_dir):
     plan = _explain(plans.REGISTRY["j01_broadcast_join"]
                     .spark_fn(spark, sf_dir))
