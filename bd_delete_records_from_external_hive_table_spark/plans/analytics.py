@@ -672,6 +672,135 @@ def f07(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+@register("f09_explode",
+          "SELECT word, COUNT(*) AS n FROM ("
+          "SELECT UNNEST(string_split(p_type, ' ')) AS word FROM part) "
+          "GROUP BY word ORDER BY word")
+def f09(spark, sf_dir):
+    """Generator / lateral-view surface: explode(split(...)) — the
+    flatten-then-aggregate shape every tokenization pipeline starts with.
+    Runs as Spark's Generate operator inside whole-stage codegen; the
+    row-multiplying explode happens before the shuffle, so the groupBy
+    still gets map-side partial aggregation on the exploded words."""
+    return (_t(spark, sf_dir, "part")
+            .select(F.explode(F.split("p_type", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("word"))
+
+
+@register("f10_regexp_funcs",
+          "SELECT doc_id, regexp_extract(text, '[a-z]+') AS first_word, "
+          "LENGTH(regexp_replace(text, '[0-9]+', '#', 'g')) AS masked_len, "
+          "CAST(regexp_matches(text, '[0-9]') AS INT) AS has_digit "
+          "FROM documents WHERE doc_id < 100 ORDER BY doc_id")
+def f10(spark, sf_dir):
+    """Regexp scalar functions (extract / replace-all / rlike) — the PII
+    masking + pattern-screen shape of a corpus-cleaning pass. Patterns stay
+    in the common RE2/Java subset (plain character classes) so the oracle
+    dialect agrees. JVM-side codegen — no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (docs.select(
+                "doc_id",
+                F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+                F.length(F.regexp_replace("text", "[0-9]+", "#"))
+                 .cast("long").alias("masked_len"),
+                F.col("text").rlike("[0-9]").cast("int").alias("has_digit"))
+            .orderBy("doc_id"))
+
+
+@register("w06_distribution_ranks",
+          "SELECT c_custkey, "
+          "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, "
+          "ROUND(PERCENT_RANK() OVER w, 6) AS pr, "
+          "ROUND(CUME_DIST() OVER w, 6) AS cd "
+          "FROM customer WHERE c_custkey <= 500 "
+          "WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
+def w06(spark, sf_dir):
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+    The ORDER BY carries a unique tiebreak (c_custkey) so ntile bucket
+    assignment is deterministic across engines. NOTE the unpartitioned
+    window: fine on a bounded dimension slice like this, but at 100 TB a
+    global ORDER BY window single-tasks — partition it (as w01–w05 do) or
+    pre-aggregate before ranking."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (_t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 500)
+            .select("c_custkey",
+                    F.ntile(4).over(w).cast("long").alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pr"),
+                    F.round(F.cume_dist().over(w), 6).alias("cd"))
+            .orderBy("c_custkey"))
+
+
+@register("a10_conditional_agg",
+          "SELECT l_returnflag, "
+          "ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity "
+          "ELSE 0 END), 2) AS qty_hi_disc, "
+          "COUNT(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_hi_tax, "
+          "ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_extendedprice "
+          "END), 2) AS avg_price_f "
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def a10(spark, sf_dir):
+    """Conditional aggregation (sum/count/avg over CASE) — one scan
+    computing several differently-filtered aggregates, instead of N
+    filtered scans unioned together. At 100 TB this collapses N passes
+    over the fact table into one; all three conditionals ride the same
+    map-side partial aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.when(F.col("l_discount") > 0.05,
+                                      F.col("l_quantity"))
+                               .otherwise(F.lit(0.0))), 2)
+                  .alias("qty_hi_disc"),
+                 F.count(F.when(F.col("l_tax") > 0.04, F.lit(1)))
+                  .alias("n_hi_tax"),
+                 F.round(F.avg(F.when(F.col("l_linestatus") == "F",
+                                      F.col("l_extendedprice"))), 2)
+                  .alias("avg_price_f"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (SQL entry surface — the reference's actual user boundary is
+# spark.sql(...) strings, HiveTableDeletionJob.java:182-186 → SURVEY §3
+# entry point 2; these exercise Catalyst's subquery rewrites end-to-end)
+# ---------------------------------------------------------------------------
+
+@register("q11_scalar_subquery",
+          "SELECT COUNT(*) AS n FROM orders WHERE o_orderdate = "
+          "(SELECT MAX(o_orderdate) FROM orders)")
+def q11(spark, sf_dir):
+    """Uncorrelated scalar subquery via the SQL surface. Catalyst plans
+    the inner MAX as a one-row subquery broadcast into the outer filter —
+    two scans, no join shuffle. MAX of a timestamp is exact, so the
+    boundary comparison is engine-stable (unlike an AVG-of-double
+    threshold)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderdate = "
+        "(SELECT MAX(o_orderdate) FROM orders)")
+
+
+@register("q12_exists_subquery",
+          "SELECT c_mktsegment, COUNT(*) AS n FROM customer c "
+          "WHERE EXISTS (SELECT 1 FROM orders o "
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+def q12(spark, sf_dir):
+    """Correlated EXISTS subquery via the SQL surface. Catalyst's
+    RewritePredicateSubquery turns this into a left-semi join on
+    o_custkey — the same physical shape as j03, reached from the SQL
+    dialect a reference user would actually write."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
 # ---------------------------------------------------------------------------
 # Sampling (SURVEY §2j)
 # ---------------------------------------------------------------------------
