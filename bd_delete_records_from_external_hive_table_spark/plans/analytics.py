@@ -801,6 +801,47 @@ def q12(spark, sf_dir):
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 
 
+@register("cdc01_merge_upsert",
+          "WITH updates AS ("
+          "SELECT o_orderkey, o_custkey, o_orderstatus, "
+          "ROUND(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, "
+          "o_orderpriority FROM orders WHERE o_orderkey % 100 = 0 "
+          "UNION ALL "
+          "SELECT o_orderkey + 10000000, o_custkey, 'N', "
+          "ROUND(o_totalprice, 2) AS o_totalprice, o_orderdate, "
+          "o_orderpriority FROM orders WHERE o_orderkey % 500 = 0), "
+          "merged AS ("
+          "SELECT * FROM orders o WHERE NOT EXISTS "
+          "(SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey) "
+          "UNION ALL SELECT * FROM updates) "
+          "SELECT o_orderstatus, COUNT(*) AS n, "
+          "ROUND(SUM(o_totalprice), 2) AS total "
+          "FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus")
+def cdc01(spark, sf_dir):
+    """MERGE/UPSERT semantics (WHEN MATCHED UPDATE / NOT MATCHED INSERT)
+    via ``operators.upsert.merge_frames`` — the relational core of the
+    copy-on-write UpsertExecutor, checked against an anti-join+union
+    oracle. The updates batch here is derived (price bump on every 100th
+    key, brand-new keys for every 500th) so the merge is deterministic;
+    the key set broadcasts, the target is never shuffled."""
+    from ..operators.upsert import merge_frames
+    orders = _t(spark, sf_dir, "orders")
+    changed = (orders.where(F.col("o_orderkey") % 100 == 0)
+               .withColumn("o_totalprice",
+                           F.round(F.col("o_totalprice") * 1.1, 2)))
+    fresh = (orders.where(F.col("o_orderkey") % 500 == 0)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+             .withColumn("o_orderstatus", F.lit("N"))
+             .withColumn("o_totalprice", F.round(F.col("o_totalprice"), 2)))
+    updates = changed.unionByName(fresh)
+    merged = merge_frames(orders, updates, ["o_orderkey"],
+                          broadcast_updates=True)
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 # ---------------------------------------------------------------------------
 # Sampling (SURVEY §2j)
 # ---------------------------------------------------------------------------
