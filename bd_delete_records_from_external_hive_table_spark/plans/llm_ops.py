@@ -17,6 +17,7 @@ planted duplicates plus the organic near-dups.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -370,6 +371,61 @@ def t05(spark, sf_dir):
             .select("doc_id",
                     F.regexp_replace("text", " spark ", ". ").alias("text")))
     return sentence_split(docs).orderBy("doc_id", "sent_idx")
+
+
+@register("d07_keep_best_dedup",
+          "WITH ranked AS (SELECT source, ROW_NUMBER() OVER "
+          "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) "
+          "SELECT source, COUNT(*) AS kept FROM ranked WHERE rn = 1 "
+          "GROUP BY source ORDER BY source")
+def d07(spark, sf_dir):
+    """Keep-best dedup: collapse exact-content duplicate groups to one
+    canonical survivor each (here lowest doc_id; a real pipeline orders by
+    quality score DESC — same plan). The window partitions by the content
+    hash, so ranking is per-duplicate-group: one shuffle on md5(text),
+    never a global sort. This is the 'which copy do we keep' half of
+    dedup that d02's plain dropDuplicates cannot express."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("kept"))
+            .orderBy("source"))
+
+
+@register("t06_repetition_score",
+          "WITH g AS (SELECT doc_id, [array_to_string(ts[i:i+2], ' ') "
+          "for i in range(1, len(ts) - 1)] AS grams "
+          f"FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents "
+          "WHERE doc_id < 200)), "
+          "x AS (SELECT doc_id, UNNEST(grams) AS gram FROM g), "
+          "c AS (SELECT doc_id, gram, COUNT(*) AS n FROM x "
+          "GROUP BY doc_id, gram), "
+          "s AS (SELECT doc_id, MAX(n) AS maxn, SUM(n) AS total "
+          "FROM c GROUP BY doc_id) "
+          "SELECT doc_id, ROUND(CAST(maxn AS DOUBLE) / total, 6) "
+          "AS top_gram_frac FROM s ORDER BY doc_id")
+def t06(spark, sf_dir):
+    """Repetition / boilerplate score: fraction of a document's word
+    3-grams taken by its single most-repeated 3-gram (the Gopher-style
+    repetition filter — template/boilerplate text scores high). NON-
+    distinct shingles, since multiplicity is the signal. Two shuffles,
+    both keyed by doc_id (± gram) — per-document state, embarrassingly
+    parallel at corpus scale; documents with fewer than 3 tokens drop
+    out in both engines (explode/UNNEST of an empty gram list)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200))
+    grams = shingles(ws_tokens(F.col("text")), 3)
+    per_gram = (docs.select("doc_id", F.explode(grams).alias("gram"))
+                .groupBy("doc_id", "gram")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.max("n").alias("maxn"), F.sum("n").alias("total"))
+            .select("doc_id",
+                    F.round(F.col("maxn").cast("double") / F.col("total"), 6)
+                     .alias("top_gram_frac"))
+            .orderBy("doc_id"))
 
 
 # ---------------------------------------------------------------------------
