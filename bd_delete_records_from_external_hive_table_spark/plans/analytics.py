@@ -801,6 +801,23 @@ def q12(spark, sf_dir):
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 
 
+@register("q13_not_in_subquery",
+          "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+          "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)")
+def q13(spark, sf_dir):
+    """NOT IN subquery — SQL's null-aware anti join. Distinct physical
+    operator from q12/j04's plain anti join: NOT IN must return ZERO rows
+    if the subquery yields any NULL and must drop NULL-valued outer keys,
+    so Catalyst plans a null-aware BroadcastHashJoin LeftAnti. The same
+    three-valued-logic trap as the deletion engine's retention complement
+    (SURVEY P5) — exercised here on the read path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)")
+
+
 @register("cdc01_merge_upsert",
           "WITH updates AS ("
           "SELECT o_orderkey, o_custkey, o_orderstatus, "

@@ -519,3 +519,31 @@ def st03(spark, sf_dir):
             .select("user_id", F.col("w.start").alias("session_start"),
                     "n_events", "session_value")
             .orderBy("user_id", "session_start"))
+
+
+@register("st04_interval_join",
+          "WITH v AS (SELECT user_id, date_trunc('second', ts) AS ts "
+          "FROM events WHERE event_type = 'view'), "
+          "c AS (SELECT user_id, date_trunc('second', ts) AS ts "
+          "FROM events WHERE event_type = 'click') "
+          "SELECT v.user_id, COUNT(*) AS n_pairs "
+          "FROM v JOIN c ON v.user_id = c.user_id "
+          "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR "
+          "GROUP BY v.user_id ORDER BY v.user_id")
+def st04(spark, sf_dir):
+    """Event-time interval join (view → click within 1 h per user) — the
+    attribution shape; batch form of ``streaming.windows.interval_join``
+    (whose stream-stream variant bounds its state store with watermarks +
+    this same time condition; stream==batch parity is test-asserted).
+    Timestamps are truncated to seconds on BOTH sides: the raw parquet
+    nanos are not µs-aligned, so engine-native precision (Spark µs vs
+    DuckDB ns) would disagree exactly at sub-µs comparison boundaries."""
+    from ..streaming.windows import interval_join
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+    pairs = interval_join(ev.where("event_type = 'view'"),
+                          ev.where("event_type = 'click'"),
+                          max_delay="1 hour")
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("user_id"))

@@ -21,10 +21,10 @@ append sinks in windows.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["write_stream_to_partitioned_table"]
+__all__ = ["write_stream_to_partitioned_table", "write_cdc_stream_to_table"]
 
 
 def write_stream_to_partitioned_table(stream_df: DataFrame, table: str,
@@ -60,6 +60,49 @@ def write_stream_to_partitioned_table(stream_df: DataFrame, table: str,
 
     writer = (stream_df.writeStream
               .foreachBatch(upsert_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_cdc_stream_to_table(stream_df: DataFrame, database: str,
+                              table: str, key_columns: list[str],
+                              order_col: str, checkpoint: str,
+                              partition_column: str = "partition_id",
+                              trigger_available_now: bool = True):
+    """CDC stream → copy-on-write MERGE per micro-batch.
+
+    Each micro-batch is first collapsed last-wins per key on ``order_col``
+    (a batch may contain several versions of one key — the UpsertExecutor
+    requires key-unique input), then merged via the partition-rewrite
+    upsert. Replaying a batch re-merges the same rows into the same
+    partitions — convergent, so the checkpoint's at-least-once replay is
+    effectively-once at the table level.
+
+    Returns the started StreamingQuery.
+    """
+    from ..operators.upsert import UpsertExecutor
+
+    caller_session = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = (Window.partitionBy(*key_columns)
+             .orderBy(F.col(order_col).desc()))
+        latest = (batch_df.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        # bind the executor to the foreachBatch clone session — mixing the
+        # caller session's catalog reads with the clone's DataFrame in one
+        # plan is not supported
+        ex = UpsertExecutor(batch_df.sparkSession, database, table,
+                            key_columns, partition_column)
+        ex.execute(latest)
+        caller_session.catalog.refreshTable(f"{database}.{table}")
+
+    writer = (stream_df.writeStream
+              .foreachBatch(merge_batch)
               .option("checkpointLocation", checkpoint))
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -187,3 +187,80 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
                   F.round(F.sum("value"), 2).alias("total")))
     want = {r.user_id: (r.n, r.total) for r in batch.collect()}
     assert got == want
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (view → click within 1 hour per user)
+    must produce exactly the batch join's pairs. Append mode: pairs emit
+    once their watermark passes; availableNow drains everything."""
+    views = sw.stream_events(spark, events_dir).where("event_type = 'view'")
+    clicks = sw.stream_events(spark, events_dir).where("event_type = 'click'")
+    joined = sw.interval_join(views, clicks, max_delay="1 hour")
+    q = (joined.writeStream.format("memory").queryName("ij_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.l_ts, r.r_ts)
+           for r in spark.table("ij_t").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    b = sw.interval_join(ev.where("event_type = 'view'"),
+                         ev.where("event_type = 'click'"),
+                         max_delay="1 hour")
+    want = {(r.user_id, r.l_ts, r.r_ts) for r in b.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cdc_stream_merges_into_hive_table(spark, tmp_path):
+    """CDC micro-batches merge into a partitioned Hive table: last-wins
+    within a batch, update + insert + key-move across partitions."""
+    from bd_delete_records_from_external_hive_table_spark.streaming.sink import (
+        write_cdc_stream_to_table,
+    )
+
+    db, table = "test_db", "test_cdc_sink"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+    spark.sql(f"""
+        CREATE TABLE {db}.{table} (
+          id BIGINT, name STRING, status STRING, row_create_ts TIMESTAMP
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+    """)
+    spark.sql(f"""
+        INSERT INTO {db}.{table} PARTITION (partition_id='20260213') VALUES
+        (1, 'User1', 'ACTIVE', TIMESTAMP '2026-02-13 09:00:00'),
+        (2, 'User2', 'ACTIVE', TIMESTAMP '2026-02-13 09:00:00')
+    """)
+
+    cdc_schema = ("id BIGINT, name STRING, status STRING, "
+                  "row_create_ts TIMESTAMP, partition_id STRING")
+    cdc_dir = tmp_path / "cdc_in"
+    cdc_dir.mkdir()
+    # two versions of id=2 in one batch (last-wins on row_create_ts),
+    # a key-move for id=1, and a brand-new id=3
+    updates = spark.createDataFrame([
+        (2, "User2-old", "ACTIVE", "2026-02-14 08:00:00", "20260213"),
+        (2, "User2-new", "ACTIVE", "2026-02-14 09:00:00", "20260213"),
+        (1, "User1-moved", "MOVED", "2026-02-14 09:00:00", "20260214"),
+        (3, "User3", "NEW", "2026-02-14 09:00:00", "20260214"),
+    ], "id BIGINT, name STRING, status STRING, row_create_ts STRING, "
+       "partition_id STRING").selectExpr(
+        "id", "name", "status",
+        "CAST(row_create_ts AS TIMESTAMP) AS row_create_ts", "partition_id")
+    updates.coalesce(1).write.parquet(str(cdc_dir / "batch1"))
+
+    stream = (spark.readStream.schema(cdc_schema)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(cdc_dir / "batch1")))
+    q = write_cdc_stream_to_table(
+        stream, db, table, key_columns=["id"], order_col="row_create_ts",
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    snap = {r.id: (r.name, r.status, r.partition_id)
+            for r in spark.table(f"{db}.{table}").collect()}
+    assert snap == {
+        1: ("User1-moved", "MOVED", "20260214"),
+        2: ("User2-new", "ACTIVE", "20260213"),
+        3: ("User3", "NEW", "20260214"),
+    }
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
