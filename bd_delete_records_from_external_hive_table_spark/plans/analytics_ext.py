@@ -100,6 +100,87 @@ def j10(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@register("a13_tpch_q6_revenue",
+          "SELECT ROUND(SUM(CAST(l_extendedprice * l_discount "
+          "AS DECIMAL(18,4))), 2) AS revenue FROM lineitem "
+          "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+          "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+          "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+          "AND l_quantity < 24")
+def a13(spark, sf_dir):
+    """TPC-H Q6 shape (forecast-revenue-change): pure filter + global sum,
+    zero joins — the query where predicate pushdown IS the plan. All three
+    predicates reach the parquet row-group stats. The per-row product is
+    cast to DECIMAL before summing: decimal aggregation is exact and
+    order-independent, so the result is bit-identical across engines and
+    across any shuffle/AQE task layout — float SUM would drift with
+    partition count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .select((F.col("l_extendedprice") * F.col("l_discount"))
+                .cast("decimal(18,4)").alias("rev"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue")))
+
+
+@register("j12_tpch_q10_shape",
+          "SELECT c_custkey, c_name, n_name, revenue FROM ("
+          "  SELECT c_custkey, c_name, n_name, "
+          "    ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+          "      AS DECIMAL(18,4))), 2) AS revenue "
+          "  FROM customer "
+          "  JOIN nation ON n_nationkey = c_nationkey "
+          "  JOIN orders ON o_custkey = c_custkey "
+          "  JOIN lineitem ON l_orderkey = o_orderkey "
+          "  WHERE l_returnflag = 'R' "
+          "  GROUP BY c_custkey, c_name, n_name) t "
+          "ORDER BY revenue DESC, c_custkey LIMIT 20")
+def j12(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item report): fact filtered to returns,
+    two fact-side joins + one broadcast dim, revenue per customer, top-20.
+    The lineitem filter runs before the join (Catalyst pushes it below),
+    the nation dim broadcasts, and the final top-20 is
+    TakeOrderedAndProject — no global sort materializes. Decimal sum makes
+    the ranking deterministic across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (cust
+            .join(F.broadcast(nation),
+                  nation.n_nationkey == cust.c_nationkey)
+            .join(orders, orders.o_custkey == cust.c_custkey)
+            .join(li, li.l_orderkey == orders.o_orderkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@register("a14_approx_quantile", None)  # approx: rows-only + error-bound test
+def a14(spark, sf_dir):
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    sketch): mergeable, single-pass, bounded-memory — the only way to get
+    quantiles of a 100 TB column without a global sort. Accuracy is
+    asserted against the exact percentile in tests (see
+    test_analytics.py); the driver records a rows-only check since sketch
+    output is engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99],
+                                     10000).alias("approx_pcts"))
+            .select("l_returnflag",
+                    F.round(F.col("approx_pcts")[0], 2).alias("p50"),
+                    F.round(F.col("approx_pcts")[1], 2).alias("p95"),
+                    F.round(F.col("approx_pcts")[2], 2).alias("p99"))
+            .orderBy("l_returnflag"))
+
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------

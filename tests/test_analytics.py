@@ -84,3 +84,42 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
                                   "w01_topk_per_group"])
 def test_headline_queries_nonempty(spark, sf_dir, name):
     assert len(plans.REGISTRY[name].spark_fn(spark, sf_dir).take(1)) == 1
+
+
+def test_approx_quantile_within_bounds(spark, sf_dir):
+    """percentile_approx(accuracy=10000) vs exact percentile: relative
+    error well under 1% at test scale."""
+    approx = {r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+              for r in plans.REGISTRY["a14_approx_quantile"]
+              .spark_fn(spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: (r["e50"], r["e95"], r["e99"])
+             for r in (load_table(spark, sf_dir, "lineitem")
+                       .groupBy("l_returnflag")
+                       .agg(F.expr("percentile(l_extendedprice, 0.50)")
+                            .alias("e50"),
+                            F.expr("percentile(l_extendedprice, 0.95)")
+                            .alias("e95"),
+                            F.expr("percentile(l_extendedprice, 0.99)")
+                            .alias("e99"))).collect()}
+    assert set(approx) == set(exact)
+    for flag in approx:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["a13_tpch_q6_revenue"]
+                    .spark_fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    # all three predicate families reach the parquet scan
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q10_topk_and_broadcast_plan(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["j12_tpch_q10_shape"]
+                    .spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    assert "BroadcastHashJoin" in plan      # nation dim broadcast
