@@ -1,0 +1,144 @@
+"""Merge-on-read (deletion-vector) DELETE: tombstone append, anti-join
+read, compaction parity with the copy-on-write path.
+
+Invariants:
+- delete() hides rows from read() but leaves the table's files untouched
+- deletes accumulate across batches
+- compact() physically applies tombstones: read() is unchanged, the raw
+  table now equals read(), emptied partitions drop out of SHOW PARTITIONS
+- NULL-valued keys are refused (they could never anti-join-match)
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pytest
+
+from bd_delete_records_from_external_hive_table_spark.config import (
+    DeletionCriteria,
+    EngineConfig,
+)
+from bd_delete_records_from_external_hive_table_spark.operators.deletion_vectors import (
+    MergeOnReadDeleter,
+)
+
+from .test_deletion_engine import DB, seed
+
+_seq = itertools.count()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _db(spark):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    yield
+
+
+@pytest.fixture
+def table(spark):
+    name = f"test_mor_table_{next(_seq)}"
+    spark.sql(f"""
+        CREATE TABLE {DB}.{name} (
+          id BIGINT, name STRING, status STRING, row_create_ts TIMESTAMP
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+    """)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+
+
+def _mor(spark, table, criteria, tmp_path, **kw) -> MergeOnReadDeleter:
+    cfg = EngineConfig(database=DB, table=table, criteria=criteria,
+                       backup_enabled=False, validation_enabled=False, **kw)
+    return MergeOnReadDeleter(spark, cfg, str(tmp_path / "dv"),
+                              key_columns=["id"])
+
+
+def _table_files(spark, table) -> dict[str, float]:
+    loc = (spark.sql(f"DESCRIBE FORMATTED {DB}.{table}")
+           .where("col_name = 'Location'").select("data_type").first()[0])
+    root = loc.removeprefix("file:")
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def _ids(df) -> list[int]:
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_mor_delete_hides_rows_without_touching_files(spark, table, tmp_path):
+    seed(spark, table)
+    before = _table_files(spark, table)
+    mor = _mor(spark, table, DeletionCriteria(where_clause="id = 5"),
+               tmp_path)
+    res = mor.delete()
+    assert res.keys_written == 1
+    assert _ids(mor.read()) == [1, 2, 3, 4, 6, 7, 8, 9, 10]
+    # physical table untouched: same files, same mtimes, all 10 rows
+    assert _table_files(spark, table) == before
+    assert spark.table(f"{DB}.{table}").count() == 10
+
+
+def test_mor_deletes_accumulate_and_compact_applies(spark, table, tmp_path):
+    seed(spark, table)  # ids 1..10, INACTIVE = {2,5,8}
+    mor = _mor(spark, table, DeletionCriteria(where_clause="id = 5"),
+               tmp_path)
+    mor.delete()
+    mor2 = _mor(spark, table,
+                DeletionCriteria(where_clause="status = 'INACTIVE'"),
+                tmp_path)
+    assert mor2.delete().keys_written == 3  # 2,5,8 (5 tombstoned twice)
+    survivors = [1, 3, 4, 6, 7, 9, 10]
+    assert _ids(mor2.read()) == survivors
+    assert mor2.pending() == 3  # distinct keys
+
+    result = mor2.compact()
+    assert result.tombstones_applied == 3
+    assert result.partitions_rewritten == ["20260213"]
+    assert result.partitions_dropped == []
+    # physical table now equals the logical view; store cleared
+    assert _ids(spark.table(f"{DB}.{table}")) == survivors
+    assert _ids(mor2.read()) == survivors
+    assert mor2.pending() == 0
+
+
+def test_mor_compact_drops_emptied_partition(spark, table, tmp_path):
+    seed(spark, table, partition="20260213", ids=range(1, 11))
+    seed(spark, table, partition="20260214", ids=range(11, 21))
+    mor = _mor(spark, table, DeletionCriteria(where_clause="id >= 11"),
+               tmp_path)
+    assert mor.delete().keys_written == 10
+    assert _ids(mor.read()) == list(range(1, 11))
+
+    result = mor.compact()
+    assert result.partitions_dropped == ["20260214"]
+    assert result.partitions_rewritten == []
+    parts = [r[0] for r in
+             spark.sql(f"SHOW PARTITIONS {DB}.{table}").collect()]
+    assert parts == ["partition_id=20260213"]
+    assert _ids(spark.table(f"{DB}.{table}")) == list(range(1, 11))
+
+
+def test_mor_refuses_null_keys(spark, table, tmp_path):
+    seed(spark, table)
+    spark.sql(f"INSERT INTO {DB}.{table} PARTITION (partition_id='20260213') "
+              f"VALUES (NULL, 'Ghost', 'INACTIVE', "
+              f"TIMESTAMP '2026-02-13 09:00:00')")
+    mor = _mor(spark, table,
+               DeletionCriteria(where_clause="status = 'INACTIVE'"),
+               tmp_path)
+    with pytest.raises(ValueError, match="NULL"):
+        mor.delete()
+
+
+def test_mor_empty_store_reads_base_table(spark, table, tmp_path):
+    seed(spark, table)
+    mor = _mor(spark, table, DeletionCriteria(where_clause="id = 5"),
+               tmp_path)
+    assert mor.pending() == 0
+    assert _ids(mor.read()) == list(range(1, 11))
+    assert mor.compact().tombstones_applied == 0
