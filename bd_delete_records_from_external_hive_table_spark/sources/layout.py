@@ -1,0 +1,100 @@
+"""Data-layout control: clustered (range-partitioned, sorted) writes for
+min/max data skipping.
+
+Parquet/ORC readers skip whole row groups when the pushed-down predicate
+falls outside the group's min/max statistics. Those statistics are only
+selective if the data is *laid out* so each row group covers a narrow
+range of the filter column — which is exactly what a clustered write
+produces:
+
+    repartitionByRange(cluster_by)   # global range shuffle: each task
+                                     # owns a disjoint key range
+    .sortWithinPartitions(cluster_by)  # rows ordered inside the task →
+                                       # row groups cover tight ranges
+
+This is the Spark-native equivalent of Hive ``CLUSTER BY`` / Delta
+``OPTIMIZE ZORDER BY`` for the single-column case: after it, a filter on
+the cluster column reads O(matching row groups) instead of O(all files).
+On a 100 TB fact table clustered by event time, a one-day predicate
+touches ~1/365th of the row groups; unclustered, every row group's
+min/max spans the whole history and nothing skips.
+
+``clustering_report`` quantifies the effect from the parquet footers
+(no data read): per-row-group min/max of the cluster column and the
+average fraction of row groups a point/range query must touch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_clustered", "clustering_report", "ClusteringReport"]
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
+                    partition_by: list[str] | None = None,
+                    num_files: int | None = None,
+                    fmt: str = "parquet") -> None:
+    """Write ``df`` range-clustered on ``cluster_by``.
+
+    ``num_files`` bounds output files (defaults to the session's shuffle
+    partitions); at scale pick ``table_size / target_file_size``.
+    ``partition_by`` adds directory-level (coarse) partitioning on top of
+    the row-group-level (fine) clustering — filters on the partition
+    column prune directories, filters on the cluster column prune row
+    groups inside every surviving file.
+    """
+    cols = [df[c] for c in cluster_by]
+    clustered = (df.repartitionByRange(num_files, *cols) if num_files
+                 else df.repartitionByRange(*cols))
+    clustered = clustered.sortWithinPartitions(*cluster_by)
+    writer = clustered.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+@dataclass
+class ClusteringReport:
+    column: str
+    row_groups: int
+    #: per-row-group (min, max) of the cluster column
+    ranges: list[tuple]
+    #: mean fraction of row groups whose [min,max] contains a random
+    #: point drawn from the data's span — 1/row_groups is perfect
+    #: clustering, 1.0 means every group spans everything
+    avg_point_overlap: float
+
+    @property
+    def skip_ratio(self) -> float:
+        """Fraction of row groups a point query can skip on average."""
+        return 1.0 - self.avg_point_overlap
+
+
+def clustering_report(path: str, column: str) -> ClusteringReport:
+    """Measure clustering quality from parquet footers only (no data
+    read) — usable as a post-write audit at any scale since footer size
+    is independent of data size."""
+    import pyarrow.dataset as ds
+
+    ranges: list[tuple] = []
+    dataset = ds.dataset(path, format="parquet")
+    for frag in dataset.get_fragments():
+        for rg in frag.row_groups:
+            stats = rg.statistics.get(column)
+            if stats is not None and stats.get("min") is not None:
+                ranges.append((stats["min"], stats["max"]))
+    if not ranges:
+        return ClusteringReport(column, 0, [], 1.0)
+
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    span = (hi - lo) or 1
+    # expected fraction of groups containing a uniform random point =
+    # mean of per-group width / span  (clamped into [1/n, 1])
+    widths = [((r[1] - r[0]) / span if hi != lo else 1.0) for r in ranges]
+    avg = sum(widths) / len(widths)
+    avg = max(min(avg, 1.0), 1.0 / len(ranges))
+    return ClusteringReport(column, len(ranges), ranges, avg)

@@ -1,0 +1,73 @@
+"""Clustered-write layout: row-group min/max stats become selective, so
+point/range predicates can skip most of the file bytes — measured from
+the parquet footers, plus a read-back correctness check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark.sources.layout import (
+    clustering_report,
+    write_clustered,
+)
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+def test_clustered_write_tightens_row_group_stats(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    shuffled = str(tmp_path / "shuffled")
+    clustered = str(tmp_path / "clustered")
+
+    # baseline: random 4-way layout — every row group spans ~all of
+    # l_shipdate, nothing can skip
+    li.repartition(4).write.mode("overwrite").parquet(shuffled)
+    # clustered: range-shuffled + sorted — each row group owns a narrow
+    # disjoint slice
+    write_clustered(li, clustered, cluster_by=["l_shipdate"], num_files=4)
+
+    base = clustering_report(shuffled, "l_shipdate")
+    clus = clustering_report(clustered, "l_shipdate")
+    assert base.row_groups >= 4 and clus.row_groups >= 4
+    # random layout: point query hits ~every group; clustered: ~1/n
+    assert base.avg_point_overlap > 0.7
+    assert clus.avg_point_overlap < 0.4
+    assert clus.skip_ratio > base.skip_ratio
+
+    # clustered ranges are (near-)disjoint: sorted by min, each group's
+    # min is >= the previous group's max (touching endpoints allowed)
+    rs = sorted(clus.ranges)
+    assert all(rs[i][0] >= rs[i - 1][1] for i in range(1, len(rs)))
+
+
+def test_clustered_read_back_is_lossless_and_pushes_filters(
+        spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "clustered")
+    write_clustered(li, path, cluster_by=["l_shipdate"], num_files=4)
+
+    pred = (F.col("l_shipdate") >= "1996-01-01") \
+        & (F.col("l_shipdate") < "1996-02-01")
+    expect = li.where(pred).count()
+    got_df = spark.read.parquet(path).where(pred)
+    assert got_df.count() == expect
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1].splitlines()[0]
+
+
+def test_clustered_write_with_directory_partitioning(spark, sf_dir,
+                                                     tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    path = str(tmp_path / "by_type")
+    write_clustered(ev, path, cluster_by=["user_id"],
+                    partition_by=["event_type"], num_files=2)
+    import os
+    dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    assert len(dirs) >= 3  # coarse directory pruning layer exists
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # directory-partition pruning: a filter on event_type lists only one dir
+    one = back.where(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
