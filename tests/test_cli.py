@@ -111,3 +111,28 @@ def test_injection_screen_applies_to_cli_where():
         ["-d", "db", "-t", "tbl", "-w", "id = 1; DROP TABLE x"])
     with pytest.raises(CriteriaValidationError):
         config_from_args(args)
+
+
+def test_mor_strategy_requires_dv_path_and_keys(capsys):
+    from bd_delete_records_from_external_hive_table_spark.cli import main
+    rc = main(["-d", "db", "-t", "t", "-w", "id = 1", "--strategy", "mor"])
+    assert rc == 1
+    assert "--dv-path and --key-columns" in capsys.readouterr().err
+
+
+def test_mor_compact_needs_no_criteria():
+    """mor-compact applies recorded tombstones; criteria flags are not
+    required (a placeholder predicate satisfies config validation)."""
+    parser = build_parser()
+    args = parser.parse_args(["-d", "db", "-t", "t",
+                              "--strategy", "mor-compact",
+                              "--dv-path", "/tmp/dv",
+                              "--key-columns", "id"])
+    assert args.strategy == "mor-compact"
+    # plain parse keeps criteria empty; main() injects the placeholder
+    assert args.where is None
+
+
+def test_strategy_defaults_to_cow():
+    args = build_parser().parse_args(["-d", "db", "-t", "t", "-w", "x = 1"])
+    assert args.strategy == "cow"
