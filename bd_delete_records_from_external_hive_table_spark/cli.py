@@ -173,6 +173,11 @@ def _run_mor(spark, config: EngineConfig, args) -> int:
                              [c.strip() for c in args.key_columns.split(",")
                               if c.strip()])
     if args.strategy == "mor-compact":
+        if config.dry_run:
+            # read-only: report what compaction would apply, write nothing
+            print(f"dry run: would compact {mor.pending()} pending "
+                  f"tombstones from {args.dv_path}")
+            return 0
         result = mor.compact()
         print(f"compacted {result.tombstones_applied} tombstones: "
               f"rewrote {result.partitions_rewritten}, "
@@ -185,8 +190,7 @@ def _run_mor(spark, config: EngineConfig, args) -> int:
         print(f"dry run: would tombstone {outcome.deleted} rows")
         return 0
     result = mor.delete()
-    print(f"tombstoned {result.keys_written} rows "
-          f"(batch {result.batch_id}); pending keys: {mor.pending()}")
+    print(f"tombstoned {result.keys_written} rows (batch {result.batch_id})")
     return 0
 
 

@@ -215,7 +215,7 @@ class DeletionExecutor:
         to_drop = plan.to_drop
         to_rewrite = plan.to_rewrite
 
-        dropped = self._drop_partitions(to_drop)
+        dropped = self.drop_partitions(to_drop)
         rewritten: list[str] = []
         for batch in _batches(to_rewrite, cfg.partition_parallelism):
             self._rewrite_batch(batch, plan)
@@ -265,7 +265,7 @@ class DeletionExecutor:
         retained = before - sum(per_part.values())
         self.metrics.record_batch(batch, before, retained, per_part)
 
-    def _drop_partitions(self, partitions: list[str]) -> list[str]:
+    def drop_partitions(self, partitions: list[str]) -> list[str]:
         """Empty-partition fast path: metadata DROP + external-dir delete
         (DeletionExecutor.java:164-214). External tables keep their HDFS
         directory after DROP PARTITION, so the files are removed explicitly

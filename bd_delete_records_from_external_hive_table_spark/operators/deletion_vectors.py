@@ -14,9 +14,11 @@ strategy — the design Delta Lake / Iceberg call deletion vectors:
    the key columns. Tombstone sets are tiny relative to the table, so AQE
    plans a broadcast anti join: one pruned scan, zero fact-side shuffle.
 3. ``compact()`` — amortize: physically apply accumulated tombstones with
-   exactly the reference's copy-on-write machinery (dynamic-partition
-   overwrite of affected partitions, metadata-only DROP + HDFS delete for
-   fully-emptied ones), then clear the store.
+   the reference's copy-on-write machinery (backup when enabled, dynamic
+   partition overwrite of affected partitions, metadata-only DROP + HDFS
+   delete for fully-emptied ones via
+   :meth:`deletion.DeletionExecutor.drop_partitions`), then clear exactly
+   the tombstone files it applied.
 
 Write-amplification trade: copy-on-write pays at delete time (full
 partition rewrite, reads stay pristine); merge-on-read pays at read time
@@ -30,8 +32,15 @@ Correctness contract:
   never anti-join-match, so ``delete()`` refuses rows whose key is NULL.
 - Tombstones are key-valued: a row re-inserted with a tombstoned key stays
   hidden until compaction. Run ``compact()`` before upserting reused keys.
-- ``read()`` after ``compact()`` equals ``read()`` before it (invariant
-  asserted in tests/test_deletion_vectors.py).
+- ``read()`` after ``compact()`` equals ``read()`` before it.
+- Compaction snapshots the store's file list up front and clears **only
+  that snapshot**: a ``delete()`` landing mid-compaction keeps its
+  tombstones pending and stays hidden from ``read()``.
+- When ``config.backup_enabled`` the affected partitions are backed up
+  (count-validated, :class:`..operators.backup.BackupManager`) before any
+  rewrite; on mid-compaction failure the store is left intact, so
+  ``read()`` remains correct and the backup covers physical restore.
+(All of the above are asserted in tests/test_deletion_vectors.py.)
 """
 
 from __future__ import annotations
@@ -40,16 +49,15 @@ import logging
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..metrics import audit
-from ..partitions import in_list_predicate, partition_spec
+from ..partitions import in_list_predicate
 from ..sources.fs import HadoopFS
-from .deletion import PartitionHandler
+from .deletion import DeletionExecutor, PartitionHandler
 
 __all__ = ["MergeOnReadDeleter", "MorDeleteResult", "CompactionResult"]
 
@@ -58,7 +66,7 @@ log = logging.getLogger(__name__)
 
 @dataclass
 class MorDeleteResult:
-    batch_id: str
+    batch_id: str | None
     keys_written: int
 
 
@@ -83,7 +91,7 @@ class MergeOnReadDeleter:
         self.spark = spark
         self.config = config
         self.dv_path = dv_path.rstrip("/")
-        self.key_columns = list(key_columns)
+        self.key_columns = list(dict.fromkeys(key_columns))
         self.fs = HadoopFS(spark)
 
     # -- delete: append tombstones ------------------------------------------
@@ -91,18 +99,24 @@ class MergeOnReadDeleter:
     def delete(self) -> MorDeleteResult:
         """Evaluate the criteria and append matching rows' keys to the
         tombstone store. One pruned, pushed-down scan; write cost is
-        O(matching rows)."""
+        O(matching rows) — the store is never read."""
         cfg = self.config
         candidates = PartitionHandler(self.spark, cfg).candidate_partitions()
-        scan = self.spark.table(cfg.qualified_table)
-        if candidates:
-            scan = scan.where(
-                in_list_predicate(cfg.partition_column, candidates))
+        if not candidates:
+            # same semantics as the copy-on-write path: no candidate
+            # partitions (table empty, or the partition window excludes
+            # everything) means nothing to delete — NOT "scan everything"
+            audit("mor_delete", table=cfg.qualified_table, batch=None,
+                  keys=0, criteria=cfg.criteria.describe())
+            return MorDeleteResult(batch_id=None, keys_written=0)
+        scan = (self.spark.table(cfg.qualified_table)
+                .where(in_list_predicate(cfg.partition_column, candidates)))
         matches = scan.where(
             cfg.criteria.deletion_column(cfg.null_safe_retention))
 
-        null_key = reduce(lambda a, b: a | b,
-                          [F.col(k).isNull() for k in self.key_columns])
+        null_key = F.lit(False)
+        for k in self.key_columns:
+            null_key = null_key | F.col(k).isNull()
         if matches.where(null_key).limit(1).count() > 0:
             raise ValueError(
                 f"rows matching the criteria have NULL in key columns "
@@ -110,26 +124,34 @@ class MergeOnReadDeleter:
                 f"so such tombstones would silently fail to delete")
 
         batch_id = uuid.uuid4().hex
+        extra = ([] if cfg.partition_column in self.key_columns
+                 else [cfg.partition_column])
         keys = (matches
-                .select(*self.key_columns, cfg.partition_column)
+                .select(*self.key_columns, *extra)
                 .withColumn("_dv_batch", F.lit(batch_id))
                 .withColumn("_dv_ts",
                             F.lit(datetime.now(timezone.utc).isoformat())))
-        keys.write.mode("append").parquet(self.dv_path)
-        n = self.spark.read.parquet(self.dv_path) \
-            .where(F.col("_dv_batch") == batch_id).count()
+        # count before writing: one extra action over the same pruned
+        # scan, instead of re-reading an ever-growing store afterwards
+        n = keys.count()
+        if n:
+            keys.write.mode("append").parquet(self.dv_path)
         audit("mor_delete", table=cfg.qualified_table, batch=batch_id,
               keys=n, criteria=cfg.criteria.describe())
         return MorDeleteResult(batch_id=batch_id, keys_written=n)
 
     # -- read: anti-join the tombstones -------------------------------------
 
+    def _store_files(self) -> list[str]:
+        return self.fs.list_files(self.dv_path)
+
+    def _read_store(self, files: list[str]) -> DataFrame | None:
+        return self.spark.read.parquet(*files) if files else None
+
     def tombstones(self) -> DataFrame | None:
         """Distinct tombstoned keys, or None when the store is empty."""
-        if not self.fs.exists(self.dv_path):
-            return None
-        dv = self.spark.read.parquet(self.dv_path)
-        return dv.select(*self.key_columns).distinct()
+        dv = self._read_store(self._store_files())
+        return None if dv is None else dv.select(*self.key_columns).distinct()
 
     def read(self) -> DataFrame:
         """The logical (post-delete) table: base ANTI JOIN tombstones.
@@ -140,7 +162,11 @@ class MergeOnReadDeleter:
         keys = self.tombstones()
         if keys is None:
             return base
-        return base.join(keys, on=self.key_columns, how="left_anti")
+        # UsingJoin reorders multi-column join keys to the front even for
+        # left_anti — re-project so the logical table keeps the physical
+        # table's column order (callers may insertInto positionally)
+        return (base.join(keys, on=self.key_columns, how="left_anti")
+                .select(*base.columns))
 
     def pending(self) -> int:
         keys = self.tombstones()
@@ -148,26 +174,39 @@ class MergeOnReadDeleter:
 
     # -- compact: apply tombstones physically, clear the store ---------------
 
-    def compact(self) -> CompactionResult:
-        """Apply accumulated tombstones with the reference's copy-on-write
-        machinery: per affected-partition batch, rewrite the retained rows
-        via dynamic-partition overwrite; fully-emptied partitions get the
-        metadata-only DROP + file delete fast path. Then clear the store."""
+    def compact(self, _files: list[str] | None = None) -> CompactionResult:
+        """Apply accumulated tombstones with the copy-on-write machinery,
+        then remove exactly the tombstone files that were applied.
+
+        ``_files`` injects a store snapshot (testing the concurrent-append
+        contract); production callers let compact() take its own.
+        """
         cfg = self.config
         result = CompactionResult()
-        keys = self.tombstones()
-        if keys is None:
+        files = self._store_files() if _files is None else list(_files)
+        snapshot = self._read_store(files)
+        if snapshot is None:
             return result
+        keys = snapshot.select(*self.key_columns).distinct()
         result.tombstones_applied = keys.count()
 
-        # affected partitions from the store itself (written at delete
+        # affected partitions from the store itself (recorded at delete
         # time) — no table scan needed to find them
+        part_col = (cfg.partition_column
+                    if cfg.partition_column in snapshot.columns
+                    else None)
+        if part_col is None:  # pragma: no cover - defensive
+            raise ValueError("tombstone store lacks the partition column")
         affected = sorted(
-            r[0] for r in self.spark.read.parquet(self.dv_path)
-            .select(cfg.partition_column).distinct().collect())
+            r[0] for r in snapshot.select(part_col).distinct().collect())
         if not affected:
-            self._clear()
+            self._clear(files)
             return result
+
+        cow = DeletionExecutor(self.spark, cfg)
+        if cfg.backup_enabled:
+            from .backup import BackupManager
+            BackupManager(self.spark, cfg).create_backup(affected)
 
         base = self.spark.table(cfg.qualified_table)
         width = max(1, cfg.partition_parallelism)
@@ -175,48 +214,35 @@ class MergeOnReadDeleter:
             batch = affected[i:i + width]
             scoped = base.where(
                 in_list_predicate(cfg.partition_column, batch))
-            retained = scoped.join(keys, on=self.key_columns,
-                                   how="left_anti")
+            # re-project: UsingJoin fronts multi-column keys, and
+            # insertInto below maps columns positionally
+            retained = (scoped.join(keys, on=self.key_columns,
+                                    how="left_anti")
+                        .select(*base.columns))
             # per-partition retained counts decide rewrite vs drop
             kept = {r[0] for r in retained
                     .select(cfg.partition_column).distinct().collect()}
             emptied = [p for p in batch if p not in kept]
             if kept:
-                (retained.write.mode("overwrite").format("orc")
-                 .insertInto(cfg.qualified_table))
+                # dynamic-partition overwrite touches only partitions
+                # present in `retained` (format comes from the table)
+                retained.write.mode("overwrite").insertInto(
+                    cfg.qualified_table)
                 result.partitions_rewritten += sorted(kept)
-            for p in emptied:
-                self._drop_partition(p)
-            result.partitions_dropped += emptied
+            result.partitions_dropped += cow.drop_partitions(emptied)
 
-        self._clear()
+        self._clear(files)
         audit("mor_compact", table=cfg.qualified_table,
               rewritten=result.partitions_rewritten,
               dropped=result.partitions_dropped,
               tombstones=result.tombstones_applied)
         return result
 
-    # -- internals -----------------------------------------------------------
-
-    def _drop_partition(self, value: str) -> None:
-        """Metadata-only DROP + physical file delete (the reference's
-        empty-partition fast path, DeletionExecutor.java:164-214)."""
-        cfg = self.config
-        spec = partition_spec(cfg.partition_column, value)
-        location = None
-        try:
-            rows = self.spark.sql(
-                f"DESCRIBE FORMATTED {cfg.qualified_table} "
-                f"PARTITION ({spec})").where(
-                F.col("col_name") == "Location").select("data_type").collect()
-            location = rows[0][0] if rows else None
-        except Exception:  # pragma: no cover - metadata probe best-effort
-            log.warning("could not resolve location for %s", spec)
-        self.spark.sql(f"ALTER TABLE {cfg.qualified_table} "
-                       f"DROP IF EXISTS PARTITION ({spec})")
-        if location and self.fs.exists(location):
-            self.fs.delete(location, recursive=True)
-
-    def _clear(self) -> None:
-        if self.fs.exists(self.dv_path):
-            self.fs.delete(self.dv_path, recursive=True)
+    def _clear(self, files: list[str]) -> None:
+        """Remove exactly the applied snapshot; concurrently appended
+        tombstone files survive and stay pending."""
+        for f in files:
+            try:
+                self.fs.delete(f, recursive=False)
+            except Exception as exc:  # pragma: no cover - best effort
+                log.warning("could not delete tombstone file %s: %s", f, exc)

@@ -63,6 +63,21 @@ class HadoopFS:
                             status.getModificationTime()))
         return out
 
+    def list_files(self, base: str) -> list[str]:
+        """Non-recursive data files under ``base`` (hidden ``_``/``.``
+        names excluded) — the snapshot primitive for stores that must
+        support concurrent appends (see operators/deletion_vectors.py)."""
+        p = self._path(base)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        out = []
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if status.isFile() and not name.startswith(("_", ".")):
+                out.append(status.getPath().toString())
+        return sorted(out)
+
     def write_text(self, path: str, content: str) -> None:
         """Write a small driver-side text file (the backup ``_manifest.txt``,
         HDFSBackupStrategy.java:151-175)."""

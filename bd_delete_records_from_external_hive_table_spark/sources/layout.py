@@ -62,9 +62,9 @@ class ClusteringReport:
     row_groups: int
     #: per-row-group (min, max) of the cluster column
     ranges: list[tuple]
-    #: mean fraction of row groups whose [min,max] contains a random
-    #: point drawn from the data's span — 1/row_groups is perfect
-    #: clustering, 1.0 means every group spans everything
+    #: mean fraction of row groups whose [min,max] contains an observed
+    #: row-group boundary value — 1/row_groups is perfect clustering,
+    #: 1.0 means every group spans everything
     avg_point_overlap: float
 
     @property
@@ -76,7 +76,14 @@ class ClusteringReport:
 def clustering_report(path: str, column: str) -> ClusteringReport:
     """Measure clustering quality from parquet footers only (no data
     read) — usable as a post-write audit at any scale since footer size
-    is independent of data size."""
+    is independent of data size.
+
+    The overlap metric needs only a total order on the column (numeric,
+    temporal, or string cluster keys all work): every observed row-group
+    boundary is a probe point, and the score is the mean fraction of row
+    groups whose [min, max] contains a probe. Disjoint ranges score
+    ~1/row_groups; fully-overlapping ranges score 1.0.
+    """
     import pyarrow.dataset as ds
 
     ranges: list[tuple] = []
@@ -84,17 +91,15 @@ def clustering_report(path: str, column: str) -> ClusteringReport:
     for frag in dataset.get_fragments():
         for rg in frag.row_groups:
             stats = rg.statistics.get(column)
-            if stats is not None and stats.get("min") is not None:
+            if (stats is not None and stats.get("min") is not None
+                    and stats.get("max") is not None):
                 ranges.append((stats["min"], stats["max"]))
     if not ranges:
         return ClusteringReport(column, 0, [], 1.0)
 
-    lo = min(r[0] for r in ranges)
-    hi = max(r[1] for r in ranges)
-    span = (hi - lo) or 1
-    # expected fraction of groups containing a uniform random point =
-    # mean of per-group width / span  (clamped into [1/n, 1])
-    widths = [((r[1] - r[0]) / span if hi != lo else 1.0) for r in ranges]
-    avg = sum(widths) / len(widths)
-    avg = max(min(avg, 1.0), 1.0 / len(ranges))
-    return ClusteringReport(column, len(ranges), ranges, avg)
+    n = len(ranges)
+    probes = sorted({b for r in ranges for b in r})
+    hits = [sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes]
+    avg = (sum(hits) / len(hits)) / n
+    avg = max(min(avg, 1.0), 1.0 / n)
+    return ClusteringReport(column, n, ranges, avg)

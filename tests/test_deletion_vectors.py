@@ -142,3 +142,76 @@ def test_mor_empty_store_reads_base_table(spark, table, tmp_path):
     assert mor.pending() == 0
     assert _ids(mor.read()) == list(range(1, 11))
     assert mor.compact().tombstones_applied == 0
+
+
+def test_mor_empty_candidate_window_deletes_nothing(spark, table, tmp_path):
+    """A partition window that excludes every partition must mean 'nothing
+    to delete', not 'scan the whole table' (parity with copy-on-write)."""
+    from datetime import date
+    seed(spark, table)
+    cfg = EngineConfig(database=DB, table=table,
+                       criteria=DeletionCriteria(
+                           where_clause="status = 'INACTIVE'"),
+                       backup_enabled=False, validation_enabled=False,
+                       partition_start=date(2030, 1, 1))
+    mor = MergeOnReadDeleter(spark, cfg, str(tmp_path / "dv"),
+                             key_columns=["id"])
+    res = mor.delete()
+    assert res.keys_written == 0 and res.batch_id is None
+    assert mor.pending() == 0
+    assert _ids(mor.read()) == list(range(1, 11))
+
+
+def test_mor_composite_key_including_partition_column(spark, table,
+                                                      tmp_path):
+    seed(spark, table, partition="20260213")
+    seed(spark, table, partition="20260214", ids=range(11, 21))
+    cfg = EngineConfig(database=DB, table=table,
+                       criteria=DeletionCriteria(where_clause="id = 12"),
+                       backup_enabled=False, validation_enabled=False)
+    mor = MergeOnReadDeleter(spark, cfg, str(tmp_path / "dv"),
+                             key_columns=["id", "partition_id"])
+    assert mor.delete().keys_written == 1
+    assert _ids(mor.read()) == [i for i in range(1, 21) if i != 12]
+    mor.compact()
+    assert _ids(spark.table(f"{DB}.{table}")) == \
+        [i for i in range(1, 21) if i != 12]
+
+
+def test_mor_compact_backs_up_when_enabled(spark, table, tmp_path):
+    seed(spark, table)
+    cfg = EngineConfig(database=DB, table=table,
+                       criteria=DeletionCriteria(where_clause="id = 5"),
+                       backup_enabled=True, backup_strategy="hive_table",
+                       validation_enabled=False)
+    mor = MergeOnReadDeleter(spark, cfg, str(tmp_path / "dv"),
+                             key_columns=["id"])
+    mor.delete()
+    mor.compact()
+    backups = [t.name for t in spark.catalog.listTables(DB)
+               if t.name.startswith(f"{table}_backup_")]
+    assert len(backups) == 1
+    # backup holds the PRE-compaction state of the affected partition
+    assert spark.table(f"{DB}.{backups[0]}").count() == 10
+    for b in backups:
+        spark.sql(f"DROP TABLE IF EXISTS {DB}.{b}")
+
+
+def test_mor_compact_spares_concurrent_append(spark, table, tmp_path):
+    """Tombstones appended after compaction snapshots the store must
+    survive the post-compaction clear and stay pending."""
+    seed(spark, table)
+    mor = _mor(spark, table, DeletionCriteria(where_clause="id = 5"),
+               tmp_path)
+    mor.delete()
+    snapshot = mor._store_files()
+    late = _mor(spark, table, DeletionCriteria(where_clause="id = 7"),
+                tmp_path)
+    late.delete()  # lands "mid-compaction"
+
+    result = mor.compact(_files=snapshot)
+    assert result.tombstones_applied == 1  # only id=5
+    # id=5 physically gone; id=7 still pending and still hidden
+    assert _ids(spark.table(f"{DB}.{table}")) == [1, 2, 3, 4, 6, 7, 8, 9, 10]
+    assert mor.pending() == 1
+    assert _ids(mor.read()) == [1, 2, 3, 4, 6, 8, 9, 10]

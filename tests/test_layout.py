@@ -71,3 +71,17 @@ def test_clustered_write_with_directory_partitioning(spark, sf_dir,
     one = back.where(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_clustering_report_handles_string_columns(spark, sf_dir, tmp_path):
+    """The overlap metric needs only a total order — string cluster keys
+    must report, not crash (regression: the span arithmetic used to
+    TypeError on str)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "by_type_str")
+    write_clustered(ev, path, cluster_by=["event_type"], num_files=4)
+    rep = clustering_report(path, "event_type")
+    assert rep.row_groups >= 4
+    assert 0.0 < rep.avg_point_overlap <= 1.0
+    # range-clustered on the string key → mostly disjoint groups
+    assert rep.avg_point_overlap < 0.6
