@@ -215,3 +215,67 @@ def test_mor_compact_spares_concurrent_append(spark, table, tmp_path):
     assert _ids(spark.table(f"{DB}.{table}")) == [1, 2, 3, 4, 6, 7, 8, 9, 10]
     assert mor.pending() == 1
     assert _ids(mor.read()) == [1, 2, 3, 4, 6, 8, 9, 10]
+
+
+@pytest.mark.parametrize("where,start,end", [
+    ("id = 5", None, None),
+    ("status = 'INACTIVE'", None, None),
+    (None, "2026-02-13 11:00:00", "2026-02-13 14:00:00"),
+    ("id >= 11", None, None),  # empties one whole partition
+])
+def test_mor_equivalent_to_cow(spark, tmp_path, where, start, end):
+    """Strategy equivalence: merge-on-read delete+compact must leave the
+    table in exactly the state the copy-on-write executor produces for
+    the same criteria — two independent implementations cross-check."""
+    from datetime import datetime
+
+    from bd_delete_records_from_external_hive_table_spark.job import DeletionJob
+
+    crit = DeletionCriteria(
+        where_clause=where,
+        start_time=datetime.fromisoformat(start) if start else None,
+        end_time=datetime.fromisoformat(end) if end else None,
+        time_column="row_create_ts")
+
+    names = []
+    for strategy in ("cow", "mor"):
+        name = f"test_eq_{strategy}_{next(_seq)}"
+        names.append(name)
+        spark.sql(f"""
+            CREATE TABLE {DB}.{name} (
+              id BIGINT, name STRING, status STRING, row_create_ts TIMESTAMP
+            ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+        """)
+        seed(spark, name, partition="20260213", hourly=True)
+        seed(spark, name, partition="20260214", ids=range(11, 21))
+    cow_name, mor_name = names
+    try:
+        cfg_cow = EngineConfig(database=DB, table=cow_name, criteria=crit,
+                               backup_enabled=False,
+                               validation_enabled=False)
+        assert DeletionJob(spark, cfg_cow).run().success
+
+        cfg_mor = EngineConfig(database=DB, table=mor_name, criteria=crit,
+                               backup_enabled=False,
+                               validation_enabled=False)
+        mor = MergeOnReadDeleter(spark, cfg_mor,
+                                 str(tmp_path / f"dv_{mor_name}"),
+                                 key_columns=["id"])
+        mor.delete()
+        mor.compact()
+
+        cow_rows = sorted(map(tuple, spark.table(f"{DB}.{cow_name}")
+                              .collect()))
+        mor_rows = sorted(map(tuple, spark.table(f"{DB}.{mor_name}")
+                              .collect()))
+        assert cow_rows == mor_rows
+        cow_parts = sorted(r[0] for r in
+                           spark.sql(f"SHOW PARTITIONS {DB}.{cow_name}")
+                           .collect())
+        mor_parts = sorted(r[0] for r in
+                           spark.sql(f"SHOW PARTITIONS {DB}.{mor_name}")
+                           .collect())
+        assert cow_parts == mor_parts
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
