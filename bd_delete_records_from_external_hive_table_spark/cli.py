@@ -61,13 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition-end",
                    help="Engine extension: only consider partitions whose "
                         "ID date is < this date (yyyy-MM-dd)")
-    p.add_argument("--strategy", choices=("cow", "mor", "mor-compact"),
+    p.add_argument("--strategy",
+                   choices=("cow", "mor", "mor-compact", "restore"),
                    default="cow",
                    help="Deletion strategy: cow = copy-on-write partition "
                         "rewrite (reference behaviour, default); mor = "
                         "merge-on-read (append tombstones only, O(deleted "
                         "rows) cost); mor-compact = physically apply "
-                        "accumulated tombstones and clear the store")
+                        "accumulated tombstones and clear the store; "
+                        "restore = manual restore of the most recent "
+                        "backup (dynamic-partition overwrite + metadata "
+                        "repair)")
     p.add_argument("--dv-path",
                    help="Tombstone store path (required for mor strategies)")
     p.add_argument("--key-columns",
@@ -130,10 +134,11 @@ def main(argv: list[str] | None = None) -> int:
         print("bd-delete: error: --strategy mor/mor-compact requires "
               "--dv-path and --key-columns", file=sys.stderr)
         return 1
-    if args.strategy == "mor-compact" and not (
+    if args.strategy in ("mor-compact", "restore") and not (
             args.where or args.start_time or args.end_time):
-        # compaction applies already-recorded tombstones; no criteria
-        # needed — satisfy config validation with a never-used predicate
+        # these apply already-recorded state (tombstones / a backup); no
+        # criteria needed — satisfy config validation with a never-used
+        # placeholder predicate
         args.where = "true"
     try:
         config = config_from_args(args)
@@ -155,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         extra_confs=config.extra or None,
     )
     try:
+        if args.strategy == "restore":
+            return _run_restore(spark, config, args)
         if args.strategy in ("mor", "mor-compact"):
             return _run_mor(spark, config, args)
         outcome = DeletionJob(spark, config).run()
@@ -162,6 +169,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if outcome.success else 1
     finally:
         spark.stop()
+
+
+def _run_restore(spark, config: EngineConfig, args) -> int:
+    """Manual restore of the most recent backup for the table."""
+    from .operators.backup import BackupManager
+    from .operators.recovery import RecoveryManager
+
+    backups = BackupManager(spark, config)
+    ref = backups.latest_backup()
+    if ref is None:
+        print(f"restore: no backup found for {config.qualified_table} "
+              f"(strategy {config.backup_strategy})", file=sys.stderr)
+        return 1
+    if config.dry_run:
+        print(f"dry run: would restore {ref.ref} "
+              f"(created {ref.created_at}, "
+              f"partitions {list(ref.partitions)})")
+        return 0
+    rows = backups.restore(ref)
+    RecoveryManager(spark, config, backups).repair_metadata()
+    print(f"restored {rows} rows from {ref.ref} into "
+          f"{config.qualified_table}")
+    return 0
 
 
 def _run_mor(spark, config: EngineConfig, args) -> int:

@@ -117,6 +117,34 @@ class HiveTableBackupStrategy:
                 dropped.append(t.name)
         return dropped
 
+    def latest(self) -> BackupRef | None:
+        """Most recent backup table for this source, or None
+        (timestamp from TBLPROPERTIES, name-suffix fallback)."""
+        cfg = self.config
+        prefix = f"{cfg.table}_backup_".lower()
+        best: tuple[datetime, str] | None = None
+        for t in self.spark.catalog.listTables(cfg.database):
+            if not t.name.lower().startswith(prefix):
+                continue
+            ts = _parse_backup_ts(self.spark, f"{cfg.database}.{t.name}",
+                                  t.name, prefix)
+            if ts is not None and (best is None or ts > best[0]):
+                best = (ts, t.name)
+        if best is None:
+            return None
+        qualified = f"{cfg.database}.{best[1]}"
+        parts: tuple[str, ...] = ()
+        try:
+            rows = (self.spark.sql(f"SHOW TBLPROPERTIES {qualified}")
+                    .filter("key = 'backup_partitions'")
+                    .select("value").collect())
+            if rows and rows[0][0]:
+                parts = tuple(rows[0][0].split(","))
+        except Exception:  # pragma: no cover - property probe best-effort
+            pass
+        return BackupRef(self.name, qualified, cfg.qualified_table,
+                         parts, best[0])
+
     def _scan(self, partitions: list[str]) -> DataFrame:
         cfg = self.config
         return (self.spark.table(cfg.qualified_table)
@@ -192,6 +220,35 @@ class PathBackupStrategy:
                 deleted.append(path)
         return deleted
 
+    def latest(self) -> BackupRef | None:
+        """Most recent backup dir for this source (timestamp parsed from
+        the directory-name suffix; partitions from ``_manifest.txt``)."""
+        cfg = self.config
+        marker = f"/{cfg.table}_backup_"
+        best: tuple[datetime, str] | None = None
+        for path, _ in self.fs.list_dirs(cfg.backup_location):
+            if marker not in path:
+                continue
+            try:
+                ts = datetime.strptime(path.rsplit(marker, 1)[1], _TS_FMT)
+            except ValueError:
+                continue
+            if best is None or ts > best[0]:
+                best = (ts, path)
+        if best is None:
+            return None
+        parts: tuple[str, ...] = ()
+        try:
+            manifest = self.fs.read_text(f"{best[1]}/_manifest.txt")
+            for line in manifest.splitlines():
+                if line.startswith("partitions="):
+                    parts = tuple(p for p in
+                                  line.split("=", 1)[1].split(",") if p)
+        except Exception:  # pragma: no cover - manifest best-effort
+            pass
+        return BackupRef(self.name, best[1], cfg.qualified_table,
+                         parts, best[0])
+
 
 class BackupManager:
     """Orchestrates create → validate → tag (BackupManager.java:40-75)."""
@@ -232,6 +289,11 @@ class BackupManager:
         restored = self.strategy.restore(ref)
         audit("backup_restored", ref=ref.ref, rows=restored)
         return restored
+
+    def latest_backup(self) -> BackupRef | None:
+        """Most recent backup for the configured table under the
+        configured strategy (manual-restore entry point)."""
+        return self.strategy.latest()
 
     def cleanup_old_backups(self, now: datetime | None = None) -> list[str]:
         now = now or datetime.now()

@@ -377,3 +377,48 @@ def test_job_with_backup_and_cleanup(spark, table):
     assert outcome.metrics.backup_created
     assert spark.table(outcome.backup.ref).count() == 10  # pre-delete snapshot
     assert remaining_ids(spark, table) == [1, 2, 3, 4, 5, 6, 8, 9, 10]
+
+
+def test_latest_backup_hive_strategy_picks_newest(spark, table):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
+               backup_enabled=True)
+    mgr = BackupManager(spark, cfg)
+    mgr.create_backup(["20260213"], now=datetime(2026, 2, 13, 10, 0, 0))
+    newest = mgr.create_backup(["20260213"],
+                               now=datetime(2026, 2, 13, 12, 0, 0))
+    found = mgr.latest_backup()
+    assert found is not None
+    assert found.ref == newest.ref
+    assert found.partitions == ("20260213",)
+    # restore-from-latest round trip after wiping the table
+    DeletionExecutor(spark, _cfg(table, DeletionCriteria(
+        where_clause="id >= 1"))).execute()
+    assert spark.table(f"{DB}.{table}").count() == 0
+    assert mgr.restore(found) == 10
+    assert remaining_ids(spark, table) == list(range(1, 11))
+
+
+def test_latest_backup_path_strategy_picks_newest(spark, table, tmp_path):
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
+               backup_enabled=True, backup_strategy="path",
+               backup_location=str(tmp_path / "backups"))
+    mgr = BackupManager(spark, cfg)
+    mgr.create_backup(["20260213"], now=datetime(2026, 2, 13, 10, 0, 0))
+    newest = mgr.create_backup(["20260213"],
+                               now=datetime(2026, 2, 13, 12, 0, 0))
+    found = mgr.latest_backup()
+    assert found is not None
+    # listing returns a file: URI; created refs carry the raw path —
+    # both address the same backup dir
+    assert found.ref.removeprefix("file:") == newest.ref
+    assert found.partitions == ("20260213",)  # parsed from _manifest.txt
+    # the discovered ref is restorable as-is
+    assert mgr.strategy.backup_count(found) == 10
+
+
+def test_latest_backup_none_when_no_backups(spark, table):
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
+               backup_enabled=True)
+    assert BackupManager(spark, cfg).latest_backup() is None
