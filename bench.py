@@ -4,9 +4,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing protocol: one warm-up action to absorb JVM/codegen startup, then
-each query timed end-to-end (plan + execute + materialize counts via a
-cheap ``df.count()`` equivalent — we use ``collect()`` since declared
-queries return tiny results by construction).
+each query timed end-to-end (plan + execute + materialize via
+``collect()`` — declared queries return tiny results by construction).
+Each query runs twice: ``queries``/``value`` report the first (cold)
+run — analysis + whole-stage codegen + execution; ``warm_queries``/
+``warm_value`` report the second run, the steady-state execution cost.
+The gap between them is the per-query planning/codegen constant, which
+is amortized to nothing on a 100 TB input — warm numbers are the ones
+that extrapolate to scale.
 """
 
 from __future__ import annotations
@@ -45,10 +50,14 @@ def main() -> None:
             lambda it: it, "id long").count()
 
         timings: dict[str, float] = {}
+        warm: dict[str, float] = {}
         for name, spec in plans.REGISTRY.items():
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
+            t1 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).collect()
+            warm[name] = round(time.perf_counter() - t1, 4)
 
         total = round(sum(timings.values()), 4)
         print(json.dumps({
@@ -56,6 +65,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "warm_value": round(sum(warm.values()), 4),
+            "warm_queries": warm,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }))
     finally:
