@@ -94,3 +94,55 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+
+
+def test_partitioned_table_schema_evolution(spark):
+    """Adding a column to a partitioned external-format table must leave
+    old partitions readable (NULL-filled) while new partitions carry the
+    value — the operational path for evolving a 100 TB table in place
+    without rewriting history."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    t = "test_db.evolve_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"CREATE TABLE {t} (id BIGINT, v STRING) "
+              f"PARTITIONED BY (p STRING) STORED AS ORC")
+    try:
+        spark.sql(f"INSERT INTO {t} PARTITION (p='old') "
+                  f"VALUES (1, 'a'), (2, 'b')")
+        spark.sql(f"ALTER TABLE {t} ADD COLUMNS (score DOUBLE)")
+        spark.sql(f"INSERT INTO {t} PARTITION (p='new') "
+                  f"VALUES (3, 'c', 1.5), (4, 'd', 2.5)")
+
+        rows = {r.id: (r.v, r.score)
+                for r in spark.table(t).collect()}
+        assert rows == {1: ("a", None), 2: ("b", None),
+                        3: ("c", 1.5), 4: ("d", 2.5)}
+        # aggregates treat missing-in-old as NULL (ignored by SUM)
+        got = spark.table(t).agg(F.sum("score").alias("s")).first()["s"]
+        assert got == 4.0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_analyze_table_statistics_feed_the_optimizer(spark, sf_dir):
+    """ANALYZE TABLE populates table/column stats the optimizer uses for
+    size estimates (broadcast decisions, CBO join orders). At 100 TB,
+    stale stats mean a sort-merge join where a broadcast was possible."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    t = "test_db.stats_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load_table(spark, sf_dir, "nation").write.saveAsTable(t)
+    try:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS "
+                  f"FOR COLUMNS n_nationkey, n_name")
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        stats_row = [r.data_type for r in detail
+                     if r.col_name == "Statistics"]
+        assert stats_row and "rows" in stats_row[0]
+        col = spark.sql(
+            f"DESCRIBE TABLE EXTENDED {t} n_nationkey").collect()
+        info = {r.info_name: r.info_value for r in col}
+        assert info.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
