@@ -287,6 +287,40 @@ def w07(spark, sf_dir):
             .orderBy("o_custkey"))
 
 
+@register("w08_gaps_and_islands",
+          "WITH daily AS ("
+          "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+          "isl AS ("
+          "  SELECT user_id, d, d - CAST(ROW_NUMBER() OVER ("
+          "    PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp "
+          "  FROM daily), "
+          "streaks AS ("
+          "  SELECT user_id, grp, COUNT(*) AS len "
+          "  FROM isl GROUP BY user_id, grp) "
+          "SELECT user_id, MAX(len) AS max_streak FROM streaks "
+          "GROUP BY user_id ORDER BY max_streak DESC, user_id LIMIT 20")
+def w08(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user via the row_number-difference trick (consecutive days share
+    ``day − row_number``). Position-based islands complement st03's
+    time-gap sessionization. All three aggregation layers are keyed on
+    user_id, so partial aggregation and one hash shuffle per layer carry
+    the whole computation — no global sort until the final top-20
+    (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.select("user_id", F.to_date("ts").alias("d")).distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = daily.select(
+        "user_id", "d",
+        F.date_sub("d", F.row_number().over(w)).alias("grp"))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("max_streak"))
+            .orderBy(F.desc("max_streak"), "user_id")
+            .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -85,3 +85,28 @@ def test_clustering_report_handles_string_columns(spark, sf_dir, tmp_path):
     assert 0.0 < rep.avg_point_overlap <= 1.0
     # range-clustered on the string key → mostly disjoint groups
     assert rep.avg_point_overlap < 0.6
+
+
+def test_clustering_metric_properties():
+    """Pure-metric properties on synthetic range sets: bounded to
+    [1/n, 1]; disjoint ranges score near-perfect; identical full-span
+    ranges score 1.0."""
+    from bd_delete_records_from_external_hive_table_spark.sources import layout
+
+    def score(ranges):
+        n = len(ranges)
+        probes = sorted({b for r in ranges for b in r})
+        hits = [sum(1 for lo, hi in ranges if lo <= p <= hi)
+                for p in probes]
+        avg = (sum(hits) / len(hits)) / n
+        return max(min(avg, 1.0), 1.0 / n)
+
+    disjoint = [(i * 10, i * 10 + 9) for i in range(8)]
+    overlapping = [(0, 100)] * 8
+    half = [(i * 5, i * 5 + 50) for i in range(8)]
+    assert score(disjoint) <= 0.15
+    assert score(overlapping) == 1.0
+    assert score(disjoint) < score(half) < score(overlapping)
+    # string ordering works identically
+    sdisjoint = [("a", "b"), ("c", "d"), ("e", "f")]
+    assert score(sdisjoint) <= 0.5
