@@ -134,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
         print("bd-delete: error: --strategy mor/mor-compact requires "
               "--dv-path and --key-columns", file=sys.stderr)
         return 1
+    if args.strategy == "restore" and (args.where or args.start_time
+                                       or args.end_time):
+        # restore replays the whole latest backup; accepting criteria
+        # here would let an operator believe a selective restore happened
+        parser.print_usage(sys.stderr)
+        print("bd-delete: error: --strategy restore ignores deletion "
+              "criteria; drop -w/-s/-e (restore replays the entire "
+              "latest backup)", file=sys.stderr)
+        return 1
     if args.strategy in ("mor-compact", "restore") and not (
             args.where or args.start_time or args.end_time):
         # these apply already-recorded state (tombstones / a backup); no
@@ -176,6 +185,14 @@ def _run_restore(spark, config: EngineConfig, args) -> int:
     from .operators.backup import BackupManager
     from .operators.recovery import RecoveryManager
 
+    if config.backup_strategy == "path" and not config.backup_location:
+        # config validation only enforces this when backup_enabled; a
+        # restore needs it regardless — fail cleanly, not with a py4j
+        # traceback from listing a None path
+        print("restore: the path backup strategy requires "
+              "--backup-location (or backup.location in --config)",
+              file=sys.stderr)
+        return 1
     backups = BackupManager(spark, config)
     ref = backups.latest_backup()
     if ref is None:

@@ -118,32 +118,48 @@ class HiveTableBackupStrategy:
         return dropped
 
     def latest(self) -> BackupRef | None:
-        """Most recent backup table for this source, or None
-        (timestamp from TBLPROPERTIES, name-suffix fallback)."""
+        """Most recent backup table *of this source*, or None. One
+        SHOW TBLPROPERTIES per candidate provides timestamp, partitions,
+        and — critically — the ``backup_source`` check: a backup whose
+        recorded source is a different table is never eligible (restoring
+        it would overwrite this table with another table's rows)."""
         cfg = self.config
         prefix = f"{cfg.table}_backup_".lower()
-        best: tuple[datetime, str] | None = None
+        best: tuple[datetime, str, tuple[str, ...]] | None = None
         for t in self.spark.catalog.listTables(cfg.database):
             if not t.name.lower().startswith(prefix):
                 continue
-            ts = _parse_backup_ts(self.spark, f"{cfg.database}.{t.name}",
-                                  t.name, prefix)
-            if ts is not None and (best is None or ts > best[0]):
-                best = (ts, t.name)
+            qualified = f"{cfg.database}.{t.name}"
+            props: dict[str, str] = {}
+            try:
+                props = {r[0]: r[1] for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {qualified}").collect()}
+            except Exception:  # pragma: no cover - probe best-effort
+                pass
+            source = props.get("backup_source")
+            if source is not None and source != cfg.qualified_table:
+                continue
+            ts: datetime | None = None
+            if "backup_timestamp" in props:
+                try:
+                    ts = datetime.strptime(props["backup_timestamp"],
+                                           _TS_FMT)
+                except ValueError:
+                    ts = None
+            if ts is None:
+                try:
+                    ts = datetime.strptime(t.name[len(prefix):], _TS_FMT)
+                except ValueError:
+                    continue
+            if best is None or ts > best[0]:
+                parts = tuple(p for p in
+                              props.get("backup_partitions", "").split(",")
+                              if p)
+                best = (ts, qualified, parts)
         if best is None:
             return None
-        qualified = f"{cfg.database}.{best[1]}"
-        parts: tuple[str, ...] = ()
-        try:
-            rows = (self.spark.sql(f"SHOW TBLPROPERTIES {qualified}")
-                    .filter("key = 'backup_partitions'")
-                    .select("value").collect())
-            if rows and rows[0][0]:
-                parts = tuple(rows[0][0].split(","))
-        except Exception:  # pragma: no cover - property probe best-effort
-            pass
-        return BackupRef(self.name, qualified, cfg.qualified_table,
-                         parts, best[0])
+        return BackupRef(self.name, best[1], cfg.qualified_table,
+                         best[2], best[0])
 
     def _scan(self, partitions: list[str]) -> DataFrame:
         cfg = self.config
@@ -221,11 +237,14 @@ class PathBackupStrategy:
         return deleted
 
     def latest(self) -> BackupRef | None:
-        """Most recent backup dir for this source (timestamp parsed from
-        the directory-name suffix; partitions from ``_manifest.txt``)."""
+        """Most recent backup dir *of this source* (timestamp from the
+        directory-name suffix; source + partitions from ``_manifest.txt``).
+        Candidates are checked newest-first and a manifest recording a
+        different ``source_table`` is skipped — a shared backup_location
+        can hold same-named tables from several databases."""
         cfg = self.config
         marker = f"/{cfg.table}_backup_"
-        best: tuple[datetime, str] | None = None
+        candidates: list[tuple[datetime, str]] = []
         for path, _ in self.fs.list_dirs(cfg.backup_location):
             if marker not in path:
                 continue
@@ -233,21 +252,25 @@ class PathBackupStrategy:
                 ts = datetime.strptime(path.rsplit(marker, 1)[1], _TS_FMT)
             except ValueError:
                 continue
-            if best is None or ts > best[0]:
-                best = (ts, path)
-        if best is None:
-            return None
-        parts: tuple[str, ...] = ()
-        try:
-            manifest = self.fs.read_text(f"{best[1]}/_manifest.txt")
-            for line in manifest.splitlines():
-                if line.startswith("partitions="):
-                    parts = tuple(p for p in
-                                  line.split("=", 1)[1].split(",") if p)
-        except Exception:  # pragma: no cover - manifest best-effort
-            pass
-        return BackupRef(self.name, best[1], cfg.qualified_table,
-                         parts, best[0])
+            candidates.append((ts, path))
+        for ts, path in sorted(candidates, reverse=True):
+            source: str | None = None
+            parts: tuple[str, ...] = ()
+            try:
+                manifest = self.fs.read_text(f"{path}/_manifest.txt")
+                for line in manifest.splitlines():
+                    key, _, value = line.partition("=")
+                    if key == "partitions":
+                        parts = tuple(p for p in value.split(",") if p)
+                    elif key == "source_table":
+                        source = value
+            except Exception:  # pragma: no cover - manifest best-effort
+                pass
+            if source is not None and source != cfg.qualified_table:
+                continue
+            return BackupRef(self.name, path, cfg.qualified_table,
+                             parts, ts)
+        return None
 
 
 class BackupManager:

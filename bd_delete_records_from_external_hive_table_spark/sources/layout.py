@@ -30,7 +30,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_clustered", "clustering_report", "ClusteringReport"]
+__all__ = ["write_clustered", "clustering_report", "overlap_score",
+           "ClusteringReport"]
 
 
 def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
@@ -96,10 +97,16 @@ def clustering_report(path: str, column: str) -> ClusteringReport:
                 ranges.append((stats["min"], stats["max"]))
     if not ranges:
         return ClusteringReport(column, 0, [], 1.0)
+    return ClusteringReport(column, len(ranges), ranges,
+                            overlap_score(ranges))
 
+
+def overlap_score(ranges: list[tuple]) -> float:
+    """Mean fraction of ranges containing an observed boundary value,
+    clamped to [1/n, 1]. Needs only a total order on the values —
+    numeric, temporal, and string keys all work."""
     n = len(ranges)
     probes = sorted({b for r in ranges for b in r})
     hits = [sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes]
     avg = (sum(hits) / len(hits)) / n
-    avg = max(min(avg, 1.0), 1.0 / n)
-    return ClusteringReport(column, n, ranges, avg)
+    return max(min(avg, 1.0), 1.0 / n)

@@ -422,3 +422,47 @@ def test_latest_backup_none_when_no_backups(spark, table):
     cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
                backup_enabled=True)
     assert BackupManager(spark, cfg).latest_backup() is None
+
+
+def test_latest_backup_hive_skips_other_sources(spark, table):
+    """A backup table whose recorded backup_source is a different table
+    must never be selected, even when its timestamp is newer — restoring
+    it would overwrite this table with another table's rows."""
+    seed(spark, table)
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
+               backup_enabled=True)
+    mgr = BackupManager(spark, cfg)
+    genuine = mgr.create_backup(["20260213"],
+                                now=datetime(2026, 2, 13, 10, 0, 0))
+    # forge a newer backup-named table recorded against another source
+    forged = f"{DB}.{table}_backup_20260213_120000"
+    spark.sql(f"CREATE TABLE {forged} (id BIGINT) STORED AS ORC "
+              f"TBLPROPERTIES ('backup_source'='{DB}.someone_else', "
+              f"'backup_timestamp'='20260213_120000')")
+    try:
+        found = mgr.latest_backup()
+        assert found is not None
+        assert found.ref == genuine.ref
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {forged}")
+
+
+def test_latest_backup_path_skips_other_sources(spark, table, tmp_path):
+    """Path strategy: a shared backup_location can hold same-named
+    tables from several databases; a newer dir whose manifest records a
+    different source_table is skipped in favor of the genuine one."""
+    seed(spark, table)
+    loc = tmp_path / "backups"
+    cfg = _cfg(table, DeletionCriteria(where_clause="id = 5"),
+               backup_enabled=True, backup_strategy="path",
+               backup_location=str(loc))
+    mgr = BackupManager(spark, cfg)
+    genuine = mgr.create_backup(["20260213"],
+                                now=datetime(2026, 2, 13, 10, 0, 0))
+    forged = loc / f"{table}_backup_20260213_120000"
+    forged.mkdir(parents=True)
+    (forged / "_manifest.txt").write_text(
+        f"source_table=other_db.{table}\npartitions=20260213\n")
+    found = mgr.latest_backup()
+    assert found is not None
+    assert found.ref.removeprefix("file:") == genuine.ref

@@ -91,15 +91,9 @@ def test_clustering_metric_properties():
     """Pure-metric properties on synthetic range sets: bounded to
     [1/n, 1]; disjoint ranges score near-perfect; identical full-span
     ranges score 1.0."""
-    from bd_delete_records_from_external_hive_table_spark.sources import layout
-
-    def score(ranges):
-        n = len(ranges)
-        probes = sorted({b for r in ranges for b in r})
-        hits = [sum(1 for lo, hi in ranges if lo <= p <= hi)
-                for p in probes]
-        avg = (sum(hits) / len(hits)) / n
-        return max(min(avg, 1.0), 1.0 / n)
+    from bd_delete_records_from_external_hive_table_spark.sources.layout import (
+        overlap_score as score,
+    )
 
     disjoint = [(i * 10, i * 10 + 9) for i in range(8)]
     overlapping = [(0, 100)] * 8
