@@ -176,6 +176,83 @@ def ts02(spark, sf_dir):
             .orderBy("bucket", "event_type"))
 
 
+@register("j14_tpch_q21_shape",
+          "SELECT s_name, COUNT(*) AS numwait FROM supplier "
+          "JOIN lineitem l1 ON l1.l_suppkey = s_suppkey "
+          "WHERE l1.l_returnflag = 'R' "
+          "AND EXISTS (SELECT 1 FROM lineitem l2 "
+          "            WHERE l2.l_orderkey = l1.l_orderkey "
+          "            AND l2.l_suppkey <> l1.l_suppkey) "
+          "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+          "                WHERE l3.l_orderkey = l1.l_orderkey "
+          "                AND l3.l_suppkey <> l1.l_suppkey "
+          "                AND l3.l_returnflag = 'R') "
+          "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10")
+def j14(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting): the flagship
+    multi-self-join — lines sole-at-fault on multi-supplier orders, via
+    EXISTS (another supplier on the order) + NOT EXISTS (another supplier
+    also at fault). Both lower to semi/anti hash joins equi-keyed on
+    l_orderkey with the supplier inequality as a residual: three passes
+    over lineitem co-grouped on the same key, so the exchanges line up
+    (reused / AQE-coalesced), never a nested-loop probe. The supplier
+    dim broadcasts; the top-10 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").alias("l1"))
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").alias("l3"))
+    sole_fault = (
+        l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+                "left_semi")
+        .join(l3, (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+              & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+              "left_anti"))
+    return (sole_fault
+            .join(F.broadcast(supp),
+                  F.col("l1.l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(10))
+
+
+@register("a16_tpch_q16_shape",
+          "SELECT p_brand, p_size, "
+          "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+          "FROM part JOIN lineitem ON l_partkey = p_partkey "
+          "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+          "AND p_size IN (1,5,9,13,17,21,25,29) "
+          "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+          "                      WHERE s_acctbal < 1000) "
+          "GROUP BY p_brand, p_size "
+          "ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20")
+def a16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per part attribute, excluding a complained-about supplier
+    list. The part filters (inequality + IN-list) push into the scan and
+    shrink part enough to broadcast into lineitem; the NOT IN lowers to
+    a broadcast left-anti on the (tiny, non-null) exclusion keys. The
+    distinct-agg is the standard two-phase partial-distinct expand —
+    keyed on (brand, size, suppkey) map-side before the one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    excl = (_t(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") < 1000).select("s_suppkey"))
+    return (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+            .join(F.broadcast(excl),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+            .limit(20))
+
+
 @register("d08_normalized_dedup",
           "SELECT source, COUNT(*) AS n_docs, "
           "COUNT(DISTINCT text) AS distinct_raw, "
