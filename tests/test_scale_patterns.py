@@ -146,3 +146,85 @@ def test_analyze_table_statistics_feed_the_optimizer(spark, sf_dir):
         assert info.get("distinct_count") not in (None, "NULL")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dynamic_partition_pruning_prunes_fact_partitions(spark, sf_dir,
+                                                          tmp_path):
+    """A date-partitioned fact joined to a filtered dim on the partition
+    column is pruned at RUNTIME by Catalyst's dynamic partition pruning:
+    the broadcast dim's key set becomes a partition filter on the fact
+    scan. At 100 TB this is the star-schema lever — a 'last quarter'
+    dim filter reads only last quarter's fact partitions, with no
+    literal date predicate anywhere in the query.
+
+    Two non-obvious preconditions (both bit us): the dim must be a real
+    file-backed relation — a createDataFrame local relation gets its
+    filter constant-folded away, leaving no selective predicate for the
+    DPP rule to key on — and the dim filter must be a *comparison*
+    (`quarter = 'Q1'`), because a bare boolean attribute does not count
+    as 'likely selective' in Catalyst's heuristic."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = str(tmp_path / "orders_by_month")
+    (orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+     .write.partitionBy("o_month").mode("overwrite").parquet(loc))
+    fact = spark.read.parquet(loc)
+
+    months = [r[0] for r in fact.select("o_month").distinct().collect()]
+    dimloc = str(tmp_path / "months_dim")
+    spark.createDataFrame(
+        [(m, f"Q{(int(m[5:7]) - 1) // 3 + 1}") for m in months],
+        "m string, quarter string").write.parquet(dimloc)
+    dim = spark.read.parquet(dimloc)
+
+    joined = (fact.join(F.broadcast(dim.where(F.col("quarter") == "Q1")),
+                        fact.o_month == F.col("m"))
+              .agg(F.sum("o_totalprice").alias("s")))
+    q1_months = [m for m in months if int(m[5:7]) <= 3]
+    expect = (fact.where(F.col("o_month").isin(q1_months))
+              .agg(F.sum("o_totalprice")).collect()[0][0])
+    assert joined.collect()[0]["s"] == pytest.approx(expect)
+
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """With runtime bloom-filter injection on, a selective filter on one
+    side of a shuffle join plants a `might_contain` pre-filter on the
+    other side's scan — rows that cannot match are dropped BEFORE the
+    shuffle. The size thresholds exist because the filter costs a build
+    pass; at 100 TB the defaults (10 MB creation / 10 GB probe) enable
+    it exactly where it pays. Here they're lowered to exercise the path
+    on test-sized data."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        # force the shuffle-join path the filter targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000).select("o_orderkey")
+        joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                  .agg(F.count(F.lit(1)).alias("n")))
+        n = joined.collect()[0]["n"]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # correctness unchanged by the filter
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert n == (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                     .count())
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
