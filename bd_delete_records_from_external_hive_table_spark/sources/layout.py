@@ -28,10 +28,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["write_clustered", "clustering_report", "overlap_score",
-           "ClusteringReport"]
+__all__ = ["write_clustered", "write_zordered", "zorder_column",
+           "clustering_report", "overlap_score", "ClusteringReport"]
 
 
 def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
@@ -110,3 +111,73 @@ def overlap_score(ranges: list[tuple]) -> float:
     hits = [sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes]
     avg = (sum(hits) / len(hits)) / n
     return max(min(avg, 1.0), 1.0 / n)
+
+
+def zorder_column(df: DataFrame, cols: list[str],
+                  bits: int = 16) -> Column:
+    """Morton (Z-order) key over ``cols``: each column is linearly
+    scaled to a ``bits``-bit integer between its observed min and max,
+    then the bits are interleaved so nearby (c1, c2, ...) tuples get
+    nearby keys in EVERY dimension at once.
+
+    The scan for per-column min/max is one tiny all-column aggregate
+    (a single job, one output row); the scaling + interleave is a pure
+    JVM expression — whole-stage-codegen'd, no Python in the write
+    path. ``bits * len(cols)`` must fit a signed long (≤ 63): 16 bits ×
+    2 cols is plenty — row-group skipping only needs coarse locality.
+
+    Linear scaling keeps the expression stateless; heavily skewed
+    columns trade some balance for it (the classic Z-order caveat —
+    range-cluster single hot columns instead).
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} cols overflows a long")
+
+    def numeric(c: str) -> Column:
+        col = df[c]
+        t = dict(df.dtypes)[c]
+        if t.startswith("timestamp"):
+            return col.cast("double")
+        return col.cast("double")
+
+    row = df.agg(*[F.min(numeric(c)).alias(f"mn_{i}")
+                   for i, c in enumerate(cols)],
+                 *[F.max(numeric(c)).alias(f"mx_{i}")
+                   for i, c in enumerate(cols)]).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        s = ((numeric(c) - F.lit(mn)) / F.lit(span) * top).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(s.bitwiseAND(F.lit(1 << bit)).cast("long"),
+                            bit * (len(cols) - 1) + i))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, zorder_by: list[str],
+                   bits: int = 16,
+                   partition_by: list[str] | None = None,
+                   num_files: int | None = None,
+                   fmt: str = "parquet") -> None:
+    """Write ``df`` Z-order-clustered on ``zorder_by`` — the multi-column
+    generalization of :func:`write_clustered` (Delta ``OPTIMIZE ZORDER
+    BY``): range-clustering is perfect for one filter column and useless
+    for a second; the interleaved key gives every listed column
+    meaningful row-group min/max locality, so point/range filters on ANY
+    of them skip most row groups from footer stats alone."""
+    z = zorder_column(df, zorder_by, bits=bits)
+    keyed = df.withColumn("__zorder", z)
+    keyed = (keyed.repartitionByRange(num_files, "__zorder") if num_files
+             else keyed.repartitionByRange("__zorder"))
+    keyed = keyed.sortWithinPartitions("__zorder").drop("__zorder")
+    writer = keyed.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

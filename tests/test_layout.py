@@ -104,3 +104,59 @@ def test_clustering_metric_properties():
     # string ordering works identically
     sdisjoint = [("a", "b"), ("c", "d"), ("e", "f")]
     assert score(sdisjoint) <= 0.5
+
+
+def test_zorder_write_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order (Morton-interleaved) clustering gives BOTH listed columns
+    meaningful row-group locality: the worst column's skip ratio beats
+    single-column range clustering's worst column, and each z-ordered
+    column individually clears 50% skippable. Range clustering stays the
+    better choice for its one column — that contrast is the point."""
+    from bd_delete_records_from_external_hive_table_spark.sources.layout import (
+        write_zordered,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rng = str(tmp_path / "rng")
+    zo = str(tmp_path / "zo")
+    write_clustered(orders, rng, cluster_by=["o_custkey"], num_files=16)
+    write_zordered(orders, zo, zorder_by=["o_custkey", "o_totalprice"],
+                   num_files=16)
+
+    skips = {(tag, col): clustering_report(path, col).skip_ratio
+             for tag, path in (("rng", rng), ("zo", zo))
+             for col in ("o_custkey", "o_totalprice")}
+    zo_worst = min(skips[("zo", "o_custkey")], skips[("zo", "o_totalprice")])
+    rng_worst = min(skips[("rng", "o_custkey")],
+                    skips[("rng", "o_totalprice")])
+    assert zo_worst > rng_worst, skips
+    assert zo_worst >= 0.5, skips
+    # single-column range clustering stays unbeaten on its own column
+    assert skips[("rng", "o_custkey")] >= 0.85, skips
+    assert skips[("rng", "o_custkey")] > skips[("zo", "o_custkey")], skips
+
+
+def test_zorder_read_back_is_lossless(spark, sf_dir, tmp_path):
+    """The z-key is layout-only: it never lands in the file schema and
+    the written rows are exactly the input rows."""
+    from bd_delete_records_from_external_hive_table_spark.sources.layout import (
+        write_zordered,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "zo_rt")
+    write_zordered(orders, path, zorder_by=["o_custkey", "o_totalprice"],
+                   num_files=8)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == set(orders.columns)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+
+
+def test_zorder_rejects_long_overflow(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.sources.layout import (
+        zorder_column,
+    )
+    import pytest as _pytest
+    orders = load_table(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError):
+        zorder_column(orders, ["o_custkey", "o_totalprice"], bits=32)
