@@ -364,3 +364,89 @@ def q18(spark, sf_dir):
                     F.round(F.col("s_acctbal").cast("decimal(18,2)"), 2)
                     .alias("s_acctbal"))
             .orderBy("s_name"))
+
+
+@register("a19_stats_aggregates",
+          "SELECT l_returnflag, n, "
+          "ROUND((n * sxx - sx * sx) / (n * (n - 1)), 6) AS var_qty, "
+          "ROUND(SQRT((n * sxx - sx * sx) / (n * (n - 1))), 6) "
+          "  AS stddev_qty, "
+          "ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_qp, "
+          "ROUND((n * sxy - sx * sy) / "
+          "  (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) "
+          "  AS corr_qp "
+          "FROM ("
+          "  SELECT l_returnflag, COUNT(*) AS n, "
+          "  CAST(SUM(CAST(l_quantity AS DECIMAL(12,6))) AS DOUBLE) AS sx, "
+          "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) "
+          "    AS sy, "
+          "  CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)) "
+          "         * CAST(l_quantity AS DECIMAL(12,6))) AS DOUBLE) AS sxx, "
+          "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) "
+          "         * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) "
+          "    AS syy, "
+          "  CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)) "
+          "         * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) "
+          "    AS sxy "
+          "  FROM lineitem GROUP BY l_returnflag) "
+          "ORDER BY l_returnflag")
+def a19(spark, sf_dir):
+    """Statistical aggregates (variance / stddev / covariance /
+    correlation) computed from decimal-exact power sums instead of the
+    built-in float accumulators. The built-ins (stddev_samp, corr, ...)
+    stream float partial states whose summation ORDER depends on the
+    task layout — results drift in the last bits between runs and
+    between engines. Power sums in DECIMAL are associative and exact,
+    so any shuffle layout (and DuckDB) produces bit-identical moments;
+    the only float math left is one deterministic division/sqrt per
+    group. Same single-pass, map-side-combining plan shape as the
+    built-ins — exactness costs nothing structurally."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,6)")
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    base = (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(q).cast("double").alias("sx"),
+                 F.sum(p).cast("double").alias("sy"),
+                 F.sum(q * q).cast("double").alias("sxx"),
+                 F.sum(p * p).cast("double").alias("syy"),
+                 F.sum(q * p).cast("double").alias("sxy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    cov = (n * sxy - sx * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return (base.select(
+        "l_returnflag", "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(cov, 6).alias("covar_qp"),
+        F.round(corr, 6).alias("corr_qp"))
+        .orderBy("l_returnflag"))
+
+
+@register("a20_mode_per_group",
+          "SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM ("
+          "  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt, "
+          "  ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+          "    ORDER BY COUNT(*) DESC, l_quantity) AS rk "
+          "  FROM lineitem GROUP BY l_returnflag, l_quantity) "
+          "WHERE rk = 1 ORDER BY l_returnflag")
+def a20(spark, sf_dir):
+    """Mode (most frequent value) per group with a DETERMINISTIC
+    tie-break (smallest value wins) — the built-in `mode()` leaves ties
+    engine-defined, which can never oracle-match. Two-phase: the
+    (group, value) count aggregates map-side; the per-group argmax is a
+    window over the count table (|groups|x|distinct values| rows, not
+    raw data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_returnflag", "l_quantity")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), "l_quantity")
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
+                    "cnt")
+            .orderBy("l_returnflag"))
