@@ -281,21 +281,25 @@ def a18(spark, sf_dir):
           "ORDER BY s_suppkey")
 def q16(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): a grouped revenue view consumed
-    twice — once for the scalar MAX, once for the equality filter. The
-    view is supplier-grained (tiny next to lineitem), so the second
-    consumption is a 1-row aggregate broadcast back onto it; the
-    decimal revenue makes the MAX-equality tie-exact across engines.
-    Spark computes the view once and reuses it (same plan subtree →
-    ReusedExchange under AQE), never re-scanning lineitem."""
+    twice — once for the scalar MAX, once for the equality filter.
+    Expressing the MAX as a separate aggregate re-plans the view and
+    SCANS LINEITEM TWICE (self-"join" subtrees are not exchange-reused
+    here); instead the scalar threshold is a global window over the
+    supplier-grained view — one fact scan, then a single-task pass over
+    |suppliers| tiny rows, which is the right trade at 100 TB (a second
+    fact scan costs ~10^6x the window's data volume). The decimal
+    revenue makes the MAX-equality tie-exact across engines."""
+    from pyspark.sql import Window as W
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
                .agg(F.sum(_rev()).alias("total_revenue")))
-    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (revenue
-            .join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+            .withColumn("max_rev",
+                        F.max("total_revenue").over(W.partitionBy()))
+            .where(F.col("total_revenue") == F.col("max_rev"))
             .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     F.round("total_revenue", 2).alias("total_revenue"))

@@ -123,3 +123,53 @@ def test_q10_topk_and_broadcast_plan(spark, sf_dir):
                     .spark_fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
     assert "BroadcastHashJoin" in plan      # nation dim broadcast
+
+
+def test_q21_shape_is_cokeyed_semi_anti(spark, sf_dir):
+    plan = _explain(plans.REGISTRY["j14_tpch_q21_shape"]
+                    .spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan   # EXISTS lowered to a hash semi join
+    assert "LeftAnti" in plan   # NOT EXISTS lowered to a hash anti join
+    assert "NestedLoop" not in plan  # never per-row probing
+    assert "TakeOrderedAndProject" in plan
+
+
+def _explain_simple(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_q17_shape_single_partkey_shuffle(spark, sf_dir):
+    """The decorrelated per-part average must co-locate on ONE
+    l_partkey exchange feeding the window — not a second lineitem
+    scan/aggregate."""
+    plan = _explain_simple(plans.REGISTRY["a18_tpch_q17_shape"]
+                           .spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # brand-pruned part broadcasts
+
+
+def test_q7_shape_all_dims_broadcast(spark, sf_dir):
+    """Five dimension joins, zero fact-side shuffles before the final
+    group-by: every Exchange in the plan is broadcast- or agg-related,
+    never a fact join shuffle."""
+    plan = _explain_simple(plans.REGISTRY["j15_tpch_q7_shape"]
+                           .spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_shape_scans_lineitem_once(spark, sf_dir):
+    """The scalar MAX threshold is a global window over the
+    supplier-grained revenue view — the fact table is scanned exactly
+    once (a separate MAX aggregate would re-plan the view and scan
+    lineitem twice)."""
+    df = plans.REGISTRY["q16_tpch_q15_shape"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1, plan
+    assert "Window" in plan
