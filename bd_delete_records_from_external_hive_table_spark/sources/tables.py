@@ -1,14 +1,16 @@
 """Testdata table catalog: parquet loaders for the driver-generated tables.
 
-The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-cannot represent (TimestampType is microsecond-precision). We read nanos as
-``long`` (``spark.sql.legacy.parquet.nanosAsLong`` in session.py) and floor
-to microseconds with ``timestamp_micros(ts div 1000)``. Flooring preserves
-every comparison against microsecond-aligned literals (for bound B aligned
-to 1 µs: floor_us(v) >= B ⇔ v >= B), so filters/windows at second
-granularity are exact; only sub-µs display precision is lost. Queries that
-*return* ts values truncate to a common granularity on both the Spark and
-oracle sides.
+The ``events`` table's ``ts`` column has shipped in two encodings across
+testdata generations: parquet TIMESTAMP(MICROS) (read natively as Spark
+TimestampType) and TIMESTAMP(NANOS) (unrepresentable in Spark's µs
+TimestampType; read as ``long`` under ``spark.sql.legacy.parquet.
+nanosAsLong`` in session.py and floored to microseconds with
+``timestamp_micros(ts div 1000)``). ``load_table`` detects which shape it
+got and normalizes to TimestampType either way. Flooring preserves every
+comparison against microsecond-aligned literals (for bound B aligned to
+1 µs: floor_us(v) >= B ⇔ v >= B), so filters/windows at second granularity
+are exact in both encodings. Queries that *return* ts values truncate to a
+common granularity on both the Spark and oracle sides.
 """
 
 from __future__ import annotations
@@ -33,6 +35,14 @@ def _epoch_nanos(ts: datetime) -> int:
     return int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
 
 
+def _naive_utc(ts: datetime) -> datetime:
+    """Normalize to a tz-naive UTC datetime (session timezone is UTC, so
+    naive literals compare correctly against stored timestamps)."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                ts_start: datetime | None = None,
                ts_end: datetime | None = None) -> DataFrame:
@@ -46,12 +56,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     (semantically identical) timestamp predicate afterwards; this pre-filter
     only prunes I/O."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        if ts_start is not None:
-            df = df.where(F.col("ts") >= F.lit(_epoch_nanos(ts_start)))
-        if ts_end is not None:
-            df = df.where(F.col("ts") < F.lit(_epoch_nanos(ts_end)))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Legacy TIMESTAMP(NANOS) encoding read as long under
+            # nanosAsLong: filter the raw long, then convert.
+            if ts_start is not None:
+                df = df.where(F.col("ts") >= F.lit(_epoch_nanos(ts_start)))
+            if ts_end is not None:
+                df = df.where(F.col("ts") < F.lit(_epoch_nanos(ts_end)))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Native TIMESTAMP(MICROS): a plain timestamp comparison pushes
+            # down to the reader directly — no conversion layer needed.
+            if ts_start is not None:
+                df = df.where(F.col("ts") >= F.lit(_naive_utc(ts_start)))
+            if ts_end is not None:
+                df = df.where(F.col("ts") < F.lit(_naive_utc(ts_end)))
+            if ts_type == "timestamp_ntz":
+                # Normalize to TimestampType (session tz is UTC, so the
+                # wall-clock value is unchanged); watermarks and the rest
+                # of the engine expect the ltz type. Cast AFTER the bound
+                # filters so the pushed predicate matches the file type.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,8 +30,8 @@ __all__ = [
     "running_user_totals",
 ]
 
-#: On-disk schema of events.parquet (ts stored as TIMESTAMP(NANOS) → read
-#: as long under nanosAsLong, converted to microsecond timestamps here).
+#: Logical schema of the events stream after normalization (ts is a
+#: microsecond TimestampType regardless of the on-disk encoding).
 EVENTS_FILE_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),
@@ -44,13 +44,24 @@ EVENTS_FILE_SCHEMA = StructType([
 
 def stream_events(spark: SparkSession, path: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of events parquet under ``path`` with the same
-    nanos→micros conversion as the batch loader."""
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    """File-source stream of events parquet under ``path``, normalized to
+    the batch loader's shape. The file schema is taken from a driver-side
+    batch read of the same path (one footer read — streams require an
+    explicit schema), so both TIMESTAMP(MICROS) files and legacy
+    TIMESTAMP(NANOS)-as-long files stream correctly; the nanos→micros
+    conversion is applied only when the on-disk column is a long."""
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(file_schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP(MICROS) files arrive as TIMESTAMP_NTZ; watermarks
+        # require the ltz TimestampType (session tz is UTC, no value shift).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 day",
