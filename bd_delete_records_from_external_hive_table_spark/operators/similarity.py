@@ -7,10 +7,15 @@ Two paths, same contract:
   corpus is never shuffled: each scan partition scores its rows against the
   broadcast queries and only k rows per query survive the window.
 - **LSH-bucketed ANN** — approximate scale path: random-hyperplane signs
-  (Charikar 2002) quantize each vector into a bucket id; queries only score
-  candidates sharing their bucket (equi-join on bucket → co-located,
-  pair space cut by ~2^bits). Multi-probe = also join neighbor buckets at
-  hamming distance 1 to recover recall.
+  (Charikar 2002) quantize each vector into per-band bucket ids; queries
+  only score candidates sharing a (band, bucket) key (equi-join →
+  co-located, pair space cut by ~2^bits per band). AND-OR construction:
+  a band matches only when all ``bits`` signs agree (AND — precision,
+  small buckets), a pair is a candidate when ANY band matches (OR —
+  recall). Bucket count grows as 2^bits, so ``bits`` scales with corpus
+  size (``auto_bits``) while recall is held by ``bands`` — the same
+  schema as MinHash banding. Multi-probe = also join buckets at hamming
+  distance 1 within each band.
 
 Vectors in the testdata are L2-normalized (verified: ‖v‖₂ = 1.0), so
 cosine similarity == dot product; ``cosine`` still normalizes defensively

@@ -119,7 +119,9 @@ def j04(spark, sf_dir):
 def j05(spark, sf_dir):
     """Star-schema join (TPC-H Q5 shape): two broadcast dims pre-filtered
     (region predicate prunes nations BEFORE touching facts), then one
-    fact-fact sort-merge join."""
+    fact-fact sort-merge join. The region-filtered customer side still
+    scales with SF (~1/5 of customer), so its join is NOT pinned — AQE
+    broadcast-converts it when it fits, sort-merges at 100 TB."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     asia_nations = nation.join(F.broadcast(region),
@@ -130,7 +132,7 @@ def j05(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust.select("c_custkey", "n_name")),
+            .join(cust.select("c_custkey", "n_name"),
                   orders.o_custkey == F.col("c_custkey"))
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -152,9 +154,10 @@ def j05(spark, sf_dir):
           "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10")
 def j08(spark, sf_dir):
     """TPC-H Q3 shape (order priority stands in for ship priority —
-    the synthetic orders table has no o_shippriority): filtered
-    broadcast dim →
-    fact-fact join → grouped revenue → global top-10. The segment and
+    the synthetic orders table has no o_shippriority): filtered customer
+    → fact-fact join → grouped revenue → global top-10. Customer grows
+    with SF, so no broadcast pin — AQE broadcasts the post-filter side
+    at runtime when it is small, sort-merges otherwise. The segment and
     date filters push to the scans; the LIMIT becomes
     TakeOrderedAndProject after the aggregation."""
     cust = (_t(spark, sf_dir, "customer")
@@ -168,7 +171,7 @@ def j08(spark, sf_dir):
           .where(F.col("l_shipdate") > F.lit("1995-03-15"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
@@ -598,9 +601,9 @@ def f04(spark, sf_dir):
 
 
 @register("f05_json_extract",
-          "SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
-          "AS sum_k, COUNT(*) AS n FROM events GROUP BY event_type "
-          "ORDER BY event_type")
+          "SELECT event_type, CAST(SUM(CAST(json_extract(props, '$.k') "
+          "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n FROM events "
+          "GROUP BY event_type ORDER BY event_type")
 def f05(spark, sf_dir):
     """JSON field extraction from a string column — JVM-side
     get_json_object, no Python in the loop."""

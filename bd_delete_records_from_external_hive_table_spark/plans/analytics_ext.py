@@ -84,7 +84,9 @@ def j10(spark, sf_dir):
     """TPC-H Q18 shape (large-volume orders): aggregate-then-filter the
     fact table FIRST, then join the surviving keys back to orders/customer.
     At 100 TB the HAVING prunes ~99% of groups before any join; AQE sees
-    the shrunken side and broadcast-converts the join at runtime."""
+    the shrunken side and broadcast-converts the joins at runtime — no
+    pins, since customer also grows with SF and must not be forced onto
+    the driver."""
     big = (_t(spark, sf_dir, "lineitem")
            .groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("sum_qty"))
@@ -92,8 +94,7 @@ def j10(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (big.join(orders, big.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(customer),
-                  orders.o_custkey == customer.c_custkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
             .select("c_name", "o_orderkey",
                     F.round("o_totalprice", 2).alias("total_price"),
                     F.round("sum_qty", 2).alias("sum_qty"))
@@ -129,8 +130,8 @@ def a13(spark, sf_dir):
 @register("j12_tpch_q10_shape",
           "SELECT c_custkey, c_name, n_name, revenue FROM ("
           "  SELECT c_custkey, c_name, n_name, "
-          "    ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
-          "      AS DECIMAL(18,4))), 2) AS revenue "
+          "    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+          "      AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue "
           "  FROM customer "
           "  JOIN nation ON n_nationkey = c_nationkey "
           "  JOIN orders ON o_custkey = c_custkey "
@@ -157,7 +158,8 @@ def j12(spark, sf_dir):
             .join(orders, orders.o_custkey == cust.c_custkey)
             .join(li, li.l_orderkey == orders.o_orderkey)
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)")
+                 .alias("revenue"))
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))
 

@@ -79,10 +79,10 @@ def _rev():
 def j15(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping): the same dimension (nation)
     joins both ends of the chain — supplier side and customer side —
-    with a symmetric two-nation disjunction. Both nation copies
-    broadcast; the nation-pair predicate evaluates after the last
-    broadcast join, and the date range pushes into the lineitem scan.
-    One fact scan, zero fact-side shuffles before the final group-by."""
+    with a symmetric two-nation disjunction. True dims (supplier, both
+    nation copies) broadcast; orders and customer grow with SF, so their
+    joins are left to AQE — broadcast if small at runtime, sort-merge
+    otherwise. The date range pushes into the lineitem scan."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
@@ -97,8 +97,8 @@ def j15(spark, sf_dir):
            ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (li
             .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-            .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
             .where(pair)
@@ -131,8 +131,9 @@ def j16(spark, sf_dir):
     region restricts WHERE the revenue counts; supplier-side nation
     labels WHO earned it — numerator and denominator come out of one
     conditional-aggregate pass (a15's trick at 6-way-star scale).
-    part/supplier/nation/region broadcast; the decimal ratio is cast to
-    DOUBLE only after both exact sums."""
+    True dims (part/supplier/nation/region) broadcast; orders and
+    customer scale with SF so AQE picks their join strategy at runtime.
+    The decimal ratio is cast to DOUBLE only after both exact sums."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY") \
         .select("p_partkey")
@@ -152,8 +153,8 @@ def j16(spark, sf_dir):
     joined = (li
               .join(F.broadcast(part), li.l_partkey == part.p_partkey)
               .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-              .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
               .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"),
                     "left_semi")

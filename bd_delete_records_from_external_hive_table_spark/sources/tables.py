@@ -35,12 +35,20 @@ def _epoch_nanos(ts: datetime) -> int:
     return int(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
 
 
-def _naive_utc(ts: datetime) -> datetime:
-    """Normalize to a tz-naive UTC datetime (session timezone is UTC, so
-    naive literals compare correctly against stored timestamps)."""
-    if ts.tzinfo is not None:
-        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-    return ts
+def _ts_lit(ts: datetime, ntz: bool = False):
+    """Timezone-independent timestamp literal.
+
+    ``F.lit(naive_datetime)`` is interpreted in the *driver OS* timezone
+    by the py4j converter — on a non-UTC driver the bound would silently
+    shift by the UTC offset. Building the literal from epoch micros via
+    ``timestamp_micros`` (naive input treated as UTC by ``_epoch_nanos``,
+    tz-aware input converted exactly) depends only on the pinned UTC
+    session timezone, never on the driver OS. Both forms constant-fold,
+    so parquet pushdown still sees a plain literal; the ``timestamp_ntz``
+    cast keeps the literal's type equal to the file's column type so the
+    comparison needs no column-side cast (which would defeat pushdown)."""
+    lit = F.timestamp_micros(F.lit(_epoch_nanos(ts) // 1000))
+    return lit.cast("timestamp_ntz") if ntz else lit
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
@@ -68,12 +76,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             # Native TIMESTAMP(MICROS): a plain timestamp comparison pushes
-            # down to the reader directly — no conversion layer needed.
+            # down to the reader directly — no conversion layer needed. The
+            # literal is built type-matched to the file column (ntz vs ltz)
+            # so no column-side cast blocks pushdown.
+            ntz = ts_type == "timestamp_ntz"
             if ts_start is not None:
-                df = df.where(F.col("ts") >= F.lit(_naive_utc(ts_start)))
+                df = df.where(F.col("ts") >= _ts_lit(ts_start, ntz))
             if ts_end is not None:
-                df = df.where(F.col("ts") < F.lit(_naive_utc(ts_end)))
-            if ts_type == "timestamp_ntz":
+                df = df.where(F.col("ts") < _ts_lit(ts_end, ntz))
+            if ntz:
                 # Normalize to TimestampType (session tz is UTC, so the
                 # wall-clock value is unchanged); watermarks and the rest
                 # of the engine expect the ltz type. Cast AFTER the bound

@@ -22,17 +22,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 __all__ = [
-    "EVENTS_FILE_SCHEMA", "stream_events", "tumbling_counts",
-    "sliding_counts", "session_windows", "streaming_dedup",
-    "running_user_totals",
+    "EVENTS_FILE_SCHEMA", "EVENTS_LEGACY_FILE_SCHEMA", "stream_events",
+    "tumbling_counts", "sliding_counts", "session_windows",
+    "streaming_dedup", "running_user_totals",
 ]
 
-#: Logical schema of the events stream after normalization (ts is a
-#: microsecond TimestampType regardless of the on-disk encoding).
+#: On-disk file schema of the current events encoding: parquet
+#: TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ. This
+#: is the fallback stream schema when the source directory is empty at
+#: stream start (nothing to infer from); ``stream_events`` normalizes
+#: ``ts`` to the session-tz TimestampType either way.
 EVENTS_FILE_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampNTZType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+#: File schema of the *legacy* events encoding: ``ts`` is the raw
+#: TIMESTAMP(NANOS) value surfaced as a long under the nanosAsLong conf.
+#: Pass explicitly as ``stream_events(..., schema=...)`` for legacy dirs
+#: that start empty.
+EVENTS_LEGACY_FILE_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),
     StructField("user_id", LongType()),
@@ -43,14 +60,25 @@ EVENTS_FILE_SCHEMA = StructType([
 
 
 def stream_events(spark: SparkSession, path: str,
-                  max_files_per_trigger: int | None = None) -> DataFrame:
+                  max_files_per_trigger: int | None = None,
+                  schema: StructType | None = None) -> DataFrame:
     """File-source stream of events parquet under ``path``, normalized to
     the batch loader's shape. The file schema is taken from a driver-side
     batch read of the same path (one footer read — streams require an
     explicit schema), so both TIMESTAMP(MICROS) files and legacy
     TIMESTAMP(NANOS)-as-long files stream correctly; the nanos→micros
-    conversion is applied only when the on-disk column is a long."""
-    file_schema = spark.read.parquet(path).schema
+    conversion is applied only when the on-disk column is a long.
+
+    A stream is routinely started on an empty directory that a producer
+    fills later; batch inference throws AnalysisException there, so we
+    fall back to ``schema`` (if given) or :data:`EVENTS_FILE_SCHEMA`."""
+    if schema is not None:
+        file_schema = schema
+    else:
+        try:
+            file_schema = spark.read.parquet(path).schema
+        except Exception:  # empty dir / no footers yet: UNABLE_TO_INFER_SCHEMA
+            file_schema = EVENTS_FILE_SCHEMA
     reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

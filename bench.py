@@ -59,16 +59,32 @@ def main() -> None:
             spec.spark_fn(spark, sf_dir).collect()
             warm[name] = round(time.perf_counter() - t1, 4)
 
-        total = round(sum(timings.values()), 4)
+        total = round(sum(timings.values()), 2)
+        # Round-1 lesson: the driver captures a bounded tail of stdout, and
+        # a ~7 KB line (4dp cold+warm dicts) overflowed it → parsed: null.
+        # Keep the stdout line minimal: totals first, cold per-query only,
+        # 2dp, compact separators. Full detail (4dp + warm) goes to a
+        # sidecar file instead of the line.
+        detail = {
+            "metric": "declared_queries_total",
+            "value": total,
+            "warm_value": round(sum(warm.values()), 4),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": timings,
+            "warm_queries": warm,
+        }
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
         print(json.dumps({
             "metric": "declared_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "warm_value": round(sum(warm.values()), 4),
-            "warm_queries": warm,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }))
+            "warm_value": round(sum(warm.values()), 2),
+            "sf": detail["sf"],
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+        }, separators=(",", ":")))
     finally:
         spark.stop()
 

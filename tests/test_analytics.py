@@ -152,14 +152,36 @@ def test_q17_shape_single_partkey_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # brand-pruned part broadcasts
 
 
-def test_q7_shape_all_dims_broadcast(spark, sf_dir):
-    """Five dimension joins, zero fact-side shuffles before the final
-    group-by: every Exchange in the plan is broadcast- or agg-related,
-    never a fact join shuffle."""
-    plan = _explain_simple(plans.REGISTRY["j15_tpch_q7_shape"]
-                           .spark_fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in plan
+def test_fact_joins_never_broadcast_pinned(spark, sf_dir):
+    """Scale guard: orders/customer grow with SF, so their joins must
+    never be pinned with F.broadcast (a pin forces the build side onto
+    every executor regardless of size — fatal at 100×). Disabling the
+    auto-broadcast threshold exposes pins: only explicitly hinted sides
+    still broadcast, so true dims (nation/region/supplier/part) may
+    appear as BroadcastHashJoin but every fact-side join must fall back
+    to SortMergeJoin."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j15 = _explain_simple(plans.REGISTRY["j15_tpch_q7_shape"]
+                              .spark_fn(spark, sf_dir))
+        # supplier + both nation copies are pinned dims; orders/customer
+        # must shuffle
+        assert j15.count("BroadcastHashJoin") == 3, j15
+        assert "SortMergeJoin" in j15
+        j16 = _explain_simple(plans.REGISTRY["j16_tpch_q8_shape"]
+                              .spark_fn(spark, sf_dir))
+        # part, supplier, nation x2, region(semi) pinned; orders/customer
+        # shuffle
+        assert j16.count("BroadcastHashJoin") == 5, j16
+        assert "SortMergeJoin" in j16
+        for name in ("j08_tpch_q3_shape", "j10_tpch_q18_shape",
+                     "j05_star_join"):
+            plan = _explain_simple(plans.REGISTRY[name]
+                                   .spark_fn(spark, sf_dir))
+            assert "SortMergeJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q15_shape_scans_lineitem_once(spark, sf_dir):

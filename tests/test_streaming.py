@@ -45,6 +45,24 @@ def test_session_windows_stream(spark, events_dir):
         assert r.n_events >= 1
 
 
+def test_stream_events_on_empty_dir_then_fill(spark, sf_dir, tmp_path):
+    """A stream started on an empty directory (normal file-source setup —
+    the producer fills it later) must not die on schema inference; the
+    fallback schema kicks in and data copied in afterwards is read."""
+    d = tmp_path / "empty_start"
+    d.mkdir()
+    stream = sw.stream_events(spark, str(d))  # must not raise
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # producer shows up: the same stream definition reads the new file
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    counted = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    sw.run_to_memory(counted, "empty_start_t", "complete")
+    n = spark.table("empty_start_t").first()["n"]
+    expect = load_table(spark, sf_dir, "events").count()
+    assert n == expect
+
+
 def test_streaming_dedup_removes_replayed_file(spark, sf_dir, tmp_path):
     d = tmp_path / "dup_stream"
     d.mkdir()
