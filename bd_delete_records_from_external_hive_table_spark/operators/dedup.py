@@ -35,7 +35,7 @@ __all__ = [
     "minhash_permutations", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
-    "connected_components",
+    "simhash_banded_near_duplicates", "connected_components",
 ]
 
 SIMHASH_BITS = 28
@@ -290,10 +290,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
-    """Pairs with popcount(sig_a ^ sig_b) ≤ max_hamming. Pairwise here;
-    at scale the pair space is cut by banding the signature bits exactly
-    like MinHash-LSH (join on chunk equality — pigeonhole guarantees a
-    matching chunk when hamming ≤ chunks-1)."""
+    """Pairs with popcount(sig_a ^ sig_b) ≤ max_hamming, via all-pairs
+    crossJoin — the exact quadratic baseline, for oracles/tests and
+    bounded subsets only. The scale path is
+    :func:`simhash_banded_near_duplicates`, which returns the IDENTICAL
+    pair set through a chunk-equality equi-join."""
     sigs = simhash_signatures(df, text_col, id_col)
     a = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
@@ -302,3 +303,50 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                     F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_banded_near_duplicates(df: DataFrame, text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   max_hamming: int = 3,
+                                   chunks: int | None = None) -> DataFrame:
+    """Scale path for SimHash near-dup: split the 28-bit signature into
+    ``chunks`` bit-ranges (default ``max_hamming + 1``) and equi-join on
+    (chunk_idx, chunk_value). Pigeonhole: ≤ max_hamming differing bits
+    cannot touch all ``max_hamming + 1`` chunks, so every qualifying pair
+    shares at least one chunk verbatim — candidate generation is
+    EXHAUSTIVE (same result set as the all-pairs baseline), but the join
+    shuffles on chunk values instead of building N²/2 pairs. Surviving
+    candidates are verified with the exact popcount; duplicates from
+    multi-chunk agreement are collapsed before verification."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    sigs = simhash_signatures(df, text_col, id_col)
+    # chunk i covers bits [starts[i], starts[i+1]) — widths differ by ≤1
+    base, extra = divmod(SIMHASH_BITS, chunks)
+    starts, pos = [], 0
+    for i in range(chunks):
+        starts.append(pos)
+        pos += base + (1 if i < extra else 0)
+    starts.append(SIMHASH_BITS)
+
+    def chunk_key(i: int) -> Column:
+        width = starts[i + 1] - starts[i]
+        return (F.shiftright(F.col("simhash"), starts[i])
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"), chunk_key(i).alias("key"))
+            for i in range(chunks)])).alias("ck")) \
+        .select(id_col, "simhash", "ck.chunk", "ck.key")
+    a = banded.select(F.col(id_col).alias("a"),
+                      F.col("simhash").alias("ha"), "chunk", "key")
+    b = banded.select(F.col(id_col).alias("b"),
+                      F.col("simhash").alias("hb"), "chunk", "key")
+    return (a.join(b, ["chunk", "key"]).where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

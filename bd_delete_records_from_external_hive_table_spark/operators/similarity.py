@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
-           "hyperplane_bucket", "lsh_ann_topk", "embedding_near_duplicates",
+           "hyperplane_bucket", "band_keys_udf", "auto_bits",
+           "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk"]
 
 
@@ -90,31 +91,87 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def auto_bits(n: int, target_bucket_size: int = 64,
+              lo: int = 8, hi: int = 20) -> int:
+    """Bits per band as a function of corpus size: 2^bits buckets sized so
+    the expected within-bucket population ≈ target_bucket_size — the
+    within-bucket pair join is ~N²/2^bits, so bits MUST grow with N (a
+    fixed bucket count is quadratic at corpus scale)."""
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, int(np.ceil(np.log2(max(n / target_bucket_size,
+                                                   2.0))))))
+
+
+def band_keys_udf(planes: list[list[float]], bands: int, bits: int):
+    """Vectorized Pandas UDF: vector → array<int>[bands] of per-band
+    sign-concatenated bucket keys, ONE numpy matmul per Arrow batch
+    (n × dim @ dim × bands·bits). With ≳100 hyperplanes the equivalent
+    codegen expression tree (bands·bits zip_with/aggregate folds over a
+    literal array each) blows past what whole-stage codegen handles —
+    40×+ slower in practice — so this is the textbook case where the
+    Arrow batch transfer wins. Index in the result array == band id
+    (posexplode downstream)."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(planes, dtype=np.float64)  # (bands*bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vecs), dtype=np.float64)
+        signs = (x @ p.T) > 0
+        k = (signs.reshape(len(x), bands, bits) * weights).sum(axis=2)
+        return pd.Series(list(k.astype("int32")))
+
+    return keys
+
+
+def _banded_keys(df: DataFrame, id_alias: str, vec_alias: str | None,
+                 id_col: str, vec_col: str,
+                 planes: list[list[float]], bands: int,
+                 bits: int) -> DataFrame:
+    """(id[, vec], band, key) — one row per band via posexplode of the
+    UDF's key array (pos == band index)."""
+    keys = band_keys_udf(planes, bands, bits)
+    cols = [F.col(id_col).alias(id_alias)]
+    keep = [id_alias]
+    if vec_alias is not None:
+        cols.append(F.col(vec_col).alias(vec_alias))
+        keep.append(vec_alias)
+    return (df.select(*cols, keys(F.col(vec_col)).alias("_keys"))
+            .select(*keep, F.posexplode("_keys").alias("band", "key")))
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 bits: int = 4, dim: int = 64, seed: int = 42,
-                 multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: score only bucket-sharing candidates. With
-    multiprobe, each query also probes the ``bits`` buckets at hamming
-    distance 1 (flip one sign) — the standard recall/latency trade."""
-    planes = random_hyperplanes(dim, bits, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      hyperplane_bucket(F.col(vec_col), planes)
-                      .alias("bucket"))
-    q_base = queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("q_vec"),
-                            hyperplane_bucket(F.col(vec_col), planes)
-                            .alias("bucket0"))
-    probes = [F.col("bucket0")]
+                 bits: int | None = None, bands: int = 8, dim: int = 64,
+                 seed: int = 42, multiprobe: bool = True,
+                 corpus_count: int | None = None) -> DataFrame:
+    """Approximate top-k: score only (band, bucket)-sharing candidates.
+
+    ``bits=None`` derives bits from the corpus size (``auto_bits``) so the
+    bucket space grows with N; recall is carried by ``bands`` independent
+    hyperplane bands (OR-construction) plus, with ``multiprobe``, the
+    ``bits`` hamming-1 probes per band. The corpus side is exploded
+    map-side and never shuffled: the (tiny) probe set broadcasts."""
+    if bits is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        bits = auto_bits(n)
+    planes = random_hyperplanes(dim, bands * bits, seed)
+    c = _banded_keys(corpus, "neighbor_id", "c_vec", id_col, vec_col,
+                     planes, bands, bits)
+    q_base = _banded_keys(queries, "query_id", "q_vec", id_col, vec_col,
+                          planes, bands, bits) \
+        .withColumnRenamed("key", "key0")
+    probes = [F.col("key0")]
     if multiprobe:
-        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+        probes += [F.col("key0").bitwiseXOR(F.lit(1 << i))
                    for i in range(bits)]
-    q = q_base.select(
-        "query_id", "q_vec",
-        F.explode(F.array(*probes)).alias("bucket"))
+    q = q_base.select("query_id", "q_vec", "band",
+                      F.explode(F.array(*probes)).alias("key"))
     sim = F.round(dot_product(F.col("q_vec"), F.col("c_vec")), 4)
-    return _topk(c.join(F.broadcast(q), "bucket")
+    return _topk(c.join(F.broadcast(q), ["band", "key"])
                  .where(F.col("query_id") != F.col("neighbor_id"))
                  .select("query_id", "neighbor_id", sim.alias("sim"))
                  .distinct(), k)
@@ -123,24 +180,46 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              bits: int = 4, dim: int = 64,
-                              seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: only
-    bucket-sharing pairs are scored (sound for high thresholds — near-dup
-    vectors almost surely agree on every hyperplane sign)."""
-    planes = random_hyperplanes(dim, bits, seed)
-    withb = corpus.select(F.col(id_col), F.col(vec_col),
-                          hyperplane_bucket(F.col(vec_col), planes)
-                          .alias("bucket"))
-    a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                     "bucket")
-    b = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                     "bucket")
+                              bits: int | None = None, bands: int = 16,
+                              dim: int = 64, seed: int = 42,
+                              corpus_count: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, banded-LSH-bucketed.
+
+    Candidate generation is an equi-join on (band, key): ~N²/2^bits pairs
+    per band instead of N²/2. ``bits=None`` scales the bucket space with
+    corpus size; ``bands`` OR-construction holds recall — for a pair at
+    cosine c the per-plane sign-agreement probability is 1 − acos(c)/π,
+    so the miss probability is (1 − p^bits)^bands, driven to ~0 for
+    near-dup thresholds (c ≥ 0.95 ⇒ p ≥ 0.9: 16 bands × 8 bits miss
+    ~1e-4, exact duplicates never missed). ``bands=0`` (or ``bits=0``)
+    degenerates to the exact all-pairs scan — the oracle baseline.
+    Candidate pairs are deduped BEFORE exact verification so each pair
+    is scored once however many bands it collides in."""
+    if bands == 0 or bits == 0:
+        a = corpus.select(F.col(id_col).alias("a"),
+                          F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("b"),
+                          F.col(vec_col).alias("vb"))
+        sim = F.round(dot_product(F.col("va"), F.col("vb")), 4)
+        return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+                .select("a", "b", sim.alias("cosine"))
+                .where(F.col("cosine") >= threshold))
+    if bits is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        bits = auto_bits(n)
+    planes = random_hyperplanes(dim, bands * bits, seed)
+    withb = _banded_keys(corpus, id_col, None, id_col, vec_col,
+                         planes, bands, bits)
+    a = withb.select(F.col(id_col).alias("a"), "band", "key")
+    b = withb.select(F.col(id_col).alias("b"), "band", "key")
+    cands = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     sim = F.round(dot_product(F.col("va"), F.col("vb")), 4)
-    return (a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    return (cands.join(va, "a").join(vb, "b")
             .select("a", "b", sim.alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .distinct())
+            .where(F.col("cosine") >= threshold))
 
 
 # ---------------------------------------------------------------------------

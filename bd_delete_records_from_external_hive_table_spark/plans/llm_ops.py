@@ -170,13 +170,49 @@ def d06(spark, sf_dir):
             .orderBy("component"))
 
 
-@register("d05_simhash_signatures", None)  # property-tested instead
+# SimHash in DuckDB: identical 28-bit construction — per bit, set when
+# strictly more than half of the (distinct-token) hashes have it set.
+_DUCK_SIMHASH = "(" + " + ".join(
+    f"CASE WHEN 2*len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) > len(hs) "
+    f"THEN {1 << i} ELSE 0 END" for i in range(dedup.SIMHASH_BITS)) + ")"
+
+_DUCK_SIG = ("SELECT doc_id, CAST(" + _DUCK_SIMHASH + " AS BIGINT) "
+             "AS simhash FROM (SELECT doc_id, "
+             "list_transform(list_distinct(" + _DUCK_TOKENS + "), "
+             "t -> " + _DUCK_HASH28.format("t") + ") AS hs FROM {src})")
+
+
+@register("d05_simhash_signatures",
+          _DUCK_SIG.format(src="(SELECT doc_id, text FROM documents "
+                               "WHERE doc_id < 100)")
+          + " ORDER BY doc_id")
 def d05(spark, sf_dir):
     """28-bit SimHash signatures (codegen-only bit votes over token
-    hashes). Self-agreement and near-dup hamming properties in tests."""
+    hashes). The oracle rebuilds the identical construction in DuckDB
+    from the shared md5-based 28-bit token hash, so signatures are
+    engine-exact, not just property-tested."""
     docs = (load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 100))
     return dedup.simhash_signatures(docs).orderBy("doc_id")
+
+
+@register("d09_simhash_banded_neardup",
+          "WITH sig AS (" +
+          _DUCK_SIG.format(src=f"({_AUG_NEARDUP})") + ") "
+          "SELECT a.doc_id AS a, b.doc_id AS b, "
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+          "FROM sig a, sig b WHERE a.doc_id < b.doc_id "
+          "AND bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY a, b")
+def d09(spark, sf_dir):
+    """Banded SimHash near-dup — the scale path: the 28-bit signature
+    splits into max_hamming+1 chunks; pigeonhole guarantees every pair
+    within hamming ≤ 3 shares a verbatim chunk, so candidate generation
+    is an exhaustive (chunk, value) equi-join, never the N²/2 cross
+    product. The oracle is the all-pairs popcount filter in DuckDB —
+    band-then-verify provably returns the identical set."""
+    return (dedup.simhash_banded_near_duplicates(
+        _aug_neardup_docs(spark, sf_dir), max_hamming=3)
+        .orderBy("a", "b"))
 
 
 @register("e01_embedding_neardup",
@@ -188,16 +224,18 @@ def d05(spark, sf_dir):
           "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
           "CAST(b.embedding AS DOUBLE[])), 4) >= 0.99 ORDER BY a, b")
 def e01(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over a bounded augmented corpus
-    (planted exact duplicates), scored EXACTLY (bits=0 degenerates the
-    bucketing to a single bucket = full pair scan) so the brute-force
-    oracle is matched deterministically. The LSH-bucketed variant
-    (bits>0) is the scale path but its recall at any finite number of
-    hyperplanes is probabilistic — a few-degree angle still flips a
-    hyperplane sign ~θ/π of the time per plane — so it is quality-tested,
-    not oracle-hashed."""
+    """Embedding-cosine near-dup pairs via banded LSH — the scale path:
+    candidate generation is an equi-join on (band, bucket-key) with
+    16 bands × 8 bits = 256 buckets per band (bucket space grows with
+    corpus via auto_bits when bits is None), then exact-cosine
+    verification of the deduped candidates only. Matching the exact
+    all-pairs oracle is sound here: planted duplicates are EXACT
+    (angle 0 ⇒ every hyperplane sign agrees ⇒ found in every band), and
+    for any organic pair at cosine ≥ 0.99 the per-band miss prob is
+    1−0.955⁸ ≈ 0.31, so missing all 16 bands is ~7e-9 — far below the
+    oracle-hash noise floor."""
     return (similarity.embedding_near_duplicates(
-        _aug_emb(spark, sf_dir), threshold=0.99, bits=0)
+        _aug_emb(spark, sf_dir), threshold=0.99, bands=16, bits=8)
         .orderBy("a", "b"))
 
 
@@ -228,11 +266,13 @@ def n01(spark, sf_dir):
 
 @register("n02_ann_lsh_topk", None)  # approximate: recall asserted in tests
 def n02(spark, sf_dir):
-    """Hyperplane-LSH ANN top-5 with hamming-1 multiprobe — the 100 TB
-    path: each query scores only its bucket's candidates."""
+    """Banded hyperplane-LSH ANN top-5 with per-band hamming-1 multiprobe
+    — the 100 TB path: each query scores only (band, bucket)-sharing
+    candidates; bits auto-scale with corpus size (≥2^8 buckets per band)
+    so the within-bucket candidate set stays bounded as N grows."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (similarity.lsh_ann_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=5, bits=4)
+        emb, emb.where(F.col("vec_id") < 5), k=5, bits=None, bands=8)
         .withColumnRenamed("rank", "rnk"))
 
 

@@ -60,6 +60,76 @@ def test_simhash_properties(spark, docs100):
         assert (i, i + 1000) in found
 
 
+def test_simhash_banded_equals_allpairs(spark, sf_dir):
+    """Pigeonhole exhaustiveness: chunked candidate generation + popcount
+    verification returns the IDENTICAL pair set as the quadratic
+    baseline — banding may never lose a qualifying pair."""
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_neardup_docs
+    corpus = _aug_neardup_docs(spark, sf_dir)
+    for mh in (0, 3, 6):
+        exact = {(r.a, r.b, r.hamming) for r in
+                 dedup.simhash_near_duplicates(
+                     corpus, max_hamming=mh).collect()}
+        banded = {(r.a, r.b, r.hamming) for r in
+                  dedup.simhash_banded_near_duplicates(
+                      corpus, max_hamming=mh).collect()}
+        assert banded == exact, f"max_hamming={mh}"
+    assert exact, "corpus should contain near-dup pairs at hamming<=6"
+
+
+def test_simhash_banded_is_equijoin_not_crossjoin(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_neardup_docs
+    import io, contextlib
+    df = dedup.simhash_banded_near_duplicates(
+        _aug_neardup_docs(spark, sf_dir), max_hamming=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_bits_scales_with_corpus():
+    assert similarity.auto_bits(0) == 8
+    assert similarity.auto_bits(10_000) == 8          # floor
+    assert similarity.auto_bits(1_000_000) == 14      # N/64 buckets
+    assert similarity.auto_bits(10 ** 12) == 20       # ceiling
+    ns = [10 ** e for e in range(2, 13)]
+    bs = [similarity.auto_bits(n) for n in ns]
+    assert bs == sorted(bs)  # monotone in corpus size
+
+
+def test_embedding_neardup_banded_equals_exact(spark, sf_dir):
+    """The registered e01 path (16 bands x 8 bits = 256 buckets/band)
+    must reproduce the exact all-pairs result on the planted corpus —
+    recall unchanged by the bucketing."""
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_emb
+    corpus = _aug_emb(spark, sf_dir)
+    exact = {(r.a, r.b, r.cosine) for r in similarity.embedding_near_duplicates(
+        corpus, threshold=0.99, bands=0).collect()}
+    banded = {(r.a, r.b, r.cosine) for r in similarity.embedding_near_duplicates(
+        corpus, threshold=0.99, bands=16, bits=8).collect()}
+    assert exact, "planted duplicates must exist"
+    assert banded == exact
+
+
+def test_banded_lsh_bucket_space(spark, sf_dir):
+    """Scale property: with bits=8 each band has 256 possible buckets and
+    the corpus actually spreads across them (no 16-bucket collapse)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.random_hyperplanes(64, 8 * 8)
+    keyed = emb.select(similarity.band_keys_udf(planes, 8, 8)(
+        F.col("embedding")).alias("ks"))
+    stats = (keyed.select(F.posexplode("ks").alias("band", "key"))
+             .groupBy("band")
+             .agg(F.countDistinct("key").alias("nkeys"),
+                  F.max("key").alias("mx"), F.min("key").alias("mn")))
+    for r in stats.collect():
+        assert 0 <= r.mn and r.mx < 256
+        assert r.nkeys > 32, f"band {r.band} collapsed: {r.nkeys} buckets"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
