@@ -193,6 +193,24 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     assert sum(s * s for s in sizes) < n * n / 2
 
 
+@pytest.mark.parametrize("name", [
+    "sa01_bernoulli_sample", "sa02_stratified_sample",
+    "a05_approx_count_distinct", "a14_approx_quantile",
+    "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
+    "m01_media_features", "m02_video_frame_sample",
+])
+def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
+    """Every registry entry without a SQL oracle gets only a rows-only
+    driver check — back it with a local invariant: two runs produce
+    value-identical results (seeded sampling, seeded LSH, deterministic
+    prefix-trained IVF, deterministic fake decode)."""
+    spec = plans.REGISTRY[name]
+    assert spec.oracle is None, f"{name} gained an oracle; drop it here"
+    r1 = sorted(tuple(r) for r in spec.spark_fn(spark, sf_dir).collect())
+    r2 = sorted(tuple(r) for r in spec.spark_fn(spark, sf_dir).collect())
+    assert r1 == r2
+
+
 def test_connected_components_chains_and_merges(spark):
     """Transitive closure: chains collapse to one component, disjoint
     components stay apart, and late edges merge previously separate

@@ -45,6 +45,28 @@ def test_session_windows_stream(spark, events_dir):
         assert r.n_events >= 1
 
 
+def test_session_windows_stream_equals_batch_sf01(spark, tmp_path):
+    """Session-window parity at bench scale (sf0.1): the streaming
+    session assembly (state merge + eviction) must produce exactly the
+    batch session_window result — st03's shape, 10x the smoke data."""
+    sf1 = "/root/testdata/sf0.1"
+    d = tmp_path / "events_sf01"
+    d.mkdir()
+    shutil.copy(f"{sf1}/events.parquet", d / "events.parquet")
+    stream = sw.session_windows(sw.stream_events(spark, str(d)),
+                                gap="30 minutes")
+    sw.run_to_memory(stream, "sessions_sf01_t", "complete")
+    key = ("user_id", "session_start", "session_end", "n_events",
+           "session_value")
+    got = {tuple(r[k] for k in key)
+           for r in spark.table("sessions_sf01_t").collect()}
+    batch = sw.session_windows(load_table(spark, sf1, "events"),
+                               gap="30 minutes")  # watermark no-op in batch
+    want = {tuple(r[k] for k in key) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 100  # sf0.1 actually exercises many sessions
+
+
 def test_stream_events_on_empty_dir_then_fill(spark, sf_dir, tmp_path):
     """A stream started on an empty directory (normal file-source setup —
     the producer fills it later) must not die on schema inference; the
