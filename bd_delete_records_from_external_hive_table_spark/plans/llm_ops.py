@@ -587,3 +587,121 @@ def st04(spark, sf_dir):
     return (pairs.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-governance composites: contamination, sharding, curation
+# ---------------------------------------------------------------------------
+
+#: Contamination demo corpus: benchmark docs = every 50th id; training =
+#: the rest PLUS planted perturbed copies of the benchmark docs (ids
+#: +2000, two appended tokens) so cross-set 5-gram overlap provably
+#: exists at every SF.
+_CONTAM_DOCS = ("SELECT doc_id, text FROM documents WHERE doc_id < 500 "
+                "UNION ALL SELECT doc_id + 2000 AS doc_id, "
+                "text || ' zq zq' AS text FROM documents "
+                "WHERE doc_id < 500 AND doc_id % 50 = 0")
+
+_DUCK_SHINGLES5 = ("list_distinct([array_to_string(ts[i:i+4], ' ') "
+                   "for i in range(1, len(ts) - 3)])")
+
+
+def _contam_docs(spark, sf_dir):
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id", "text"))
+    planted = (docs.where(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 2000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" zq zq"))
+                       .alias("text")))
+    return docs.unionByName(planted)
+
+
+@register("t08_contamination_check",
+          f"WITH docs AS ({_CONTAM_DOCS}), "
+          f"sh AS (SELECT doc_id, {_DUCK_SHINGLES5} AS s FROM "
+          f"(SELECT doc_id, {_DUCK_TOKENS} AS ts FROM docs)), "
+          "tr AS (SELECT doc_id, UNNEST(s) AS g FROM sh "
+          "WHERE doc_id % 50 <> 0 OR doc_id >= 2000), "
+          "be AS (SELECT DISTINCT UNNEST(s) AS g FROM sh "
+          "WHERE doc_id % 50 = 0 AND doc_id < 2000) "
+          "SELECT tr.doc_id AS train_id, COUNT(DISTINCT g) AS n_shared "
+          "FROM tr JOIN be USING (g) GROUP BY train_id ORDER BY train_id")
+def t08(spark, sf_dir):
+    """Benchmark-contamination check (the pre-training hygiene pass):
+    which training documents share a verbatim word 5-gram with the
+    held-out benchmark set, and how many. The benchmark shingle set is
+    tiny relative to the corpus, so it broadcasts; the training corpus
+    explodes to (doc, shingle) map-side and the only shuffle is the
+    per-document distinct-count — at 100 TB the fact side is never
+    shuffled for the membership probe itself. Planted perturbed copies
+    of benchmark docs guarantee non-empty overlap at every SF."""
+    docs = _contam_docs(spark, sf_dir)
+    sh5 = F.array_distinct(shingles(ws_tokens(F.col("text")), 5))
+    shingled = docs.select("doc_id", F.explode(sh5).alias("g"))
+    is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2000)
+    bench_set = shingled.where(is_bench).select("g").distinct()
+    return (shingled.where(~is_bench)
+            .join(F.broadcast(bench_set), "g")
+            .groupBy(F.col("doc_id").alias("train_id"))
+            .agg(F.countDistinct("g").alias("n_shared"))
+            .orderBy("train_id"))
+
+
+@register("s02_deterministic_shard",
+          "SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS "
+          "VARCHAR)), 1, 7)) AS UBIGINT) % 16 AS BIGINT) AS shard, "
+          "COUNT(*) AS n_docs, "
+          f"CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens "
+          "FROM documents GROUP BY shard ORDER BY shard")
+def s02(spark, sf_dir):
+    """Deterministic training-data sharding: shard id = cross-engine
+    stable 28-bit md5 hash of the doc id, mod 16 — the reproducible
+    shuffle/shard assignment a distributed training job needs (same doc
+    lands in the same shard on every run and every engine, unlike
+    hash-partition numbers, which are engine-internal). One map-side
+    expression + a 16-group partial agg: shard population stats prove
+    the assignment is balanced."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (stable_hash28(F.col("doc_id").cast("string")) % 16) \
+        .alias("shard")
+    return (docs.groupBy(shard)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(ws_tokens(F.col("text")))).cast("bigint")
+                 .alias("n_tokens"))
+            .orderBy("shard"))
+
+
+@register("p01_curation_pipeline",
+          f"WITH aug AS ({_AUG_DOCS}), "
+          "keep AS (SELECT MIN(doc_id) AS doc_id FROM aug "
+          "GROUP BY md5(text)), "
+          "surv AS (SELECT a.* FROM aug a JOIN keep USING (doc_id)), "
+          f"q AS (SELECT *, ROUND("
+          "0.4 * (len(list_distinct(ts)) / GREATEST(len(ts), 1)) + "
+          "0.3 * (1.0 - LEAST(ABS(length(text) / GREATEST(len(ts), 1) "
+          "- 4.5) / 4.5, 1.0)) + "
+          "0.3 * LEAST(len(ts) / 64.0, 1.0), 4) AS quality "
+          f"FROM (SELECT *, {_DUCK_TOKENS} AS ts FROM surv)) "
+          "SELECT source, COUNT(*) AS n_docs, "
+          f"CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) "
+          "AS BIGINT) AS n_tokens "
+          "FROM q WHERE quality >= 0.5 AND lang = 'en' "
+          "GROUP BY source ORDER BY source")
+def p01(spark, sf_dir):
+    """End-to-end corpus curation composite — the daily pipeline in one
+    plan: exact dedup (keep min-id survivor per content hash) → quality
+    floor (t02's score) → language filter → per-source doc/token budget.
+    Everything stays in codegen: dedup is one hash shuffle + semi-join,
+    the filters are map-side expressions on the survivors, and the final
+    rollup carries 2 longs per (task, source). The oracle replays the
+    identical four stages in SQL over the same augmented corpus."""
+    survivors = dedup.exact_dedup(_aug_docs(spark, sf_dir))
+    filtered = (survivors
+                .where(quality_score_col(F.col("text")) >= 0.5)
+                .where(F.col("lang") == "en"))
+    from ..functions.text import bpe_tokens
+    return (filtered.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(bpe_tokens(F.col("text")))).cast("bigint")
+                 .alias("n_tokens"))
+            .orderBy("source"))
