@@ -455,3 +455,29 @@ def a20(spark, sf_dir):
             .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
                     "cnt")
             .orderBy("l_returnflag"))
+
+
+@register("j18_shuffle_hash_join",
+          "SELECT o_orderpriority, COUNT(*) AS n, "
+          "ROUND(SUM(l_quantity), 2) AS total_qty "
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+          "WHERE o_orderstatus = 'F' "
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+def j18(spark, sf_dir):
+    """The third join strategy, pinned explicitly: SHUFFLE_HASH builds a
+    hash table per partition instead of sorting both sides — wins over
+    sort-merge when one side is much smaller than the other but still
+    too big to broadcast (the mid-size dimension case at 100 TB), since
+    it skips both sort passes. The hint goes on the smaller (orders)
+    side; AQE still coalesces the post-shuffle partitions. j01 (pinned
+    broadcast) / j02 (pinned merge) / j18 (pinned shuffle-hash) cover
+    the full explicit join-strategy surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .hint("shuffle_hash"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy("o_orderpriority"))

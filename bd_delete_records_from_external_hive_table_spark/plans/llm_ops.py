@@ -705,3 +705,42 @@ def p01(spark, sf_dir):
                  F.sum(F.size(bpe_tokens(F.col("text")))).cast("bigint")
                  .alias("n_tokens"))
             .orderBy("source"))
+
+
+@register("t09_gopher_quality_flags",
+          "SELECT doc_id, mean_wl_ok, symbol_ok, stopword_ok, "
+          "(mean_wl_ok AND symbol_ok AND stopword_ok) AS passes "
+          "FROM (SELECT doc_id, "
+          "(length(text) / GREATEST(len(ts), 1)) BETWEEN 3 AND 10 "
+          "AS mean_wl_ok, "
+          "(len(regexp_extract_all(text, '[#@/\\\\{}\\\\[\\\\]<>|~^]')) "
+          "<= 0.1 * GREATEST(len(ts), 1)) AS symbol_ok, "
+          "len(list_intersect(list_distinct(list_filter("
+          "string_split_regex(lower(text), '\\s+'), t -> t <> '')), "
+          "['the', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on', "
+          "'with'])) >= 2 AS stopword_ok "
+          f"FROM (SELECT doc_id, text, {_DUCK_TOKENS} AS ts "
+          "FROM documents WHERE doc_id < 200)) ORDER BY doc_id")
+def t09(spark, sf_dir):
+    """Gopher-style rule filters (Rae et al. 2021, §A1.1 shape): mean
+    word length in [3,10] chars, symbol-to-word ratio ≤ 0.1, ≥2 distinct
+    English stopwords present. Three boolean flags + the conjunction,
+    all branch-free codegen expressions — the rule battery a curation
+    pipeline evaluates per document at corpus scale, map-side only."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200))
+    toks = ws_tokens(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.length("text") / n
+    mean_wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
+    symbols = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[#@/{}\[\]<>|~^]"), 0)
+    symbol_ok = F.size(symbols) <= 0.1 * n
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    distinct_lower = F.array_distinct(ws_tokens(F.lower(F.col("text"))))
+    stopword_ok = F.size(F.array_intersect(distinct_lower, stop_en)) >= 2
+    return (docs.select(
+        "doc_id", mean_wl_ok.alias("mean_wl_ok"),
+        symbol_ok.alias("symbol_ok"), stopword_ok.alias("stopword_ok"),
+        (mean_wl_ok & symbol_ok & stopword_ok).alias("passes"))
+        .orderBy("doc_id"))

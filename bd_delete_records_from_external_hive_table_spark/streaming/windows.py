@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 __all__ = [
     "EVENTS_FILE_SCHEMA", "EVENTS_LEGACY_FILE_SCHEMA", "stream_events",
     "tumbling_counts", "sliding_counts", "session_windows",
-    "streaming_dedup", "running_user_totals",
+    "streaming_dedup", "running_user_totals", "per_key_quota",
 ]
 
 #: On-disk file schema of the current events encoding: parquet
@@ -172,6 +172,47 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id").applyInPandasWithState(
         update, _USER_TOTALS_SCHEMA, _USER_TOTALS_STATE,
         "update", GroupStateTimeout.NoTimeout))
+
+
+_QUOTA_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+])
+
+
+def per_key_quota(events: DataFrame, quota: int = 10,
+                  key: str = "user_id") -> DataFrame:
+    """Per-key quota sampler: emit at most ``quota`` events per key
+    across the whole stream — the quota/budget enforcement a corpus
+    pipeline applies per source/domain ('at most N documents per
+    site'). State is ONE long per key (the running admitted count), so
+    state size is |keys|, not |events|; rows beyond the quota are
+    dropped inside the Arrow batch iterator without ever being emitted.
+
+    Implemented on ``applyInPandasWithState``. The newer Spark 4
+    ``transformWithStateInPandas`` API expresses the same processor
+    (ValueState['n'] + early-exit emit) but its state server requires
+    the ``protobuf`` Python package, which this environment lacks — the
+    applyInPandasWithState form is semantically identical here
+    (single ValueState, append output, no timers)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q = int(quota)
+
+    def admit(key_: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if n >= q:
+                continue  # consume the iterator; nothing more to admit
+            take = pdf.iloc[: q - n]
+            n += len(take)
+            yield take[["user_id", "event_id"]]
+        state.update((n,))
+
+    return (events.groupBy(key).applyInPandasWithState(
+        admit, _QUOTA_SCHEMA, "n BIGINT", "append",
+        GroupStateTimeout.NoTimeout))
 
 
 def interval_join(left: DataFrame, right: DataFrame, *,

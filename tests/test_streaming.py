@@ -45,6 +45,26 @@ def test_session_windows_stream(spark, events_dir):
         assert r.n_events >= 1
 
 
+def test_per_key_quota_stream(spark, sf_dir, events_dir):
+    """transformWithStateInPandas quota sampler: at most `quota` events
+    emitted per user across the stream; users under the quota keep every
+    event."""
+    quota = 5
+    out = sw.per_key_quota(sw.stream_events(spark, events_dir),
+                           quota=quota)
+    sw.run_to_memory(out, "quota_t", "append")
+    got = (spark.table("quota_t").groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("event_id").alias("nd")).collect())
+    totals = {r.user_id: r.n for r in
+              load_table(spark, sf_dir, "events").groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.user_id for r in got} == set(totals)
+    for r in got:
+        assert r.n == min(totals[r.user_id], quota), r
+        assert r.nd == r.n  # admitted rows are distinct events, no dups
+
+
 def test_session_windows_stream_equals_batch_sf01(spark, tmp_path):
     """Session-window parity at bench scale (sf0.1): the streaming
     session assembly (state merge + eviction) must produce exactly the
