@@ -481,3 +481,35 @@ def j18(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("l_quantity"), 2).alias("total_qty"))
             .orderBy("o_orderpriority"))
+
+
+@register("w09_rolling_distinct_users",
+          "WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d "
+          "FROM events) "
+          "SELECT d, CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events "
+          "e2 WHERE CAST(e2.ts AS DATE) BETWEEN d - 6 AND d) AS BIGINT) "
+          "AS n_active_7d FROM daily ORDER BY d")
+def w09(spark, sf_dir):
+    """7-day rolling distinct active users — the windowed COUNT DISTINCT
+    that plain window frames can't express (DISTINCT aggs aren't
+    window-able). Two-level plan: per-day user sets first (one shuffle,
+    keyed by day; the heavy distinct happens here, map-side partial),
+    then a range-frame window over the DAILY table — |days| rows, so
+    the single-partition window is bounded by the calendar, never by
+    event volume (same argument as ts01's date spine). The oracle pays
+    the quadratic correlated-subquery price instead — fine at sf0.01,
+    which is exactly why the engine-side shape matters at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_users = (ev.select(F.to_date("ts").alias("d"), "user_id")
+                   .distinct())
+    day_sets = (daily_users.groupBy("d")
+                .agg(F.collect_set("user_id").alias("us")))
+    dnum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    return (day_sets.withColumn("dnum", dnum)
+            .withColumn("n_active_7d",
+                        F.size(F.array_distinct(
+                            F.flatten(F.collect_list("us").over(w))))
+                        .cast("long"))
+            .select("d", "n_active_7d")
+            .orderBy("d"))

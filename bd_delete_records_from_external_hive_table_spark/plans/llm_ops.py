@@ -744,3 +744,58 @@ def t09(spark, sf_dir):
         symbol_ok.alias("symbol_ok"), stopword_ok.alias("stopword_ok"),
         (mean_wl_ok & symbol_ok & stopword_ok).alias("passes"))
         .orderBy("doc_id"))
+
+
+#: Incremental-ingest demo: existing corpus = doc_id < 400; new batch =
+#: 400..499 PLUS exact copies of every 20th corpus doc (ids +3000 →
+#: duplicates vs the store) PLUS a second copy of every 25th batch doc
+#: (ids +4000 → in-batch duplicates).
+_INGEST_BATCH = ("SELECT doc_id, text FROM documents "
+                 "WHERE doc_id >= 400 AND doc_id < 500 "
+                 "UNION ALL SELECT doc_id + 3000 AS doc_id, text "
+                 "FROM documents WHERE doc_id < 400 AND doc_id % 20 = 0 "
+                 "UNION ALL SELECT doc_id + 4000 AS doc_id, text "
+                 "FROM documents "
+                 "WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 25 = 0")
+
+
+def _ingest_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+    vs_corpus = (docs.where((F.col("doc_id") < 400)
+                            & (F.col("doc_id") % 20 == 0))
+                 .select((F.col("doc_id") + 3000).alias("doc_id"), "text"))
+    in_batch = (base.where(F.col("doc_id") % 25 == 0)
+                .select((F.col("doc_id") + 4000).alias("doc_id"), "text"))
+    return base.unionByName(vs_corpus).unionByName(in_batch)
+
+
+@register("d10_incremental_ingest_dedup",
+          f"WITH batch AS ({_INGEST_BATCH}), "
+          "store AS (SELECT DISTINCT md5(text) AS h FROM documents "
+          "WHERE doc_id < 400), "
+          "fresh AS (SELECT b.doc_id, md5(b.text) AS h FROM batch b "
+          "WHERE md5(b.text) NOT IN (SELECT h FROM store)) "
+          "SELECT doc_id AS admitted_id FROM fresh f "
+          "WHERE doc_id = (SELECT MIN(doc_id) FROM fresh f2 "
+          "WHERE f2.h = f.h) ORDER BY admitted_id")
+def d10(spark, sf_dir):
+    """Incremental corpus ingestion — the daily-batch form of dedup: a
+    new batch is admitted only where its content hash is (a) absent from
+    the existing corpus's signature STORE and (b) first-of-hash within
+    the batch. The store is the precomputed DISTINCT-hash index, so
+    ingestion never rescans corpus text; at 100 TB the store is bucketed
+    by hash, making the anti join co-located (shuffle only the new
+    batch, which is small by definition). In-batch dups collapse via the
+    same min-id keeper policy as d01/d07."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = (docs.where(F.col("doc_id") < 400)
+             .select(F.md5("text").alias("h")).distinct())
+    batch = _ingest_batch(spark, sf_dir) \
+        .select("doc_id", F.md5("text").alias("h"))
+    fresh = batch.join(store, "h", "left_anti")
+    keeper = (fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+              .select("doc_id"))
+    return (fresh.join(keeper, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("admitted_id"))
+            .orderBy("admitted_id"))
