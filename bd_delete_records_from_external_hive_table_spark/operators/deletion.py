@@ -250,20 +250,42 @@ class DeletionExecutor:
     def _rewrite_batch(self, batch: list[str], plan: PartitionPlan) -> None:
         """Dynamic-partition overwrite of one batch (DeletionExecutor.java:
         215-222). NO ``partitionBy`` on insertInto — the table's partition
-        spec governs (reference constraint, TEST_FIX.md:16-41)."""
+        spec governs (reference constraint, TEST_FIX.md:16-41).
+
+        The retained row count is collected with ``observe()`` DURING the
+        write pass — a free accumulator-backed metric, no extra scan (the
+        reference re-counts with a second job, DeletionExecutor.java:158).
+        It is also the write-TIME truth: ``plan.counts`` was measured at
+        analyze time, so a divergence means the partition changed in
+        between (concurrent writer) and reconciliation must use the
+        observed value, not the stale plan."""
+        from pyspark.sql import Observation
+
         cfg = self.config
         retained_df = self.retention_scan(batch)
         # insertInto is positional: align to the table's column order.
         cols = self.spark.table(cfg.qualified_table).columns
+        obs = Observation()
         (retained_df.select(*cols)
+         .observe(obs, F.count(F.lit(1)).alias("retained"))
          .write.mode("overwrite")
          .insertInto(cfg.qualified_table))
+        observed_retained = int(obs.get["retained"])
         # plan.counts is always real here: execute() repairs sentinel
         # counts before batching.
         before = sum(plan.counts[p][0] for p in batch)
         per_part = {p: plan.counts[p][1] for p in batch}
-        retained = before - sum(per_part.values())
-        self.metrics.record_batch(batch, before, retained, per_part)
+        planned_retained = before - sum(per_part.values())
+        if observed_retained != planned_retained:
+            log.warning(
+                "batch %s: retained rows at write time (%d) != analyze-time "
+                "plan (%d) — table modified between analyze and rewrite; "
+                "metrics use the observed count", batch, observed_retained,
+                planned_retained)
+            audit("concurrent_modification_detected", batch=batch,
+                  planned_retained=planned_retained,
+                  observed_retained=observed_retained)
+        self.metrics.record_batch(batch, before, observed_retained, per_part)
 
     def drop_partitions(self, partitions: list[str]) -> list[str]:
         """Empty-partition fast path: metadata DROP + external-dir delete

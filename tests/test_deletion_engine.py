@@ -228,6 +228,30 @@ def test_probe_failure_conservative_path_still_deletes_and_backs_up(
     assert parts == ["partition_id=20260213"]
 
 
+def test_rewrite_metrics_use_write_time_observed_counts(spark, table):
+    """The retained count is observe()d during the write pass. If the
+    table changes between analyze and execute (concurrent writer), the
+    metrics must reflect the write-time truth, not the stale plan."""
+    from bd_delete_records_from_external_hive_table_spark.operators.deletion import (
+        PartitionHandler,
+    )
+    seed(spark, table)  # ids 1..10, id=5 matches the criteria below
+    crit = DeletionCriteria(where_clause="id = 5",
+                            start_time=datetime(2026, 2, 13),
+                            end_time=datetime(2026, 2, 14))
+    cfg = _cfg(table, crit, validation_enabled=False)
+    plan = PartitionHandler(spark, cfg).analyze()
+    assert plan.would_delete == 1
+    # concurrent writer adds 5 non-matching rows AFTER the analysis
+    seed(spark, table, ids=range(21, 26))
+    result = DeletionExecutor(spark, cfg).execute(plan)
+    # write-time scan retained 9 original + 5 new = 14 rows, not the
+    # planned 9 — metrics must carry the observed number
+    assert result.retained == 14
+    assert remaining_ids(spark, table) == [1, 2, 3, 4, 6, 7, 8, 9, 10,
+                                           21, 22, 23, 24, 25]
+
+
 def test_null_predicate_rows_counted_and_validated(spark, table):
     """Rows where the predicate is NULL are dropped by the default
     retention scan (3-valued logic) — they must be COUNTED as deleted so
