@@ -28,7 +28,8 @@ import logging
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..metrics import audit
@@ -88,11 +89,16 @@ class HiveTableBackupStrategy:
 
     def restore(self, ref: BackupRef) -> int:
         """Dynamic-partition overwrite of the original from the backup
-        (HiveTableBackupStrategy.java:60-75)."""
+        (HiveTableBackupStrategy.java:60-75). The restored-row count is
+        observe()d during the write — the reference pays a second backup
+        scan for it (HiveTableBackupStrategy.java:81)."""
         df = self.spark.table(ref.ref)
         cols = self.spark.table(ref.source_table).columns
-        df.select(*cols).write.mode("overwrite").insertInto(ref.source_table)
-        return df.count()
+        obs = Observation()
+        (df.select(*cols)
+         .observe(obs, F.count(F.lit(1)).alias("rows"))
+         .write.mode("overwrite").insertInto(ref.source_table))
+        return int(obs.get["rows"])
 
     def backup_count(self, ref: BackupRef) -> int:
         return self.spark.table(ref.ref).count()
@@ -216,10 +222,15 @@ class PathBackupStrategy:
                          tuple(partitions), now)
 
     def restore(self, ref: BackupRef) -> int:
+        """Restore count observe()d during the write — one backup scan,
+        not two (HDFSBackupStrategy.java:83 re-counts)."""
         df = self.spark.read.format("orc").load(ref.ref)
         cols = self.spark.table(ref.source_table).columns
-        df.select(*cols).write.mode("overwrite").insertInto(ref.source_table)
-        return df.count()
+        obs = Observation()
+        (df.select(*cols)
+         .observe(obs, F.count(F.lit(1)).alias("rows"))
+         .write.mode("overwrite").insertInto(ref.source_table))
+        return int(obs.get["rows"])
 
     def backup_count(self, ref: BackupRef) -> int:
         return self.spark.read.format("orc").load(ref.ref).count()
