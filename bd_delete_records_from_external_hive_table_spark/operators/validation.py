@@ -87,18 +87,21 @@ class ValidationManager:
         # under null-safe retention, surviving NULL-of-P rows are intended
         pred = cfg.criteria.deletion_column(cfg.null_safe_retention)
 
-        # (a) count reconciliation with tolerance — skipped when the
-        # partition probe failed and no expectation exists (None)
-        actual = table.count()
+        # (a) count reconciliation + (d) zero remaining matches — ONE
+        # conditional-aggregate scan for both (the reference runs two
+        # jobs, ValidationManager.java:142-163 + 181-194; at 100 TB the
+        # second full pass is pure waste)
+        from pyspark.sql import functions as F
+        row = table.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(pred, 1)).alias("remaining")).first()
+        actual, remaining = row["total"], row["remaining"]
         if expected_retained is not None:
             tol = expected_retained * cfg.validation_tolerance_pct / 100.0
             ok = abs(actual - expected_retained) <= tol
             report.record("count_reconciliation", ok,
                           f"expected={expected_retained} actual={actual} "
                           f"tol={tol}")
-
-        # (d) zero remaining matches — single pruned count
-        remaining = table.where(pred).count()
         report.record("zero_matching_remain", remaining == 0,
                       f"remaining_matches={remaining}")
 
