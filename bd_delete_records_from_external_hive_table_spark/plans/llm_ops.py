@@ -691,11 +691,17 @@ def p01(spark, sf_dir):
     """End-to-end corpus curation composite — the daily pipeline in one
     plan: exact dedup (keep min-id survivor per content hash) → quality
     floor (t02's score) → language filter → per-source doc/token budget.
-    Everything stays in codegen: dedup is one hash shuffle + semi-join,
-    the filters are map-side expressions on the survivors, and the final
-    rollup carries 2 longs per (task, source). The oracle replays the
-    identical four stages in SQL over the same augmented corpus."""
-    survivors = dedup.exact_dedup(_aug_docs(spark, sf_dir))
+    Dedup uses the d07 window form (row_number over md5(text)) rather
+    than exact_dedup's groupBy+semi-join: inside a composite the
+    semi-join would re-derive its keeper aggregate per union branch
+    (duplicate subplans), while the window is ONE corpus scan + ONE hash
+    shuffle. The whole pipeline costs 3 exchanges: content hash, source
+    rollup, final sort. The oracle replays the identical four stages in
+    SQL over the same augmented corpus."""
+    docs = _aug_docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (docs.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1))
     filtered = (survivors
                 .where(quality_score_col(F.col("text")) >= 0.5)
                 .where(F.col("lang") == "en"))

@@ -211,6 +211,42 @@ def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     assert r1 == r2
 
 
+def _plan(df) -> str:
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_contamination_probe_broadcasts_benchmark_set(spark, sf_dir):
+    """t08's membership probe must broadcast the benchmark shingle set —
+    the training corpus is never shuffled for the join itself."""
+    plan = _plan(plans.REGISTRY["t08_contamination_check"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    """p01's whole dedup→filter→rollup pipeline runs in one plan with
+    exactly three shuffles: content-hash window, source rollup, final
+    sort — never one per stage."""
+    plan = _plan(plans.REGISTRY["p01_curation_pipeline"]
+                 .spark_fn(spark, sf_dir))
+    shuffles = (plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning"))
+    assert shuffles <= 3, plan
+
+
+def test_incremental_ingest_is_anti_join(spark, sf_dir):
+    plan = _plan(plans.REGISTRY["d10_incremental_ingest_dedup"]
+                 .spark_fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_connected_components_chains_and_merges(spark):
     """Transitive closure: chains collapse to one component, disjoint
     components stay apart, and late edges merge previously separate
