@@ -513,3 +513,48 @@ def w09(spark, sf_dir):
                         .cast("long"))
             .select("d", "n_active_7d")
             .orderBy("d"))
+
+
+@register("j19_tpch_q9_shape",
+          "SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit "
+          "FROM (SELECT n_name AS nation, "
+          "  EXTRACT(year FROM o_orderdate) AS o_year, "
+          "  CAST(l_extendedprice * (1 - l_discount) "
+          "    - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) "
+          "    AS amount "
+          "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+          "  JOIN supplier ON s_suppkey = l_suppkey "
+          "  JOIN orders ON o_orderkey = l_orderkey "
+          "  JOIN nation ON s_nationkey = n_nationkey "
+          "  WHERE p_name LIKE '%gear%') "
+          "GROUP BY nation, o_year ORDER BY nation, o_year DESC")
+def j19(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): per (supplier nation, order
+    year) profit over name-filtered parts. The synthetic schema has no
+    partsupp, so supply cost is proxied by 0.1·p_retailprice·quantity —
+    the SHAPE is what matters: a 5-way join where TWO fact-sized sides
+    (lineitem, orders) meet, part pre-filtered by a LIKE. part/supplier/
+    nation broadcast (true dims); the lineitem⨝orders join is AQE's
+    call — sort-merge at 100 TB. Decimal profit keeps grouping sums
+    layout-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (_t(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%gear%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity")) \
+        .cast("decimal(18,4)")
+    return (li
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
