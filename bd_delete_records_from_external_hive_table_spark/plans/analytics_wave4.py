@@ -558,3 +558,27 @@ def j19(spark, sf_dir):
                      F.year("o_orderdate").cast("long").alias("o_year"))
             .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
             .orderBy("nation", F.desc("o_year")))
+
+
+@register("a21_hll_sketch_rollup", None)  # sketch bytes: no SQL oracle
+def a21(spark, sf_dir):
+    """Mergeable distinct-count sketches — the incremental-rollup pattern
+    for 100 TB: per-partition HLL sketches (here per o_orderstatus) are
+    small binary states that persist alongside a continuous aggregate;
+    a new day of data sketches independently and hll_union_agg folds it
+    in WITHOUT recounting history. This query materializes the per-group
+    sketches, unions them to a global estimate, and returns per-group +
+    global estimates — deterministic for fixed input (Datasketches HLL
+    is order-insensitive), error-bound-tested against exact counts."""
+    orders = _t(spark, sf_dir, "orders")
+    per_group = (orders.groupBy("o_orderstatus")
+                 .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    est = (per_group
+           .select("o_orderstatus",
+                   F.hll_sketch_estimate("sk").alias("approx_custkeys")))
+    merged = (per_group
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx_custkeys"))
+              .select(F.lit("ALL").alias("o_orderstatus"),
+                      "approx_custkeys"))
+    return est.unionByName(merged).orderBy("o_orderstatus")

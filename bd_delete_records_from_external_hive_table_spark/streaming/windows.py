@@ -217,8 +217,9 @@ def per_key_quota(events: DataFrame, quota: int = 10,
 
 def interval_join(left: DataFrame, right: DataFrame, *,
                   key: str = "user_id", max_delay: str = "1 hour",
-                  watermark: str = "2 hours") -> DataFrame:
-    """Watermarked stream-stream inner join: pair each left event with the
+                  watermark: str = "2 hours",
+                  how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with the
     right-side events of the same ``key`` that happen within
     ``(left.ts, left.ts + max_delay]`` — the attribution shape (view →
     click, impression → purchase).
@@ -227,7 +228,13 @@ def interval_join(left: DataFrame, right: DataFrame, *,
     distance, so the join state store holds only ``watermark + max_delay``
     of history per key — without the time bound a stream-stream join must
     buffer BOTH streams forever. Works identically on batch frames (the
-    parity test runs the same plan both ways)."""
+    parity test runs the same plan both ways).
+
+    ``how="left_outer"`` also emits unconverted left events (view with no
+    click) with NULL ``r_ts`` — in streaming, an unmatched row emits only
+    once the watermark passes ``l_ts + max_delay``, i.e. when a LATER
+    batch has advanced event time; rows near the end of input stay
+    buffered (standard Structured Streaming outer-join semantics)."""
     l = left.select(F.col(key).alias("l_key"),
                     F.col("ts").alias("l_ts")).withWatermark("l_ts", watermark)
     r = right.select(F.col(key).alias("r_key"),
@@ -237,7 +244,7 @@ def interval_join(left: DataFrame, right: DataFrame, *,
            & (F.col("r_ts") > F.col("l_ts"))
            & (F.col("r_ts") <= F.col("l_ts") + F.expr(
                f"INTERVAL {max_delay}")),
-        "inner")
+        how)
         .select(F.col("l_key").alias(key), "l_ts", "r_ts"))
 
 

@@ -198,6 +198,7 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "a05_approx_count_distinct", "a14_approx_quantile",
     "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
     "m01_media_features", "m02_video_frame_sample",
+    "a21_hll_sketch_rollup",
 ])
 def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     """Every registry entry without a SQL oracle gets only a rows-only
@@ -209,6 +210,22 @@ def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     r1 = sorted(tuple(r) for r in spec.spark_fn(spark, sf_dir).collect())
     r2 = sorted(tuple(r) for r in spec.spark_fn(spark, sf_dir).collect())
     assert r1 == r2
+
+
+def test_hll_sketch_rollup_error_bounds(spark, sf_dir):
+    """Per-group and merged HLL estimates within 5% of exact distinct
+    counts, and the merged sketch equals sketching the whole column."""
+    got = {r.o_orderstatus: r.approx_custkeys
+           for r in plans.REGISTRY["a21_hll_sketch_rollup"]
+           .spark_fn(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r.o_orderstatus: r.n for r in
+             orders.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
 
 
 def _plan(df) -> str:

@@ -45,8 +45,62 @@ def test_session_windows_stream(spark, events_dir):
         assert r.n_events >= 1
 
 
+def test_interval_join_left_outer_batch_semantics(spark, sf_dir):
+    """Batch form: left_outer == inner ∪ (unmatched left with NULL r_ts);
+    every left event appears at least once."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+    views = ev.where("event_type = 'view'")
+    clicks = ev.where("event_type = 'click'")
+    inner = sw.interval_join(views, clicks, max_delay="1 hour")
+    outer = sw.interval_join(views, clicks, max_delay="1 hour",
+                             how="left_outer")
+    inner_rows = {(r.user_id, r.l_ts, r.r_ts) for r in inner.collect()}
+    outer_rows = {(r.user_id, r.l_ts, r.r_ts) for r in outer.collect()}
+    assert inner_rows <= outer_rows
+    nulls = {(u, lt) for (u, lt, rt) in outer_rows if rt is None}
+    matched = {(u, lt) for (u, lt, rt) in outer_rows if rt is not None}
+    assert nulls.isdisjoint(matched)  # a left row is matched XOR null
+    # every view appears exactly once as either matched-or-null key
+    n_views = views.select("user_id", "ts").distinct().count()
+    assert len(nulls | matched) == n_views
+    assert nulls, "some views must be unconverted"
+
+
+def test_interval_join_left_outer_stream_emits_unmatched(spark, sf_dir,
+                                                         tmp_path):
+    """Streaming outer join: unmatched left rows emit once a later batch
+    advances the watermark past l_ts + max_delay. Two single-file
+    triggers make the second batch advance the watermark over the
+    first's events."""
+    d = tmp_path / "outer_stream"
+    d.mkdir()
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    halves = (("early", ev.where(F.col("ts") <= mid)),
+              ("late", ev.where(F.col("ts") > mid)))
+    for name, half in halves:
+        tmpd = tmp_path / f"w_{name}"
+        half.coalesce(1).write.parquet(str(tmpd))
+        part = next(p for p in tmpd.iterdir()
+                    if p.name.endswith(".parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+    stream = sw.stream_events(spark, str(d), max_files_per_trigger=1)
+    out = sw.interval_join(stream.where("event_type = 'view'"),
+                           stream.where("event_type = 'click'"),
+                           max_delay="1 hour", watermark="1 minute",
+                           how="left_outer")
+    sw.run_to_memory(out, "outer_join_t", "append")
+    rows = spark.table("outer_join_t").collect()
+    assert rows
+    assert any(r.r_ts is None for r in rows), \
+        "watermark advance must flush unmatched views"
+
+
 def test_per_key_quota_stream(spark, sf_dir, events_dir):
-    """transformWithStateInPandas quota sampler: at most `quota` events
+    """Stateful quota sampler: at most `quota` events
     emitted per user across the stream; users under the quota keep every
     event."""
     quota = 5
