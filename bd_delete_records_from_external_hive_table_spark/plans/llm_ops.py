@@ -805,3 +805,39 @@ def d10(spark, sf_dir):
     return (fresh.join(keeper, "doc_id", "left_semi")
             .select(F.col("doc_id").alias("admitted_id"))
             .orderBy("admitted_id"))
+
+
+@register("s03_token_budget_packing",
+          "WITH t AS (SELECT doc_id, "
+          "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+          "1, 7)) AS UBIGINT) % 16 AS BIGINT) AS shard, "
+          f"len({_DUCK_TOKENS}) AS n_tok FROM documents), "
+          "c AS (SELECT doc_id, shard, n_tok, "
+          "SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+          "ROWS UNBOUNDED PRECEDING) - n_tok AS before_tok FROM t) "
+          "SELECT shard, CAST(before_tok // 4096 AS BIGINT) AS bin, "
+          "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+          "FROM c GROUP BY shard, bin ORDER BY shard, bin")
+def s03(spark, sf_dir):
+    """Sequence packing for pretraining batches: docs are packed into
+    ~4096-token bins by cumulative token count, per shard. The cumsum
+    window partitions by the deterministic s02 shard, so at 100 TB the
+    packing runs as |shards| independent windows — never one global
+    ordered pass (the classic packing mistake). Bin assignment is pure
+    arithmetic on the running total (floor(before/budget)), making it
+    engine-reproducible where true greedy bin-packing (reset on
+    overflow) needs sequential state."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (stable_hash28(F.col("doc_id").cast("string")) % 16) \
+        .alias("shard")
+    t = docs.select("doc_id", shard,
+                    F.size(ws_tokens(F.col("text"))).alias("n_tok"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = t.withColumn("before_tok",
+                     (F.sum("n_tok").over(w) - F.col("n_tok")))
+    return (c.groupBy("shard",
+                      F.floor(F.col("before_tok") / 4096).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"))
+            .orderBy("shard", "bin"))
