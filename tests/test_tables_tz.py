@@ -44,6 +44,23 @@ def _count_in_tz(tz: str) -> int:
     return json.loads(lines[-1][len("RESULT"):])["n"]
 
 
+def test_ts_bounds_reach_parquet_pushed_filters(spark, sf_dir):
+    """The type-matched (ntz) bound literals must reach the parquet
+    reader as PushedFilters — an ltz literal against an ntz column wraps
+    the COLUMN in a cast and loses the row-group skip."""
+    from datetime import datetime
+
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+    df = load_table(spark, sf_dir, "events",
+                    ts_start=datetime(2024, 1, 10),
+                    ts_end=datetime(2024, 1, 20))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    assert ("GreaterThanOrEqual(ts" in line and "LessThan(ts" in line), line
+
+
 def test_ts_bounds_independent_of_driver_os_timezone():
     n_utc = _count_in_tz("UTC")
     n_east = _count_in_tz("America/New_York")   # UTC-5: bounds would shift late
