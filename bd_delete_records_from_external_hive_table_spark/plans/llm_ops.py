@@ -841,3 +841,33 @@ def s03(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("n_tokens"))
             .orderBy("shard", "bin"))
+
+
+@register("st05_interval_left_outer",
+          "WITH v AS (SELECT user_id, date_trunc('second', ts) AS ts "
+          "FROM events WHERE event_type = 'view'), "
+          "c AS (SELECT user_id, date_trunc('second', ts) AS ts "
+          "FROM events WHERE event_type = 'click') "
+          "SELECT v.user_id, COUNT(c.ts) AS n_converted, "
+          "COUNT(*) - COUNT(c.ts) AS n_unconverted "
+          "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+          "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR "
+          "GROUP BY v.user_id ORDER BY v.user_id")
+def st05(spark, sf_dir):
+    """Left-outer event-time interval join (st04's outer sibling):
+    converted view→click pairs AND unconverted views per user — the
+    funnel-drop report. Batch form of ``interval_join(how='left_outer')``
+    whose streaming twin emits unmatched rows as the watermark passes
+    (test-asserted); COUNT(c.ts) counts only matched rows, COUNT(*)
+    includes the NULL-extended ones."""
+    from ..streaming.windows import interval_join
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+    pairs = interval_join(ev.where("event_type = 'view'"),
+                          ev.where("event_type = 'click'"),
+                          max_delay="1 hour", how="left_outer")
+    return (pairs.groupBy("user_id")
+            .agg(F.count("r_ts").alias("n_converted"),
+                 (F.count(F.lit(1)) - F.count("r_ts"))
+                 .alias("n_unconverted"))
+            .orderBy("user_id"))
