@@ -871,3 +871,28 @@ def st05(spark, sf_dir):
                  (F.count(F.lit(1)) - F.count("r_ts"))
                  .alias("n_unconverted"))
             .orderBy("user_id"))
+
+
+@register("f13_variant_json",
+          "SELECT event_type, "
+          "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+          "AS sum_k, "
+          "CAST(COUNT(json_extract_string(props, '$.tag')) AS BIGINT) "
+          "AS n_tagged FROM events GROUP BY event_type ORDER BY event_type")
+def f13(spark, sf_dir):
+    """Semi-structured analytics via Spark 4's VARIANT type: parse_json
+    once into a binary variant, then typed variant_get extractions —
+    the engine parses each props string a single time however many
+    fields are read (repeated get_json_object re-parses per call, the
+    f05 pattern). At 100 TB of event payloads the single-parse property
+    is the difference between one and N string-parse passes. The oracle
+    reads the same fields with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (ev.select("event_type",
+                      F.try_variant_get(v, "$.k", "bigint").alias("k"),
+                      F.try_variant_get(v, "$.tag", "string").alias("tag"))
+            .groupBy("event_type")
+            .agg(F.sum("k").cast("bigint").alias("sum_k"),
+                 F.count("tag").alias("n_tagged"))
+            .orderBy("event_type"))

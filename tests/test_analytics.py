@@ -176,7 +176,7 @@ def test_fact_joins_never_broadcast_pinned(spark, sf_dir):
         assert j16.count("BroadcastHashJoin") == 5, j16
         assert "SortMergeJoin" in j16
         for name in ("j08_tpch_q3_shape", "j10_tpch_q18_shape",
-                     "j05_star_join"):
+                     "j05_star_join", "j19_tpch_q9_shape"):
             plan = _explain_simple(plans.REGISTRY[name]
                                    .spark_fn(spark, sf_dir))
             assert "SortMergeJoin" in plan, name
