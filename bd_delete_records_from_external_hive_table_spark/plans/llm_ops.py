@@ -896,3 +896,48 @@ def f13(spark, sf_dir):
             .agg(F.sum("k").cast("bigint").alias("sum_k"),
                  F.count("tag").alias("n_tagged"))
             .orderBy("event_type"))
+
+
+@register("s04_temperature_mixing",
+          "WITH c AS (SELECT source, COUNT(*) AS n FROM documents "
+          "GROUP BY source), "
+          "w AS (SELECT source, n, POW(n, 0.5) AS wt, "
+          "SUM(POW(n, 0.5)) OVER () AS total_wt FROM c), "
+          "t AS (SELECT source, n, CAST(FLOOR(wt / total_wt * 1000) "
+          "AS BIGINT) AS target FROM w), "
+          "r AS (SELECT d.doc_id, d.source, ROW_NUMBER() OVER ("
+          "PARTITION BY d.source ORDER BY "
+          "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) "
+          "AS UBIGINT), d.doc_id) AS rk FROM documents d) "
+          "SELECT r.source, t.target, COUNT(*) AS n_sampled "
+          "FROM r JOIN t ON r.source = t.source WHERE r.rk <= t.target "
+          "GROUP BY r.source, t.target ORDER BY r.source")
+def s04(spark, sf_dir):
+    """Temperature-based source mixing (the multilingual-training data
+    recipe: sample source s proportionally to n_s^α, α=0.5, flattening
+    the source distribution): per-source targets from the α-weighted
+    share of a 1000-doc budget, then a DETERMINISTIC 'sample' — rank
+    docs within each source by the cross-engine md5 hash (unbiased,
+    reproducible; a seeded RNG would differ between engines) and keep
+    rank ≤ target. Targets are a |sources|-row aggregate (broadcast);
+    ranking is one per-source window — both sides scale. FLOOR, not
+    ROUND, so no half-even/half-up boundary can split the engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
+    w = counts.withColumn("wt", F.pow("n", 0.5))
+    w = w.withColumn("total_wt", F.sum("wt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+    targets = w.select(
+        "source",
+        F.floor(F.col("wt") / F.col("total_wt") * 1000).cast("bigint")
+        .alias("target"))
+    rk = F.row_number().over(
+        Window.partitionBy("source")
+        .orderBy(stable_hash28(F.col("doc_id").cast("string")), "doc_id"))
+    ranked = docs.select("doc_id", "source").withColumn("rk", rk)
+    return (ranked.join(F.broadcast(targets), "source")
+            .where(F.col("rk") <= F.col("target"))
+            .groupBy("source", "target")
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+            .orderBy("source"))
