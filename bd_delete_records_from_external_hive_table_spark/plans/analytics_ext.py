@@ -102,8 +102,8 @@ def j10(spark, sf_dir):
 
 
 @register("a13_tpch_q6_revenue",
-          "SELECT ROUND(SUM(CAST(l_extendedprice * l_discount "
-          "AS DECIMAL(18,4))), 2) AS revenue FROM lineitem "
+          "SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount "
+          "AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue FROM lineitem "
           "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
           "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
           "AND l_discount >= 0.05 AND l_discount <= 0.07 "
@@ -124,14 +124,14 @@ def a13(spark, sf_dir):
         & (F.col("l_quantity") < 24))
         .select((F.col("l_extendedprice") * F.col("l_discount"))
                 .cast("decimal(18,4)").alias("rev"))
-        .agg(F.round(F.sum("rev"), 2).alias("revenue")))
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue")))
 
 
 @register("j12_tpch_q10_shape",
           "SELECT c_custkey, c_name, n_name, revenue FROM ("
           "  SELECT c_custkey, c_name, n_name, "
           "    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
-          "      AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue "
+          "      AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
           "  FROM customer "
           "  JOIN nation ON n_nationkey = c_nationkey "
           "  JOIN orders ON o_custkey = c_custkey "
@@ -145,7 +145,9 @@ def j12(spark, sf_dir):
     The lineitem filter runs before the join (Catalyst pushes it below),
     the nation dim broadcasts, and the final top-20 is
     TakeOrderedAndProject — no global sort materializes. Decimal sum makes
-    the ranking deterministic across engines."""
+    the ranking deterministic across engines; the final revenue is cast to
+    DOUBLE (2-dp values are exactly representable) so the pandas-level
+    driver hash sees identical float64 on both engines."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
@@ -158,7 +160,7 @@ def j12(spark, sf_dir):
             .join(orders, orders.o_custkey == cust.c_custkey)
             .join(li, li.l_orderkey == orders.o_orderkey)
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)")
+            .agg(F.round(F.sum(rev), 2).cast("double")
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))

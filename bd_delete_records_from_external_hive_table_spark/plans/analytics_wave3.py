@@ -47,7 +47,7 @@ _REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
 
 @register("j13_tpch_q19_disjunctive",
-          "SELECT ROUND(SUM(" + _REV + "), 2) AS revenue, "
+          "SELECT CAST(ROUND(SUM(" + _REV + "), 2) AS DOUBLE) AS revenue, "
           "COUNT(*) AS n_lines "
           "FROM lineitem JOIN part ON p_partkey = l_partkey "
           "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
@@ -78,7 +78,7 @@ def j13(spark, sf_dir):
         .cast("decimal(18,4)")
     return (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
             .where(block[0] | block[1] | block[2])
-            .agg(F.round(F.sum(rev), 2).alias("revenue"),
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
 
 
@@ -115,7 +115,8 @@ def a15(spark, sf_dir):
           "WITH bal AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, "
           "             COUNT(*) AS n FROM customer WHERE c_acctbal > 0.0) "
           "SELECT c_nationkey, COUNT(*) AS numcust, "
-          "ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS totacctbal "
+          "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) "
+          "AS totacctbal "
           "FROM customer, bal "
           "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s "
           "AND NOT EXISTS (SELECT 1 FROM orders o "
@@ -145,7 +146,7 @@ def q15(spark, sf_dir):
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
-                 .alias("totacctbal"))
+                 .cast("double").alias("totacctbal"))
             .orderBy("c_nationkey"))
 
 
@@ -153,7 +154,8 @@ def q15(spark, sf_dir):
           "SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, "
           "event_type, COUNT(*) AS n, MIN(value) AS vmin, "
           "MAX(value) AS vmax, "
-          "ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS vsum "
+          "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+          "AS vsum "
           "FROM events GROUP BY bucket, event_type "
           "ORDER BY bucket, event_type")
 def ts02(spark, sf_dir):
@@ -170,7 +172,7 @@ def ts02(spark, sf_dir):
                  F.min("value").alias("vmin"),
                  F.max("value").alias("vmax"),
                  F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-                 .alias("vsum"))
+                 .cast("double").alias("vsum"))
             .select(F.col("w.start").alias("bucket"), "event_type",
                     "n", "vmin", "vmax", "vsum")
             .orderBy("bucket", "event_type"))

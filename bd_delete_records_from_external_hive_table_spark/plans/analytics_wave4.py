@@ -61,7 +61,7 @@ def _rev():
 
 @register("j15_tpch_q7_shape",
           "SELECT supp_nation, cust_nation, l_year, "
-          "ROUND(SUM(volume), 2) AS revenue FROM ("
+          "CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue FROM ("
           "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
           "         EXTRACT(year FROM l_shipdate) AS l_year, "
           "         " + _REV + " AS volume "
@@ -104,7 +104,7 @@ def j15(spark, sf_dir):
             .where(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+            .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
@@ -200,10 +200,10 @@ def j17(spark, sf_dir):
 
 @register("a17_tpch_q12_shape",
           "SELECT l_linestatus, "
-          "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-          "    THEN 1 ELSE 0 END) AS high_line_count, "
-          "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
-          "    THEN 1 ELSE 0 END) AS low_line_count "
+          "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+          "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+          "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+          "    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
           "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
           "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
@@ -214,7 +214,10 @@ def a17(spark, sf_dir):
     and order priority the CASE role). Both CASE branches come out of
     ONE pass over the joined fact — the date filter pushes to the
     lineitem scan, orders prunes to two columns, and the final group-by
-    has two grouping values so the shuffle is trivially small."""
+    has two grouping values so the shuffle is trivially small. The CASE
+    sums are CAST AS BIGINT in the oracle: DuckDB SUM over integers
+    returns HUGEINT, which pandas degrades to float64 ('5.0') while
+    Spark's long stays int — the driver's value hash would go red."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))) \
@@ -276,7 +279,8 @@ def a18(spark, sf_dir):
           "    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' "
           "  GROUP BY l_suppkey) "
           "SELECT s_suppkey, s_name, "
-          "ROUND(total_revenue, 2) AS total_revenue FROM supplier "
+          "CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue "
+          "FROM supplier "
           "JOIN revenue ON s_suppkey = supplier_no "
           "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
           "ORDER BY s_suppkey")
@@ -303,7 +307,8 @@ def q16(spark, sf_dir):
             .where(F.col("total_revenue") == F.col("max_rev"))
             .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
-                    F.round("total_revenue", 2).alias("total_revenue"))
+                    F.round("total_revenue", 2).cast("double")
+                    .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
 
@@ -334,8 +339,8 @@ def q17(spark, sf_dir):
 
 
 @register("q18_tpch_q20_shape",
-          "SELECT s_name, ROUND(CAST(s_acctbal AS DECIMAL(18,2)), 2) "
-          "AS s_acctbal FROM supplier WHERE s_suppkey IN ("
+          "SELECT s_name, CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)), 2) "
+          "AS DOUBLE) AS s_acctbal FROM supplier WHERE s_suppkey IN ("
           "  SELECT l_suppkey FROM lineitem "
           "  JOIN part ON p_partkey = l_partkey "
           "  WHERE p_name LIKE 'cold%' "
@@ -367,7 +372,7 @@ def q18(spark, sf_dir):
                       supp.s_suppkey == keys.l_suppkey, "left_semi")
             .select("s_name",
                     F.round(F.col("s_acctbal").cast("decimal(18,2)"), 2)
-                    .alias("s_acctbal"))
+                    .cast("double").alias("s_acctbal"))
             .orderBy("s_name"))
 
 
@@ -516,7 +521,8 @@ def w09(spark, sf_dir):
 
 
 @register("j19_tpch_q9_shape",
-          "SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit "
+          "SELECT nation, o_year, "
+          "CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit "
           "FROM (SELECT n_name AS nation, "
           "  EXTRACT(year FROM o_orderdate) AS o_year, "
           "  CAST(l_extendedprice * (1 - l_discount) "
@@ -556,7 +562,8 @@ def j19(spark, sf_dir):
                   F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("nation",
                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+            .agg(F.round(F.sum(amount), 2).cast("double")
+                 .alias("sum_profit"))
             .orderBy("nation", F.desc("o_year")))
 
 
