@@ -60,11 +60,12 @@ def main() -> None:
             warm[name] = round(time.perf_counter() - t1, 4)
 
         total = round(sum(timings.values()), 2)
-        # Round-1 lesson: the driver captures a bounded tail of stdout, and
-        # a ~7 KB line (4dp cold+warm dicts) overflowed it → parsed: null.
-        # Keep the stdout line minimal: totals first, cold per-query only,
-        # 2dp, compact separators. Full detail (4dp + warm) goes to a
-        # sidecar file instead of the line.
+        # Rounds 1 AND 2 lesson: the driver captures only a ~2,000-char
+        # tail of stdout; a per-query dict for 124 queries is ~3.3 KB and
+        # overflowed it twice (BENCH_r01/r02 parsed: null). The stdout
+        # line therefore carries ONLY totals + the top-10 slowest queries
+        # (~400 chars, wide margin under the capture window); the full
+        # cold+warm per-query detail lives in BENCH_DETAIL.json.
         detail = {
             "metric": "declared_queries_total",
             "value": total,
@@ -77,14 +78,20 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1)
-        print(json.dumps({
+        top10 = lambda d: dict(sorted(((k, round(v, 2)) for k, v in
+                                       d.items()), key=lambda kv: -kv[1])[:10])
+        line = json.dumps({
             "metric": "declared_queries_total",
             "value": total,
             "unit": "sec",
             "warm_value": round(sum(warm.values()), 2),
             "sf": detail["sf"],
-            "queries": {k: round(v, 2) for k, v in timings.items()},
-        }, separators=(",", ":")))
+            "n_queries": len(timings),
+            "queries": top10(timings),       # top-10 slowest cold only
+            "slowest_warm": top10(warm),
+        }, separators=(",", ":"))
+        assert len(line) <= 1500, f"bench line {len(line)} chars > 1500"
+        print(line)
     finally:
         spark.stop()
 
