@@ -46,11 +46,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 def j01(spark, sf_dir):
     """Broadcast hash join: fact ⨝ small dim — dim ships to every executor,
-    zero shuffle of the fact table."""
+    zero shuffle of the fact table. The pin is size-guarded: customer
+    grows with SF (SF x 150k), so above the on-disk threshold the hint is
+    dropped and AQE picks the strategy from the true runtime size."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
+    from ..sources.tables import dim
     return (orders
-            .join(F.broadcast(customer),
+            .join(dim(customer, sf_dir, "customer"),
                   orders.o_custkey == customer.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"),

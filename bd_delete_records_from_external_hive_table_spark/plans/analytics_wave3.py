@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import dim, load_table
 from .registry import register
 
 
@@ -76,7 +76,7 @@ def j13(spark, sf_dir):
     ]
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) \
         .cast("decimal(18,4)")
-    return (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    return (li.join(dim(part, sf_dir, "part"), part.p_partkey == li.l_partkey)
             .where(block[0] | block[1] | block[2])
             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
@@ -105,7 +105,7 @@ def a15(spark, sf_dir):
         .cast("decimal(18,4)")
     promo = F.when(F.col("p_type") == "PROMO", rev) \
         .otherwise(F.lit(0).cast("decimal(18,4)"))
-    return (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    return (li.join(dim(part, sf_dir, "part"), part.p_partkey == li.l_partkey)
             .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
                          / F.sum(rev).cast("double"), 4)
                  .alias("promo_pct")))
@@ -214,7 +214,7 @@ def j14(spark, sf_dir):
               & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
               "left_anti"))
     return (sole_fault
-            .join(F.broadcast(supp),
+            .join(dim(supp, sf_dir, "supplier"),
                   F.col("l1.l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
@@ -246,8 +246,8 @@ def a16(spark, sf_dir):
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     excl = (_t(spark, sf_dir, "supplier")
             .where(F.col("s_acctbal") < 1000).select("s_suppkey"))
-    return (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
-            .join(F.broadcast(excl),
+    return (li.join(dim(part, sf_dir, "part"), part.p_partkey == li.l_partkey)
+            .join(dim(excl, sf_dir, "supplier"),
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import dim, load_table
 from .registry import register
 
 
@@ -96,7 +96,8 @@ def j15(spark, sf_dir):
     pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
            ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (li
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(dim(supp, sf_dir, "supplier"),
+                  li.l_suppkey == supp.s_suppkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -151,8 +152,9 @@ def j16(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     vol = _rev().alias("volume")
     joined = (li
-              .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+              .join(dim(supp, sf_dir, "supplier"),
+                    li.l_suppkey == supp.s_suppkey)
               .join(orders, li.l_orderkey == orders.o_orderkey)
               .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -260,7 +262,8 @@ def a18(spark, sf_dir):
         .select("p_partkey")
     w = Window.partitionBy("l_partkey")
     qty = F.col("l_quantity").cast("decimal(18,6)")
-    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = (li.join(dim(part, sf_dir, "part"),
+                      li.l_partkey == part.p_partkey)
               .withColumn("sum_qty", F.sum(qty).over(w))
               .withColumn("cnt_qty", F.count("l_quantity").over(w)))
     return (joined
@@ -305,7 +308,8 @@ def q16(spark, sf_dir):
             .withColumn("max_rev",
                         F.max("total_revenue").over(W.partitionBy()))
             .where(F.col("total_revenue") == F.col("max_rev"))
-            .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+            .join(dim(supp, sf_dir, "supplier"),
+                  F.col("supplier_no") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     F.round("total_revenue", 2).cast("double")
                     .alias("total_revenue"))
@@ -362,13 +366,13 @@ def q18(spark, sf_dir):
         .select("l_partkey", "l_suppkey", "l_quantity")
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("cold%")) \
         .select("p_partkey")
-    keys = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    keys = (li.join(dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
             .groupBy("l_suppkey")
             .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
             .where(F.col("q") > 400)
             .select("l_suppkey"))
     supp = _t(spark, sf_dir, "supplier")
-    return (supp.join(F.broadcast(keys),
+    return (supp.join(dim(keys, sf_dir, "supplier"),
                       supp.s_suppkey == keys.l_suppkey, "left_semi")
             .select("s_name",
                     F.round(F.col("s_acctbal").cast("decimal(18,2)"), 2)
@@ -555,8 +559,9 @@ def j19(spark, sf_dir):
               - 0.1 * F.col("p_retailprice") * F.col("l_quantity")) \
         .cast("decimal(18,4)")
     return (li
-            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+            .join(dim(supp, sf_dir, "supplier"),
+                  li.l_suppkey == supp.s_suppkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(nation),
                   F.col("s_nationkey") == F.col("n_nationkey"))

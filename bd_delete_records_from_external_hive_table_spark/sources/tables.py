@@ -15,12 +15,13 @@ common granularity on both the Spark and oracle sides.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "dim", "load_table", "register_views"]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -98,3 +99,51 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register each table as a temp view named after itself."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Default on-disk parquet ceiling for a compile-time broadcast pin.
+#: 32 MiB of parquet is roughly 100-300 MB deserialized — comfortably
+#: broadcastable; anything larger is left to AQE's runtime decision.
+_DIM_PIN_MAX_BYTES = 32 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a testdata table (file or directory parquet)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(os.path.getsize(os.path.join(root, f))
+                       for root, _, files in os.walk(path) for f in files)
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def dim(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Size-guarded dimension-side broadcast hint.
+
+    ``F.broadcast`` is a *pin*: Spark ships the build side to every
+    executor regardless of its actual size, so a hard pin on a table that
+    grows with SF (part is SF x 200k rows, supplier SF x 10k, customer
+    SF x 150k) becomes a multi-GB per-executor broadcast at a genuine
+    100 TB — fatal. Only nation/region are SF-invariant.
+
+    This helper applies the hint only when the dimension's BASE table is
+    small on disk (an O(1) driver-side ``stat``, no extra Spark job —
+    the on-disk parquet size upper-bounds any filtered/projected subset
+    of it). Above the threshold it returns the side unhinted, leaving
+    the decision to AQE, which sees the TRUE post-filter size at runtime
+    and still broadcast-converts genuinely small sides. Threshold is
+    tunable via ``SPARK_GRAFT_DIM_PIN_MAX_BYTES`` (read per call so
+    tests can exercise both regimes).
+
+    Pass ``name`` = the base table the side derives from (e.g. a
+    HAVING-filtered supplier-key list is bounded by |supplier|, so its
+    base is ``"supplier"``).
+    """
+    limit = int(os.environ.get("SPARK_GRAFT_DIM_PIN_MAX_BYTES",
+                               _DIM_PIN_MAX_BYTES))
+    size = _table_bytes(sf_dir, name)
+    if size is not None and size <= limit:
+        return F.broadcast(df)
+    return df

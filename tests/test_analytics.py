@@ -184,6 +184,43 @@ def test_fact_joins_never_broadcast_pinned(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_dim_pins_drop_above_threshold(spark, sf_dir, monkeypatch):
+    """Scale guard, part 2: part/supplier/customer also grow with SF
+    (SF x 200k / 10k / 150k), so their pins go through the size-guarded
+    ``dim()`` helper — hinted only while the base table is small on
+    disk. Forcing the threshold to 0 simulates the 100 TB regime: with
+    auto-broadcast also disabled, ONLY the SF-invariant nation/region
+    pins may remain as BroadcastHashJoin; every part/supplier/customer
+    join must fall back to a shuffle join for AQE to re-plan."""
+    monkeypatch.setenv("SPARK_GRAFT_DIM_PIN_MAX_BYTES", "0")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j15 = _explain_simple(plans.REGISTRY["j15_tpch_q7_shape"]
+                              .spark_fn(spark, sf_dir))
+        assert j15.count("BroadcastHashJoin") == 2, j15  # nation x2 only
+        assert "SortMergeJoin" in j15
+        j16 = _explain_simple(plans.REGISTRY["j16_tpch_q8_shape"]
+                              .spark_fn(spark, sf_dir))
+        # nation x2 + region(semi) only; part/supplier shuffle
+        assert j16.count("BroadcastHashJoin") == 3, j16
+        assert "SortMergeJoin" in j16
+        j19 = _explain_simple(plans.REGISTRY["j19_tpch_q9_shape"]
+                              .spark_fn(spark, sf_dir))
+        assert j19.count("BroadcastHashJoin") == 1, j19  # nation only
+        for name in ("j13_tpch_q19_disjunctive", "a16_tpch_q16_shape",
+                     "a18_tpch_q17_shape", "q16_tpch_q15_shape",
+                     "q18_tpch_q20_shape", "j14_tpch_q21_shape",
+                     "j01_broadcast_join"):
+            plan = _explain_simple(plans.REGISTRY[name]
+                                   .spark_fn(spark, sf_dir))
+            assert "BroadcastHashJoin" not in plan, f"{name}: {plan}"
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), f"{name}: {plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_q15_shape_scans_lineitem_once(spark, sf_dir):
     """The scalar MAX threshold is a global window over the
     supplier-grained revenue view — the fact table is scanned exactly
