@@ -14,12 +14,14 @@ equivalents of the window aggs are oracle-checked in plans/llm_ops.py
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
     TimestampNTZType,
@@ -77,7 +79,19 @@ def stream_events(spark: SparkSession, path: str,
     else:
         try:
             file_schema = spark.read.parquet(path).schema
-        except Exception:  # empty dir / no footers yet: UNABLE_TO_INFER_SCHEMA
+        except AnalysisException:
+            # Empty dir / no footers yet (UNABLE_TO_INFER_SCHEMA): fall
+            # back to the CURRENT encoding's schema. Only this specific
+            # error is caught — permission/path errors must surface, and
+            # a legacy nanos-as-long directory that starts empty needs
+            # EVENTS_LEGACY_FILE_SCHEMA passed explicitly or later files
+            # will be misread as TIMESTAMP_NTZ.
+            warnings.warn(
+                f"stream_events: could not infer schema from {path!r} "
+                f"(empty directory?); falling back to EVENTS_FILE_SCHEMA "
+                f"(TIMESTAMP_NTZ ts). Pass schema=EVENTS_LEGACY_FILE_SCHEMA "
+                f"for legacy nanos-as-long directories.",
+                stacklevel=2)
             file_schema = EVENTS_FILE_SCHEMA
     reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger:
@@ -174,12 +188,6 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update", GroupStateTimeout.NoTimeout))
 
 
-_QUOTA_SCHEMA = StructType([
-    StructField("user_id", LongType()),
-    StructField("event_id", LongType()),
-])
-
-
 def per_key_quota(events: DataFrame, quota: int = 10,
                   key: str = "user_id") -> DataFrame:
     """Per-key quota sampler: emit at most ``quota`` events per key
@@ -198,6 +206,14 @@ def per_key_quota(events: DataFrame, quota: int = 10,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     q = int(quota)
+    # Output schema derives from the key parameter (round-2 advice: the
+    # projection/schema were hardcoded to user_id, so any other key
+    # emitted the wrong column or raised KeyError). Grouping by
+    # event_type ('N events per source/type') is the corpus-pipeline
+    # case this operator exists for.
+    out_cols = ["event_id"] if key == "event_id" else [key, "event_id"]
+    out_schema = StructType([
+        StructField(c, events.schema[c].dataType) for c in out_cols])
 
     def admit(key_: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
@@ -207,11 +223,11 @@ def per_key_quota(events: DataFrame, quota: int = 10,
                 continue  # consume the iterator; nothing more to admit
             take = pdf.iloc[: q - n]
             n += len(take)
-            yield take[["user_id", "event_id"]]
+            yield take[out_cols]
         state.update((n,))
 
     return (events.groupBy(key).applyInPandasWithState(
-        admit, _QUOTA_SCHEMA, "n BIGINT", "append",
+        admit, out_schema, "n BIGINT", "append",
         GroupStateTimeout.NoTimeout))
 
 

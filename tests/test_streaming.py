@@ -119,6 +119,39 @@ def test_per_key_quota_stream(spark, sf_dir, events_dir):
         assert r.nd == r.n  # admitted rows are distinct events, no dups
 
 
+def test_per_key_quota_custom_key(spark, sf_dir, events_dir):
+    """The quota key is a parameter: grouping by event_type must emit
+    (event_type, event_id) with the key column's real dtype — round-2
+    advice flagged the projection/schema as hardcoded to user_id."""
+    quota = 7
+    out = sw.per_key_quota(sw.stream_events(spark, events_dir),
+                           quota=quota, key="event_type")
+    sw.run_to_memory(out, "quota_et_t", "append")
+    tbl = spark.table("quota_et_t")
+    assert tbl.columns == ["event_type", "event_id"]
+    assert dict(tbl.dtypes)["event_type"] == "string"
+    got = {r.event_type: r.n
+           for r in tbl.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.event_type: r.n for r in
+              load_table(spark, sf_dir, "events").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == set(totals)
+    for et, n in got.items():
+        assert n == min(totals[et], quota), (et, n)
+
+
+def test_stream_events_empty_dir_warns(spark, tmp_path):
+    """An empty source dir falls back to EVENTS_FILE_SCHEMA with an
+    explicit warning (legacy-dir callers must know to pass the legacy
+    schema); real errors are not swallowed."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    with pytest.warns(UserWarning, match="EVENTS_FILE_SCHEMA"):
+        df = sw.stream_events(spark, str(d))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
 def test_session_windows_stream_equals_batch_sf01(spark, tmp_path):
     """Session-window parity at bench scale (sf0.1): the streaming
     session assembly (state merge + eviction) must produce exactly the
