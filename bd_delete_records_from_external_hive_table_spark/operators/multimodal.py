@@ -3,11 +3,13 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested. The actual media decoding is STUBBED: this
-container ships no image/audio libraries, so ``decode=`` accepts either
-``"fake"`` (deterministic md5-derived features, for pipeline tests) or a
-user-supplied callable; ``"real"`` raises ``NotImplementedError`` at the
-call site where PIL/librosa/ffmpeg decoding would plug in.
+shapes — is real and tested. ``decode=`` accepts ``"fake"``
+(deterministic md5-derived features, for pipeline tests), ``"real"``
+(pure-Python PPM/WAV decoding via :mod:`.media_codecs` — actual pixels
+and PCM samples in, statistics out), or a user-supplied
+``(payload, dim) -> np.ndarray`` callable, which is where PIL/librosa/
+ffmpeg decoders plug in for formats this container's library set can't
+parse.
 
 Scale notes: payloads stay in executor memory only for the lifetime of an
 Arrow batch (``maxRecordsPerBatch`` bounds it); features are small arrays.
@@ -30,8 +32,8 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "synthetic_media", "extract_features",
-           "sample_frames", "fake_feature_vector"]
+__all__ = ["MEDIA_SCHEMA", "synthetic_media", "synthetic_real_media",
+           "extract_features", "sample_frames", "fake_feature_vector"]
 
 #: Canonical multimodal row: id, modality tag, opaque payload, metadata.
 MEDIA_SCHEMA = StructType([
@@ -65,6 +67,36 @@ def synthetic_media(spark: SparkSession, n: int = 64,
                         F.lit("codec"), F.lit("fake")).alias("meta")))
 
 
+def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Corpus of VALID media payloads (PPM images / PCM16 WAV audio)
+    built with the pure-Python encoders in :mod:`.media_codecs` —
+    decodable by the real-decode path, deterministic per id, generated
+    executor-side in Arrow batches (no driver materialization)."""
+    from .media_codecs import encode_ppm, encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "payload": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    px = ((np.arange(8 * 8 * 3, dtype=np.int64) * (i + 3))
+                          % 256).reshape(8, 8, 3).astype(np.uint8)
+                    payload, mod, codec = encode_ppm(px), "image", "ppm"
+                else:
+                    t = np.arange(160) / 160.0
+                    s = (0.5 * np.sin(2 * np.pi * (i + 1) * t)) \
+                        .astype(np.float32)
+                    payload, mod, codec = encode_wav(s), "audio", "wav"
+                out["media_id"].append(i)
+                out["modality"].append(mod)
+                out["payload"].append(payload)
+                out["meta"].append({"codec": codec})
+            yield pd.DataFrame(out)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def fake_feature_vector(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic 'features': md5-seeded bytes scaled to [0, 1)."""
     raw = b""
@@ -80,13 +112,19 @@ def extract_features(df: DataFrame, dim: int = 8,
                      ) -> DataFrame:
     """(media_id, modality, features: array<float>) via mapInPandas.
 
-    ``decode="real"`` marks where an actual decoder (PIL/torchvision/
-    librosa) would be injected — not available in this environment."""
+    ``decode="real"`` decodes actual media bytes with the pure-Python
+    codecs in :mod:`.media_codecs` (PPM images, PCM16 WAV audio) — the
+    genuinely end-to-end path. Richer formats (JPEG/MP3/MP4) need
+    PIL/librosa/ffmpeg, absent in this environment; injecting them later
+    means passing a callable here — the Spark-side plumbing is
+    format-agnostic."""
     if decode == "real":
-        raise NotImplementedError(
-            "real media decoding needs image/audio libraries not present "
-            "in this environment; pass decode='fake' or a callable")
-    decoder = fake_feature_vector if decode == "fake" else decode
+        from .media_codecs import real_feature_vector
+        decoder: Callable = real_feature_vector
+    elif decode == "fake":
+        decoder = fake_feature_vector
+    else:
+        decoder = decode
 
     out_schema = StructType([
         StructField("media_id", LongType()),
@@ -96,8 +134,7 @@ def extract_features(df: DataFrame, dim: int = 8,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:  # one Arrow batch at a time — bounded memory
-            feats = [decoder(p, dim).tolist() if callable(decoder)
-                     else decoder(p) for p in pdf["payload"]]
+            feats = [decoder(p, dim).tolist() for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],

@@ -489,6 +489,25 @@ def m01(spark, sf_dir):
             .orderBy("modality"))
 
 
+@register("m03_real_media_decode", None)  # binary media decode: no SQL oracle
+def m03(spark, sf_dir):
+    """REAL media decode end-to-end: a corpus of valid PPM images and
+    PCM16 WAV audio (pure-Python encoders, executor-side generation) is
+    decoded back to pixels/samples by ``decode='real'`` inside the same
+    Arrow-batched mapInPandas as m01, then summarized per modality.
+    Features are actual channel means / RMS statistics of the decoded
+    bytes — the genuinely non-stub path; richer codecs plug in as
+    callables without touching the Spark plan."""
+    from ..operators import multimodal
+    media = multimodal.synthetic_real_media(spark, n=48)
+    feats = multimodal.extract_features(media, dim=8, decode="real")
+    return (feats.groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.round(F.avg(F.element_at("features", 2)), 4)
+                 .alias("avg_feat2"))
+            .orderBy("modality"))
+
+
 @register("m02_video_frame_sample", None)  # binary slicing: no SQL oracle
 def m02(spark, sf_dir):
     """Video frame sampling: payload → fixed-size frames → every 2nd frame,
