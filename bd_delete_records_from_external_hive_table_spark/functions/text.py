@@ -22,6 +22,7 @@ __all__ = [
     "HASH_PRIME", "BPE_TOKEN_RE",
     "stable_hash28", "ws_tokens", "bpe_tokens", "shingles",
     "token_stats_cols", "quality_score_col", "lang_scores",
+    "lang_tokens", "lang_scores_from_tokens",
     "STOPWORDS",
 ]
 
@@ -98,13 +99,34 @@ def quality_score_col(text: Column) -> Column:
     return F.round(0.4 * ttr + 0.3 * word_score + 0.3 * len_score, 4)
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit ratio over distinct tokens — the classic
-    cheap language-ID heuristic (argmax taken by the caller)."""
-    toks = F.array_distinct(ws_tokens(F.lower(text)))
+def lang_tokens(text: Column) -> Column:
+    """Distinct lowercase whitespace tokens — the shared input of
+    :func:`lang_scores_from_tokens`. Materialize this ONCE in its own
+    projection: the token derivation (lower + split + distinct) is the
+    expensive half of language-ID, and Catalyst's CollapseProject keeps
+    a non-cheap expression consumed by several score columns in its own
+    project instead of inlining one copy per language (measured ~15%
+    warm / ~8% cold on t03 vs the inlined form; an aggregate-fold over
+    a token->membership map was ~30% SLOWER — per-token higher-order
+    map lookups lose to codegen'd array_intersect)."""
+    return F.array_distinct(ws_tokens(F.lower(text)))
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio over a (pre-materialized)
+    distinct-token array — the classic cheap language-ID heuristic
+    (argmax taken by the caller)."""
+    denom = F.greatest(F.size(toks), F.lit(1))
     out = {}
     for lang, words in STOPWORDS.items():
         hits = F.size(F.array_intersect(
             toks, F.array(*[F.lit(w) for w in words])))
-        out[lang] = F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+        out[lang] = F.round(hits / denom, 4)
     return out
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Single-expression form of language-ID scores. Prefer
+    ``lang_tokens`` + ``lang_scores_from_tokens`` with the token array
+    in its own projection (see :func:`lang_tokens`)."""
+    return lang_scores_from_tokens(lang_tokens(text))

@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    BPE_TOKEN_RE, STOPWORDS, lang_scores, quality_score_col, shingles,
+    BPE_TOKEN_RE, STOPWORDS, quality_score_col, shingles,
     stable_hash28, token_stats_cols, ws_tokens,
 )
 from ..operators import dedup, similarity
@@ -350,11 +350,15 @@ def _duck_lang_score(lang: str) -> str:
           "FROM documents WHERE doc_id < 100)) ORDER BY doc_id")
 def t03(spark, sf_dir):
     """Stopword-ratio language ID with deterministic argmax
-    (tie-break order en > es > fr > de)."""
+    (tie-break order en > es > fr > de). The distinct-token array is
+    materialized in its own projection so all four language scores share
+    one derivation (see functions.text.lang_tokens)."""
+    from ..functions.text import lang_scores_from_tokens, lang_tokens
     docs = (load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 100))
-    scores = lang_scores(F.col("text"))
-    scored = docs.select(
+    toked = docs.select("doc_id", lang_tokens(F.col("text")).alias("toks"))
+    scores = lang_scores_from_tokens(F.col("toks"))
+    scored = toked.select(
         "doc_id", *[c.alias(f"s_{lang}") for lang, c in scores.items()])
     s = {lang: F.col(f"s_{lang}") for lang in scores}
     pred = (F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"])
