@@ -964,3 +964,121 @@ def s04(spark, sf_dir):
             .groupBy("source", "target")
             .agg(F.count(F.lit(1)).alias("n_sampled"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: cross-source dedup, train/val split, bigram entropy
+# ---------------------------------------------------------------------------
+
+_AUG_MIRROR = ("SELECT * FROM documents UNION ALL "
+               "SELECT doc_id + 200000 AS doc_id, text, lang, "
+               "'mirror' AS source, n_chars "
+               "FROM documents WHERE doc_id % 7 = 0")
+
+
+@register("d11_cross_source_dedup",
+          f"WITH aug AS ({_AUG_MIRROR}) "
+          "SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, "
+          "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+          "MIN(doc_id) AS keeper FROM aug WHERE text IS NOT NULL "
+          "GROUP BY content_hash HAVING COUNT(DISTINCT source) > 1 "
+          "ORDER BY keeper")
+def d11(spark, sf_dir):
+    """Cross-source exact dedup: content groups that appear under MORE
+    THAN ONE source — the 'same page crawled by two pipelines' cleanup
+    every corpus merge needs (within-source dups are d01's job). The
+    testdata has no organic cross-source dups, so a 'mirror' replica of
+    every 7th doc is planted inside the query (same augmentation in the
+    oracle); the op provably finds exactly those groups. One hash-keyed
+    shuffle with map-side partial agg; the multi-distinct on source is
+    the standard expand — scales with distinct contents, not corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    mirror = (docs.where(F.col("doc_id") % 7 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 200000)
+              .withColumn("source", F.lit("mirror")))
+    aug = docs.unionByName(mirror)
+    return (aug.where(F.col("text").isNotNull())
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("doc_id").alias("keeper"))
+            .where(F.col("n_sources") > 1)
+            .orderBy("keeper"))
+
+
+@register("s05_train_val_split",
+          "SELECT source, split, COUNT(*) AS n, "
+          "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) "
+          "OVER (PARTITION BY source), 4) AS share FROM ("
+          "  SELECT source, CASE WHEN "
+          + _DUCK_HASH28.format("CAST(doc_id AS VARCHAR)") +
+          " % 100 < 90 THEN 'train' ELSE 'val' END AS split "
+          "  FROM documents) "
+          "GROUP BY source, split ORDER BY source, split")
+def s05(spark, sf_dir):
+    """Deterministic train/validation split: bucket = 28-bit md5 hash of
+    the doc id mod 100, <90 → train (a seeded RNG would differ between
+    engines AND between cluster re-runs; the content-independent hash
+    split is reproducible forever and stable under corpus re-shuffles —
+    the property a held-out set must have). Reported per (source,
+    split) with the within-source share. One groupBy on low-cardinality
+    keys (map-side partial agg); the share window runs over the tiny
+    aggregate, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (stable_hash28(F.col("doc_id").cast("string")) % 100)
+    split = F.when(bucket < 90, "train").otherwise("val")
+    agg = (docs.select("source", split.alias("split"))
+           .groupBy("source", "split")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("source")
+    return (agg.select(
+        "source", "split", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4)
+        .alias("share"))
+        .orderBy("source", "split"))
+
+
+@register("t10_char_bigram_entropy",
+          "SELECT doc_id, ROUND(-list_sum([ "
+          "  (CAST(len(list_filter(bg, x -> x = u)) AS DOUBLE) / len(bg)) "
+          "  * log2(CAST(len(list_filter(bg, x -> x = u)) AS DOUBLE) "
+          "         / len(bg)) "
+          "  for u in ub ]), 4) AS bigram_entropy "
+          "FROM (SELECT doc_id, bg, list_sort(list_distinct(bg)) AS ub "
+          "  FROM (SELECT doc_id, [substr(t, i, 2) "
+          "    for i in range(1, length(t))] AS bg "
+          "    FROM (SELECT doc_id, lower(text) AS t FROM documents "
+          "          WHERE doc_id < 100 AND length(text) >= 2))) "
+          "ORDER BY doc_id")
+def t10(spark, sf_dir):
+    """Character-bigram entropy — the cheap gibberish/boilerplate signal
+    (low entropy = repetitive keyboard-mash or template text; natural
+    language sits in a narrow band). Whole computation is ONE projection
+    (no shuffle): bigrams via transform over a length sequence, counts
+    via filter inside an aggregate fold over the SORTED distinct list —
+    sorting fixes the float summation order, so both engines fold
+    identical IEEE doubles in identical order and the rounded result is
+    bit-stable. Per-doc cost is O(distinct x len) — fine for web-scale
+    short docs; book-length docs would switch to the explode +
+    groupBy(doc, bigram) two-shuffle form and pay the float-order
+    epsilon."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 100) & (F.length("text") >= 2)))
+    low = F.lower(F.col("text"))
+    bg = F.transform(F.sequence(F.lit(1), F.length(low) - 1),
+                     lambda i: low.substr(i, F.lit(2)))
+    with_bg = docs.select(
+        "doc_id", bg.alias("bg"),
+        F.array_sort(F.array_distinct(bg)).alias("ub"))
+    n = F.size("bg").cast("double")
+    ent = F.aggregate(
+        F.col("ub"), F.lit(0.0),
+        lambda acc, u: acc - (
+            (F.size(F.filter(F.col("bg"), lambda x: x == u))
+             .cast("double") / n)
+            * F.log2(F.size(F.filter(F.col("bg"), lambda x: x == u))
+                     .cast("double") / n)))
+    return (with_bg.select("doc_id",
+                           F.round(ent, 4).alias("bigram_entropy"))
+            .orderBy("doc_id"))
