@@ -230,3 +230,45 @@ def a22(spark, sf_dir):
                     F.round("part_value", 2).cast("double")
                     .alias("part_value"))
             .orderBy(F.desc("part_value"), "l_partkey"))
+
+
+@register("w10_retention_cohorts",
+          "WITH firsts AS (SELECT user_id, "
+          "  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week "
+          "  FROM events GROUP BY user_id), "
+          "activity AS (SELECT DISTINCT e.user_id, f.cohort_week, "
+          "  CAST(date_trunc('week', e.ts) AS DATE) AS w "
+          "  FROM events e JOIN firsts f ON e.user_id = f.user_id) "
+          "SELECT cohort_week, "
+          "CAST(date_diff('day', cohort_week, w) // 7 AS BIGINT) "
+          "  AS week_n, "
+          "CAST(COUNT(*) AS BIGINT) AS n_users "
+          "FROM activity GROUP BY cohort_week, week_n "
+          "ORDER BY cohort_week, week_n")
+def w10(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in each subsequent week they return — the classic retention
+    triangle. Three bounded shuffles: (1) groupBy(user) MIN(ts) — the
+    heavy one, partial-aggregated map-side so the exchange carries one
+    row per user, not per event; (2) the events⨝firsts join reuses the
+    same user_id hash partitioning (no re-exchange of the already-
+    shuffled side under AQE) and is broadcast-convertible when the user
+    dimension is small; (3) the (user, cohort, week) DISTINCT and the
+    final (cohort, week_n) rollup collapse into one exchange because
+    the grouping keys are a prefix. Week arithmetic stays integral
+    (both truncations are Mondays, so the day difference is an exact
+    multiple of 7) — no float date math to drift between engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                   .alias("cohort_week")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("week", "ts").cast("date").alias("w"))
+                .join(firsts, "user_id")
+                .select("user_id", "cohort_week", "w")
+                .distinct())
+    week_n = F.floor(F.datediff("w", "cohort_week") / 7).cast("long")
+    return (activity
+            .groupBy("cohort_week", week_n.alias("week_n"))
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy("cohort_week", "week_n"))

@@ -1082,3 +1082,133 @@ def t10(spark, sf_dir):
     return (with_bg.select("doc_id",
                            F.round(ent, 4).alias("bigram_entropy"))
             .orderBy("doc_id"))
+
+
+@register("t11_boilerplate_ngrams",
+          "WITH toks AS (SELECT doc_id, "
+          f"{_DUCK_TOKENS.replace('text', 'lower(text)')} AS w "
+          "FROM documents), "
+          "spans AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram "
+          "  FROM toks, LATERAL unnest(range(1, len(w) - 2)) AS t(i) "
+          "  WHERE len(w) >= 4) "
+          "SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+          "FROM spans GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3 "
+          "ORDER BY n_docs DESC, gram LIMIT 50")
+def t11(spark, sf_dir):
+    """Boilerplate span detection: 4-gram word spans shared by >= 3
+    distinct documents — the signal behind header/footer/template
+    stripping in web-corpus curation (spans that recur across many
+    pages are navigation chrome, licence blocks, cookie banners — not
+    content). Span generation is a map-side transform over a length
+    sequence (no explode until the array is built); the only corpus
+    shuffle is the (gram -> distinct doc) count, which is partial-
+    aggregated map-side. At 100 TB the HAVING threshold prunes the
+    overwhelmingly-singleton gram tail before the final exchange, and
+    TakeOrderedAndProject caps the result at 50 rows — nothing
+    unbounded ever reaches the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = ws_tokens(F.lower(F.col("text")))
+    spans = (docs.select("doc_id", w.alias("w"))
+             .where(F.size("w") >= 4)
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("w") - 3),
+                 lambda i: F.array_join(F.slice(F.col("w"), i, 4), " ")))
+                 .alias("gram")))
+    return (spans.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= 3)
+            .orderBy(F.desc("n_docs"), "gram")
+            .limit(50))
+
+
+@register("e03_embedding_quantization",
+          "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+          "       MAX(max_err) AS max_abs_err "
+          "FROM (SELECT label, list_max(list_transform(embedding, "
+          "  x -> abs(CAST(x AS DOUBLE) "
+          "    - (floor((CAST(x AS DOUBLE) / amax) * 127 + 0.5) * amax) "
+          "      / 127))) AS max_err "
+          "  FROM (SELECT label, embedding, "
+          "    list_max(list_transform(embedding, "
+          "      x -> abs(CAST(x AS DOUBLE)))) AS amax "
+          "    FROM embeddings) WHERE amax > 0) "
+          "GROUP BY label ORDER BY label")
+def e03(spark, sf_dir):
+    """Symmetric int8 quantization audit: quantize each embedding to
+    q = floor(x/amax*127 + 0.5), dequantize, and report the worst
+    reconstruction error per label — the check run before shipping a
+    quantized ANN index (4x memory cut; is the error budget held?).
+    Everything is a map-side higher-order-function projection over the
+    vector column — zero Python, zero shuffle until the |labels|-sized
+    final aggregate. MAX (not MEAN) is the cross-engine-stable
+    aggregate: every per-element double op here is IEEE-identical on
+    both engines, and max is order-independent, so the oracle matches
+    bit-exactly where a float sum would depend on add order. Zero
+    vectors (amax = 0) are excluded on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    amax = F.array_max(F.transform(F.col("embedding"),
+                                   lambda x: F.abs(xd(x))))
+    deq = lambda x, a: (F.floor((xd(x) / a) * 127 + F.lit(0.5)) * a) / 127
+    with_amax = emb.select("label", "embedding", amax.alias("amax")) \
+        .where(F.col("amax") > 0)
+    max_err = F.array_max(F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(xd(x) - deq(x, F.col("amax")))))
+    return (with_amax.select("label", max_err.alias("max_err"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.max("max_err").alias("max_abs_err"))
+            .orderBy("label"))
+
+
+@register("s06_filter_funnel",
+          "SELECT source, "
+          "CAST(COUNT(*) AS BIGINT) AS n_total, "
+          "CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) "
+          "  AS n_lang, "
+          "CAST(SUM(CASE WHEN lang_ok AND len_ok THEN 1 ELSE 0 END) "
+          "  AS BIGINT) AS n_len, "
+          "CAST(SUM(CASE WHEN lang_ok AND len_ok AND wl_ok THEN 1 "
+          "  ELSE 0 END) AS BIGINT) AS n_wordlen, "
+          "CAST(SUM(CASE WHEN lang_ok AND len_ok AND wl_ok AND stop_ok "
+          "  THEN 1 ELSE 0 END) AS BIGINT) AS n_final "
+          "FROM (SELECT source, lang = 'en' AS lang_ok, "
+          "  len(ts) >= 30 AS len_ok, "
+          "  (length(text) / GREATEST(len(ts), 1)) BETWEEN 3 AND 10 "
+          "    AS wl_ok, "
+          "  len(list_intersect(list_distinct(list_filter("
+          "  string_split_regex(lower(text), '\\s+'), t -> t <> '')), "
+          "  ['the', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on', "
+          "  'with'])) >= 2 AS stop_ok "
+          f"  FROM (SELECT source, lang, text, {_DUCK_TOKENS} AS ts "
+          "    FROM documents)) "
+          "GROUP BY source ORDER BY source")
+def s06(spark, sf_dir):
+    """Quality-filter funnel report: how many documents per source
+    survive each successive curation gate (language -> length -> mean
+    word length -> stopword presence). The number every corpus team
+    watches daily — a source whose funnel suddenly collapses at one
+    stage signals a crawler or format regression. ONE corpus pass:
+    all four gates are branch-free codegen expressions evaluated
+    map-side, the funnel's cumulative conjunctions become conditional
+    sums in a single partial-aggregated groupBy(source) — at 100 TB
+    this is a full scan plus a 20-row exchange, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.length("text") / n
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    distinct_lower = F.array_distinct(ws_tokens(F.lower(F.col("text"))))
+    lang_ok = F.col("lang") == "en"
+    len_ok = F.size(toks) >= 30
+    wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
+    stop_ok = F.size(F.array_intersect(distinct_lower, stop_en)) >= 2
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 cnt(lang_ok).alias("n_lang"),
+                 cnt(lang_ok & len_ok).alias("n_len"),
+                 cnt(lang_ok & len_ok & wl_ok).alias("n_wordlen"),
+                 cnt(lang_ok & len_ok & wl_ok & stop_ok).alias("n_final"))
+            .orderBy("source"))
