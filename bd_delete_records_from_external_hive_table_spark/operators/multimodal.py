@@ -33,7 +33,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_SCHEMA", "synthetic_media", "synthetic_real_media",
-           "extract_features", "sample_frames", "fake_feature_vector"]
+           "ingest_binary_dir", "extract_features", "sample_frames",
+           "fake_feature_vector"]
 
 #: Canonical multimodal row: id, modality tag, opaque payload, metadata.
 MEDIA_SCHEMA = StructType([
@@ -95,6 +96,45 @@ def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+#: file-extension -> modality tag for the binaryFile ingest path.
+_EXT_MODALITY = {"ppm": "image", "png": "image", "jpg": "image",
+                 "jpeg": "image", "wav": "audio", "mp3": "audio",
+                 "mp4": "video", "mkv": "video"}
+
+
+def ingest_binary_dir(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Ingest a directory of media FILES into the canonical MEDIA_SCHEMA
+    via Spark's built-in ``binaryFile`` source — the real on-disk entry
+    point of a multimodal pipeline (an object-store bucket of images /
+    audio clips), where :func:`synthetic_media` is the in-memory one.
+
+    binaryFile is distributed and lazy: each executor reads only its own
+    split's files, `pathGlobFilter` prunes at listing time, and the
+    (path, modificationTime, length, content) schema means predicates on
+    length/path are evaluated without touching payload bytes. media_id
+    is the 63-bit xxhash of the file path — stable across relistings,
+    join-able with feature/caption tables downstream. At 100 TB the
+    listing parallelizes over the driver's listing threads and payloads
+    stream through the scan one file per row — no file ever lands on the
+    driver."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MODALITY.items() for x in kv])
+    return df.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.coalesce(modality_map[ext], F.lit("unknown")).alias("modality"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("bytes"), F.col("length").cast("string"),
+            F.lit("codec"), ext).alias("meta"))
 
 
 def fake_feature_vector(payload: bytes, dim: int) -> np.ndarray:

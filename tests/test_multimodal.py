@@ -124,3 +124,40 @@ def test_sample_frames(media):
     assert len(rows) == vids * 4
     assert all(len(bytes(r.frame)) == 32 for r in rows)
     assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_ingest_binary_dir_end_to_end(spark, tmp_path):
+    """Real on-disk files -> binaryFile scan -> MEDIA_SCHEMA -> real
+    decode: the full multimodal ingestion path with zero synthetic
+    DataFrames."""
+    import bd_delete_records_from_external_hive_table_spark.operators.media_codecs as mc
+    px = (np.arange(4 * 4 * 3, dtype=np.int64) * 7 % 256) \
+        .reshape(4, 4, 3).astype(np.uint8)
+    (tmp_path / "a.ppm").write_bytes(mc.encode_ppm(px))
+    t = np.arange(80) / 80.0
+    wav = mc.encode_wav((0.5 * np.sin(2 * np.pi * 5 * t)).astype(np.float32))
+    (tmp_path / "b.wav").write_bytes(wav)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    df = mm.ingest_binary_dir(spark, str(tmp_path), glob="*.{ppm,wav}")
+    rows = {r.meta["codec"]: r for r in df.collect()}
+    assert set(rows) == {"ppm", "wav"}          # txt pruned at listing
+    assert rows["ppm"].modality == "image"
+    assert rows["wav"].modality == "audio"
+    assert bytes(rows["ppm"].payload) == mc.encode_ppm(px)
+    assert int(rows["wav"].meta["bytes"]) == len(wav)
+    assert all(r.media_id >= 0 for r in rows.values())
+
+    feats = {r.modality: r.features
+             for r in mm.extract_features(df, dim=8, decode="real").collect()}
+    want_img = mc.real_feature_vector(mc.encode_ppm(px), 8)
+    assert np.allclose(feats["image"], want_img, atol=1e-6)
+    assert 0.2 < feats["audio"][1] < 0.5        # RMS of 0.5-amp sine
+
+
+def test_ingest_binary_dir_no_glob_tags_unknown(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02")
+    df = mm.ingest_binary_dir(spark, str(tmp_path))
+    [r] = df.collect()
+    assert r.modality == "unknown"
+    assert bytes(r.payload) == b"\x00\x01\x02"
