@@ -272,3 +272,87 @@ def w10(spark, sf_dir):
             .groupBy("cohort_week", week_n.alias("week_n"))
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy("cohort_week", "week_n"))
+
+
+@register("a23_salted_skew_agg",
+          "SELECT k, CAST(COUNT(*) AS BIGINT) AS n, "
+          "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+          "  AS total, "
+          "MIN(value) AS vmin, MAX(value) AS vmax "
+          "FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' "
+          "             ELSE event_type END AS k, value FROM events) "
+          "GROUP BY k ORDER BY k")
+def a23(spark, sf_dir):
+    """Skew-safe two-stage aggregation, certified exact: half the corpus
+    is forced onto one 'hot' key (the null-key / default-tenant shape
+    that AQE's skew handling cannot fix for groupBy), then aggregated
+    through ``operators.skew.salted_aggregate`` — stage 1 groups on
+    (key, salt) so the hottest stage-1 task is bounded at ~1/16 of the
+    hot key, stage 2 combines |keys|x16 partial rows. The oracle is the
+    plain GROUP BY: salting must be a pure plan-level rewrite with
+    bit-identical results (sums ride exact decimals, so combine order
+    cannot drift them; count/min/max are order-free)."""
+    from ..operators.skew import salted_aggregate
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("event_type")).alias("k"),
+        "value", F.col("value").cast("decimal(18,4)").alias("vdec"))
+    out = salted_aggregate(
+        ev, keys=["k"],
+        aggs={"n": ("count", "value"), "dec_total": ("sum", "vdec"),
+              "vmin": ("min", "value"), "vmax": ("max", "value")},
+        salt_buckets=16)
+    return (out.select(
+        "k", F.col("n").cast("long").alias("n"),
+        F.round("dec_total", 2).cast("double").alias("total"),
+        "vmin", "vmax")
+        .orderBy("k"))
+
+
+@register("w11_event_funnel",
+          "WITH s1 AS (SELECT user_id, "
+          "  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view "
+          "  FROM events GROUP BY user_id), "
+          "s2 AS (SELECT e.user_id, s1.t_view, MIN(e.ts) AS t_click "
+          "  FROM events e JOIN s1 ON e.user_id = s1.user_id "
+          "  WHERE e.event_type = 'click' AND e.ts > s1.t_view "
+          "  GROUP BY e.user_id, s1.t_view), "
+          "s3 AS (SELECT e.user_id, MIN(e.ts) AS t_buy "
+          "  FROM events e JOIN s2 ON e.user_id = s2.user_id "
+          "  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click "
+          "  GROUP BY e.user_id) "
+          "SELECT CAST((SELECT COUNT(*) FROM s1 WHERE t_view IS NOT NULL) "
+          "  AS BIGINT) AS n_view, "
+          "CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click, "
+          "CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase")
+def w11(spark, sf_dir):
+    """Ordered three-step conversion funnel (view -> later click ->
+    later purchase): how many users complete each prefix, in order —
+    the product-analytics query sequence databases advertise. Each
+    stage is a user-grained aggregate joined back to events; all three
+    shuffles hash on user_id, so under AQE the exchanges reuse one
+    partitioning of the fact and the join sides are |users|-sized
+    aggregates (broadcast-convertible). Stage relations shrink
+    monotonically (funnel property), so each successive join probes a
+    smaller build side. Counts are exact integers; the strictly-after
+    comparisons ride microsecond-exact timestamps on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    s1 = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+               .alias("t_view"))
+          .where(F.col("t_view").isNotNull()))
+    s2 = (ev.where(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .where(F.col("ts") > F.col("t_view"))
+          .groupBy("user_id")
+          .agg(F.min("ts").alias("t_click")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .where(F.col("ts") > F.col("t_click"))
+          .groupBy("user_id")
+          .agg(F.min("ts").alias("t_buy")))
+    return (s1.agg(F.count("*").cast("long").alias("n_view"))
+            .crossJoin(s2.agg(F.count("*").cast("long").alias("n_click")))
+            .crossJoin(s3.agg(F.count("*").cast("long")
+                              .alias("n_purchase"))))
