@@ -55,7 +55,7 @@ def synthetic_media(spark: SparkSession, n: int = 64,
     payload_hex = F.substring(
         F.repeat(F.md5(F.col("id").cast("string")), reps),
         1, payload_bytes * 2)
-    return (spark.range(n)
+    return (spark.range(0, n, 1, max(1, min(8, n // 8)))
             .select(F.col("id").alias("media_id"),
                     F.element_at(
                         F.array(F.lit("image"), F.lit("audio"),
@@ -95,7 +95,12 @@ def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                 out["meta"].append({"codec": codec})
             yield pd.DataFrame(out)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # bound the partition count: spark.range defaults to one partition
+    # per core, and 32 one-row partitions cost 32 Arrow worker round
+    # trips PER mapInPandas stage — pure overhead for a small corpus.
+    # Real corpora size their partitions by data volume instead.
+    n_parts = max(1, min(8, n // 8))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 #: file-extension -> modality tag for the binaryFile ingest path.

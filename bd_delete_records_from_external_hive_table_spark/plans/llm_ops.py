@@ -1068,19 +1068,34 @@ def t10(spark, sf_dir):
     low = F.lower(F.col("text"))
     bg = F.transform(F.sequence(F.lit(1), F.length(low) - 1),
                      lambda i: low.substr(i, F.lit(2)))
-    with_bg = docs.select(
-        "doc_id", bg.alias("bg"),
-        F.array_sort(F.array_distinct(bg)).alias("ub"))
-    n = F.size("bg").cast("double")
+    # Engine side avoids the oracle's O(distinct x len) per-doc count
+    # (a filter scan per distinct bigram): sort the bigrams once, find
+    # run starts by comparing neighbours, and difference consecutive
+    # starts into run lengths — O(len log len). The runs enumerate the
+    # SAME sorted-distinct values with the SAME counts as the oracle's
+    # ub iteration, so the entropy fold sums identical IEEE doubles in
+    # identical order and stays bit-stable vs DuckDB.
+    with_bg = docs.select("doc_id", F.array_sort(bg).alias("s"))
+    sz = F.size("s")
+    starts = F.filter(
+        F.transform(F.sequence(F.lit(1), sz),
+                    lambda i: F.when(
+                        (i == 1)
+                        | (F.element_at(F.col("s"), i)
+                           != F.element_at(F.col("s"), i - 1)), i)),
+        lambda x: x.isNotNull())
+    with_runs = with_bg.select(
+        "doc_id", sz.cast("double").alias("n"), starts.alias("st"))
+    counts = F.zip_with(
+        F.col("st"),
+        F.concat(F.slice(F.col("st"), 2, F.size("st") - 1),
+                 F.array(F.col("n").cast("int") + 1)),
+        lambda a, b: (b - a).cast("double"))
     ent = F.aggregate(
-        F.col("ub"), F.lit(0.0),
-        lambda acc, u: acc - (
-            (F.size(F.filter(F.col("bg"), lambda x: x == u))
-             .cast("double") / n)
-            * F.log2(F.size(F.filter(F.col("bg"), lambda x: x == u))
-                     .cast("double") / n)))
-    return (with_bg.select("doc_id",
-                           F.round(ent, 4).alias("bigram_entropy"))
+        counts, F.lit(0.0),
+        lambda acc, c: acc - (c / F.col("n")) * F.log2(c / F.col("n")))
+    return (with_runs.select("doc_id",
+                             F.round(ent, 4).alias("bigram_entropy"))
             .orderBy("doc_id"))
 
 
@@ -1212,3 +1227,59 @@ def s06(spark, sf_dir):
                  cnt(lang_ok & len_ok & wl_ok).alias("n_wordlen"),
                  cnt(lang_ok & len_ok & wl_ok & stop_ok).alias("n_final"))
             .orderBy("source"))
+
+
+@register("sa03_per_source_hash_sample",
+          "SELECT source, doc_id, n_chars FROM ("
+          "  SELECT source, doc_id, n_chars, ROW_NUMBER() OVER ("
+          "    PARTITION BY source "
+          "    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':salt'), doc_id) "
+          "    AS rk FROM documents) WHERE rk <= 5 "
+          "ORDER BY source, doc_id")
+def sa03(spark, sf_dir):
+    """Deterministic per-source k-sample: exactly 5 documents per
+    source, chosen by md5 rank — the reservoir-sampling replacement for
+    corpus spot-checks and eval-set carving. Unlike rand()-based
+    sampling this is reproducible across engines, runs, and partition
+    layouts (the hash depends only on doc_id), and unlike a global
+    sample it guarantees per-group coverage. One window per source
+    partition: the sort is per-group, parallel across sources, and at
+    100 TB the rank-k cutoff means each task retains k rows — a
+    top-k-per-group, never a global shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":salt"))),
+        "doc_id")
+    return (docs.select("source", "doc_id", "n_chars",
+                        F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= 5)
+            .select("source", "doc_id", "n_chars")
+            .orderBy("source", "doc_id"))
+
+
+@register("s07_length_stratification",
+          "SELECT source, quartile, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+          "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+          "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+          "FROM (SELECT source, n_chars, NTILE(4) OVER ("
+          "  PARTITION BY source ORDER BY n_chars, doc_id) AS quartile "
+          "  FROM documents) "
+          "GROUP BY source, quartile ORDER BY source, quartile")
+def s07(spark, sf_dir):
+    """Per-source document-length stratification: quartile buckets via
+    NTILE over each source's length distribution, then bucket counts
+    and ranges — the curriculum-learning / mixture-design view of a
+    corpus (which sources are short-doc heavy, where the long tail
+    lives). The window partitions by source, so the sort parallelizes
+    across sources and no global order is ever imposed; doc_id breaks
+    length ties so NTILE bucket edges are deterministic on both
+    engines. Output is |sources| x 4 rows of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (docs.select("source", "n_chars",
+                        F.ntile(4).over(w).alias("quartile"))
+            .groupBy("source", "quartile")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars"))
+            .orderBy("source", "quartile"))
