@@ -356,3 +356,78 @@ def w11(spark, sf_dir):
             .crossJoin(s2.agg(F.count("*").cast("long").alias("n_click")))
             .crossJoin(s3.agg(F.count("*").cast("long")
                               .alias("n_purchase"))))
+
+
+@register("ts03_linear_interpolation",
+          "WITH daily AS ("
+          "  SELECT CAST(ts AS DATE) AS day, "
+          "  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v "
+          "  FROM events WHERE event_type = 'purchase' AND value > 180 "
+          "  GROUP BY day), "
+          "spine AS ("
+          "  SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily), "
+          "  (SELECT MAX(day) FROM daily), INTERVAL 1 DAY))::DATE AS day), "
+          "filled AS ("
+          "  SELECT s.day, d.v, "
+          "  last_value(d.v IGNORE NULLS) OVER w_prev AS pv, "
+          "  last_value(CASE WHEN d.v IS NOT NULL THEN s.day END "
+          "             IGNORE NULLS) OVER w_prev AS pd, "
+          "  first_value(d.v IGNORE NULLS) OVER w_next AS nv, "
+          "  first_value(CASE WHEN d.v IS NOT NULL THEN s.day END "
+          "              IGNORE NULLS) OVER w_next AS nd "
+          "  FROM spine s LEFT JOIN daily d ON s.day = d.day "
+          "  WINDOW w_prev AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED "
+          "  PRECEDING AND CURRENT ROW), "
+          "  w_next AS (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND "
+          "  UNBOUNDED FOLLOWING)) "
+          "SELECT day, (v IS NOT NULL) AS observed, "
+          "CASE WHEN v IS NOT NULL THEN v "
+          "     WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+          "     ELSE pv + (nv - pv) * "
+          "       (CAST(date_diff('day', pd, day) AS DOUBLE) "
+          "        / CAST(date_diff('day', pd, nd) AS DOUBLE)) END "
+          "  AS v_interp "
+          "FROM filled ORDER BY day")
+def ts03(spark, sf_dir):
+    """Linear interpolation over a daily date spine — the interpolating
+    sibling of ts01's LOCF forward-fill (metrics dashboards offer both;
+    interpolation is the right call for additive gauges). Same scale
+    shape as ts01: the heavy aggregate keys on day (one corpus
+    shuffle), every window runs over the SPINE — bounded by calendar
+    days, never event volume. Determinism: daily sums ride exact
+    decimals into identical doubles, and the interpolation formula is
+    written with identical operation order on both engines (IEEE ops on
+    identical inputs are bit-identical), so no rounding tolerance is
+    needed even for interpolated points."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 180))
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("v")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    filled = (spine.join(daily, "day", "left")
+              .select(
+                  "day", "v",
+                  F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+                  F.last(F.when(F.col("v").isNotNull(), F.col("day")),
+                         ignorenulls=True).over(w_prev).alias("pd"),
+                  F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+                  F.first(F.when(F.col("v").isNotNull(), F.col("day")),
+                          ignorenulls=True).over(w_next).alias("nd")))
+    frac = (F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double"))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .otherwise(F.col("pv")
+                         + (F.col("nv") - F.col("pv")) * frac))
+    return (filled.select("day",
+                          F.col("v").isNotNull().alias("observed"),
+                          interp.alias("v_interp"))
+            .orderBy("day"))

@@ -1283,3 +1283,62 @@ def s07(spark, sf_dir):
                  F.min("n_chars").cast("long").alias("min_chars"),
                  F.max("n_chars").cast("long").alias("max_chars"))
             .orderBy("source", "quartile"))
+
+
+#: Fuzzy-vocab demo relation: the corpus vocabulary plus a planted
+#: "typo" for every word of length >= 5 (last char dropped) — the
+#: organic vocab has no distance-1 pairs, so the planted set is the
+#: ground truth the blocking must recover (same augmentation in the
+#: oracle, mirroring the dedup demos).
+_VOCAB_AUG = ("SELECT DISTINCT w FROM ("
+              "  SELECT unnest(string_split_regex(lower(text), '\\s+')) "
+              "  AS w FROM documents) WHERE w <> '' "
+              "UNION "
+              "SELECT DISTINCT substr(w, 1, length(w) - 1) AS w FROM ("
+              "  SELECT unnest(string_split_regex(lower(text), '\\s+')) "
+              "  AS w FROM documents) WHERE length(w) >= 5")
+
+
+@register("d12_edit_distance_pairs",
+          "WITH vocab AS (" + _VOCAB_AUG + ") "
+          "SELECT a.w AS w1, b.w AS w2, "
+          "CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist "
+          "FROM vocab a JOIN vocab b ON a.w < b.w "
+          "WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w1, w2")
+def d12(spark, sf_dir):
+    """Edit-distance-1 vocabulary pairs via deletion-neighborhood
+    blocking — the fuzzy-match join behind typo clustering, URL/entity
+    canonicalization, and OCR cleanup. Each word emits |w|+1 blocking
+    keys (itself + every single-character deletion); two words within
+    edit distance 1 ALWAYS share a key (substitution: both drop the
+    differing position; insert/delete: the shorter word IS a deletion
+    variant of the longer), so the candidate equi-join on the key is
+    exact-recall. Cost is O(vocab x avg_len) keys and bucket-local
+    pairs — never the O(vocab^2) cross join the oracle runs; the final
+    levenshtein() evaluates only on bucket-mates. At web-corpus scale
+    this is the difference between a feasible join and a quadratic
+    blowup."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                         .alias("w"))
+             .where(F.col("w") != "").distinct())
+    typos = (words.where(F.length("w") >= 5)
+             .select(F.expr("substr(w, 1, length(w) - 1)").alias("w")))
+    vocab = words.union(typos).distinct()
+    # |w|+1 keys: position 0 = the word itself, i>=1 deletes char i
+    keys = vocab.select(
+        "w", F.explode(F.transform(
+            F.sequence(F.lit(0), F.length("w")),
+            lambda i: F.when(i == 0, F.col("w")).otherwise(
+                F.concat(F.col("w").substr(F.lit(1), i - 1),
+                         F.col("w").substr(
+                             i + 1, F.length("w") - i))))).alias("k"))
+    cand = (keys.alias("a")
+            .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
+            .where(F.col("a.w") < F.col("b.w"))
+            .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
+            .where(F.col("dist") <= 1)
+            .orderBy("w1", "w2"))
