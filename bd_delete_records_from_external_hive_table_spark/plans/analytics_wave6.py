@@ -1,0 +1,279 @@
+"""Sixth-wave queries: streaming-adjacent dedup, corpus statistics, and
+time-series smoothing — the remaining shapes a training-data pipeline
+runs daily that earlier waves did not yet declare:
+
+- st06 debounce dedup: keep one event per (user, type, minute) — the
+  batch form of streaming ``dropDuplicatesWithinWatermark``; the
+  survivor rule (min event_id) is engine-independent, so the oracle is
+  exact.
+- t12 Zipf fit: log-log regression slope of the term-frequency curve —
+  the one-number corpus-health signal (natural text ⇒ slope ≈ -1;
+  word-salad/boilerplate corpora bend away from it).
+- t13 TF-IDF: per-source discriminative terms. Because every document
+  belongs to exactly one source, document frequency = the sum of
+  per-(source, token) distinct-doc counts over sources — ONE explode,
+  ONE groupBy, ONE window shuffle on token; the corpus is never
+  scanned twice.
+- e04 centroid similarity: pairwise cosine between per-label embedding
+  centroids — drift/confusion audit over e02's building block. All
+  pair math happens AFTER aggregation collapses N vectors to
+  |labels| x dim rows.
+- ts04 EWMA: per-user exponential smoothing over the last-k events via
+  a higher-order fold (``F.aggregate``) — the recursive operator SQL
+  windows cannot express directly; bounding to k rows keeps per-key
+  state O(1) at any scale.
+
+Scale notes (100 TB design point): st06's window partitions by
+(user, type, minute) — fine-grained keys, no skew pileup; t12's
+dictionary passes through TakeOrderedAndProject (top-100 per partition
+survive the shuffle, never the full vocabulary); t13 shuffles the token
+dictionary once (dictionary-sized, not corpus-sized); e04 joins only
+aggregated centroids; ts04's collect_list is bounded to 20 rows/key by
+the preceding row_number filter, so the fold state cannot grow with
+history length.
+
+Reference anchor: same admitted-SQL surface as waves 1-5
+(DeletionCriteria.java:40-63, HiveTableOperations.java:71-116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# st06: debounce dedup (batch form of dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+@register("st06_dedup_debounce",
+          "WITH r AS (SELECT event_type, ROW_NUMBER() OVER ("
+          "PARTITION BY user_id, event_type, date_trunc('minute', ts) "
+          "ORDER BY event_id) AS rn FROM events) "
+          "SELECT event_type, COUNT(*) AS n_events, "
+          "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+          "AS n_kept, "
+          "CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
+          "AS BIGINT) AS n_dupes "
+          "FROM r GROUP BY event_type ORDER BY event_type")
+def st06(spark, sf_dir):
+    """Debounce dedup: one event survives per (user, type, minute) — the
+    batch form of streaming ``dropDuplicatesWithinWatermark`` (whose
+    state TTL is exactly the bucket width; stream==batch key-set parity
+    is test-asserted in test_streaming.py). Survivor = min event_id in
+    the bucket: event_id is unique, so the rule is deterministic and
+    independent of each engine's sub-microsecond timestamp precision.
+    One window shuffle on fine-grained keys (no skew pileup: a hot user
+    still splits across minutes), then a partial-aggregated rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("event_id")
+    flagged = ev.select(
+        "event_type", (F.row_number().over(w) == 1).alias("kept"))
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 (F.count(F.lit(1))
+                  - F.sum(F.col("kept").cast("long"))).alias("n_dupes"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# t12: Zipf's-law fit over the term-frequency curve
+# ---------------------------------------------------------------------------
+
+@register("t12_zipf_fit",
+          "WITH tf AS (SELECT token, COUNT(*) AS n FROM ("
+          "  SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) "
+          "  AS token FROM documents) t WHERE token <> '' GROUP BY token), "
+          "top AS (SELECT n FROM tf ORDER BY n DESC, token LIMIT 100), "
+          "rk AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY n DESC)) AS lr, "
+          "       ln(n) AS lf FROM top) "
+          "SELECT COUNT(*) AS n_terms, "
+          "ROUND(covar_pop(lr, lf) / var_pop(lr), 4) AS zipf_slope, "
+          "ROUND(corr(lr, lf) * corr(lr, lf), 4) AS zipf_r2 FROM rk")
+def t12(spark, sf_dir):
+    """Zipf's-law fit: regress ln(frequency) on ln(rank) over the top-100
+    terms. Natural language gives slope ≈ -1 with r² near 1; corpora full
+    of boilerplate or synthetic filler bend away — a one-number corpus
+    health check. The vocabulary aggregation flows through
+    TakeOrderedAndProject (top-100 per partition cross the shuffle, never
+    the dictionary), and the regression runs over exactly 100 rows, so
+    the only corpus-sized cost is the token explode + partial-agg count.
+    Rank ties share a frequency, so (n DESC, token) vs (n DESC) ordering
+    cannot change any (rank, ln n) pair the regression sees."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                      .alias("token"))
+          .where(F.col("token") != "")
+          .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    top = tf.orderBy(F.desc("n"), "token").limit(100)
+    rk = top.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("n"), "token")))
+        .alias("lr"),
+        F.log("n").alias("lf"))
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4)
+        .alias("zipf_slope"),
+        F.round(F.corr("lr", "lf") * F.corr("lr", "lf"), 4)
+        .alias("zipf_r2"))
+
+
+# ---------------------------------------------------------------------------
+# t13: per-source TF-IDF discriminative terms
+# ---------------------------------------------------------------------------
+
+@register("t13_tfidf_terms",
+          "WITH ex AS (SELECT source, doc_id, UNNEST("
+          "  regexp_split_to_array(LOWER(text), '[^a-z]+')) AS token "
+          "  FROM documents), "
+          "st AS (SELECT source, token, COUNT(*) AS tf, "
+          "       COUNT(DISTINCT doc_id) AS dfp FROM ex "
+          "       WHERE token <> '' AND LENGTH(token) > 3 "
+          "       GROUP BY source, token), "
+          "wd AS (SELECT *, SUM(dfp) OVER (PARTITION BY token) AS df "
+          "       FROM st), "
+          "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+          "sc AS (SELECT source, token, "
+          "       ROUND(tf * ln(n_docs / df), 4) AS tfidf, "
+          "       ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
+          "       tf * ln(n_docs / df) DESC, token) AS trank "
+          "       FROM wd, n) "
+          "SELECT source, trank, token, tfidf FROM sc WHERE trank <= 5 "
+          "ORDER BY source, trank")
+def t13(spark, sf_dir):
+    """Per-source TF-IDF top terms — which vocabulary distinguishes each
+    source (the mixture-debugging view of a multi-source corpus). Every
+    document has exactly ONE source, so corpus document frequency
+    df(token) = Σ_source countDistinct(doc_id | source, token): one
+    explode, one (source, token) groupBy, then a window SUM over token
+    replaces the usual second corpus scan + self-join. The shuffles that
+    remain are dictionary-sized, not corpus-sized. idf uses the raw
+    ln(N/df) form; both engines compute the identical double expression
+    from exact integer inputs, so the row_number tie-break (token asc)
+    sees identical ordering keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+    st = (ex.where((F.col("token") != "") & (F.length("token") > 3))
+          .groupBy("source", "token")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.countDistinct("doc_id").alias("dfp")))
+    wd = st.withColumn(
+        "df", F.sum("dfp").over(Window.partitionBy("token")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = (wd.crossJoin(F.broadcast(n))
+          .withColumn("tfidf_raw",
+                      F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+          .withColumn("trank", F.row_number().over(
+              Window.partitionBy("source")
+              .orderBy(F.desc("tfidf_raw"), "token"))))
+    return (sc.where(F.col("trank") <= 5)
+            .select("source", "trank", "token",
+                    F.round("tfidf_raw", 4).alias("tfidf"))
+            .orderBy("source", "trank"))
+
+
+# ---------------------------------------------------------------------------
+# e04: pairwise cosine similarity between label centroids
+# ---------------------------------------------------------------------------
+
+@register("e04_centroid_similarity",
+          "WITH comp AS (SELECT label, pos, AVG(v) AS m FROM ("
+          "  SELECT label, UNNEST(embedding) AS v, "
+          "         generate_subscripts(embedding, 1) AS pos "
+          "  FROM embeddings) x GROUP BY label, pos), "
+          "nrm AS (SELECT label, SQRT(SUM(m * m)) AS nm FROM comp "
+          "        GROUP BY label) "
+          "SELECT a.label AS label_a, b.label AS label_b, "
+          "ROUND(SUM(a.m * b.m) / (MIN(na.nm) * MIN(nb.nm)), 4) AS cos_sim "
+          "FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label "
+          "JOIN nrm na ON na.label = a.label "
+          "JOIN nrm nb ON nb.label = b.label "
+          "GROUP BY a.label, b.label ORDER BY label_a, label_b")
+def e04(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusion / embedding-drift audit built on e02's centroid
+    block. The corpus-sized work is ONE posexplode + partial-agg mean;
+    everything after operates on |labels| x dim rows (tiny), so the
+    label < label self-join never touches raw vectors. At 100 TB the
+    plan cost is the one centroid aggregation — identical to e02."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos").agg(F.avg("v").alias("m")))
+    nrm = (comp.groupBy("label")
+           .agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nm")))
+    a = comp.select(F.col("label").alias("label_a"),
+                    "pos", F.col("m").alias("ma"))
+    b = comp.select(F.col("label").alias("label_b"),
+                    F.col("pos").alias("pos_b"), F.col("m").alias("mb"))
+    dots = (a.join(b, (F.col("pos") == F.col("pos_b"))
+                   & (F.col("label_a") < F.col("label_b")))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+    na = nrm.select(F.col("label").alias("label_a"),
+                    F.col("nm").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"),
+                    F.col("nm").alias("nb"))
+    return (dots.join(F.broadcast(na), "label_a")
+            .join(F.broadcast(nb), "label_b")
+            .select("label_a", "label_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+                    .alias("cos_sim"))
+            .orderBy("label_a", "label_b"))
+
+
+# ---------------------------------------------------------------------------
+# ts04: per-user EWMA via a bounded higher-order fold
+# ---------------------------------------------------------------------------
+
+@register("ts04_ewma",
+          "WITH lastk AS (SELECT user_id, value, ROW_NUMBER() OVER ("
+          "  PARTITION BY user_id "
+          "  ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn "
+          "  FROM events), "
+          "arr AS (SELECT user_id, COUNT(*) AS n_used, "
+          "        list(value ORDER BY rn DESC) AS vs "
+          "        FROM lastk WHERE rn <= 20 GROUP BY user_id) "
+          "SELECT user_id, n_used, "
+          "ROUND(list_reduce(vs, (acc, x) -> 0.4 * x + 0.6 * acc), 4) "
+          "AS ewma FROM arr ORDER BY user_id")
+def ts04(spark, sf_dir):
+    """Per-user EWMA (α = 0.4) over the last 20 events — exponential
+    smoothing is RECURSIVE (ewmaᵢ = α·xᵢ + (1-α)·ewmaᵢ₋₁), which no SQL
+    window frame expresses; the idiomatic Spark form is a higher-order
+    ``F.aggregate`` fold over an ordered array. The row_number pre-filter
+    bounds the folded array to 20 elements per key BEFORE collect_list,
+    so per-key state is O(1) no matter how long a user's history grows —
+    the property that makes this safe on an unbounded 100 TB event log.
+    Ordering truncates ts to seconds (sub-µs parquet precision differs
+    between engines) with event_id as the exact tie-break, and both
+    engines fold the identical IEEE sequence, so results are bit-equal
+    before the display rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")).desc(), F.col("event_id").desc())
+    lastk = (ev.select("user_id", "value", "event_id",
+                       F.row_number().over(w).alias("rn"))
+             .where(F.col("rn") <= 20))
+    # rn DESC == chronological ASC within the kept window; sort the
+    # (20-rn, value) structs so the fold walks oldest → newest.
+    arr = (lastk.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_used"),
+                F.array_sort(F.collect_list(
+                    F.struct((-F.col("rn")).alias("ord"), "value")))
+                .alias("sv")))
+    vs = F.transform(F.col("sv"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: F.lit(0.4) * x + F.lit(0.6) * acc)
+    return (arr.select("user_id", "n_used",
+                       F.round(ewma, 4).alias("ewma"))
+            .orderBy("user_id"))

@@ -207,6 +207,28 @@ def test_streaming_dedup_removes_replayed_file(spark, sf_dir, tmp_path):
     assert n == distinct
 
 
+def test_streaming_debounce_matches_batch_keyset(spark, sf_dir, events_dir):
+    """st06's streaming sibling: dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type, minute-bucket) keeps exactly one event per
+    debounce key. WHICH row survives is arrival-order-dependent in a
+    stream, so parity is asserted on the KEY SET (and its size), which
+    both forms must agree on exactly."""
+    ev = sw.stream_events(spark, events_dir).withColumn(
+        "minute", F.date_trunc("minute", F.col("ts")))
+    deduped = sw.streaming_dedup(
+        ev, keys=["user_id", "event_type", "minute"])
+    sw.run_to_memory(deduped.select("user_id", "event_type", "minute"),
+                     "debounce_t", "append")
+    got = {(r.user_id, r.event_type, r.minute)
+           for r in spark.table("debounce_t").collect()}
+    batch = (load_table(spark, sf_dir, "events")
+             .select("user_id", "event_type",
+                     F.date_trunc("minute", F.col("ts")).alias("minute"))
+             .distinct())
+    want = {(r.user_id, r.event_type, r.minute) for r in batch.collect()}
+    assert got == want
+
+
 def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     """Late-data handling: with a 30-min watermark and 1-hour tumbling
     windows in append mode, rows arriving after their window's watermark
