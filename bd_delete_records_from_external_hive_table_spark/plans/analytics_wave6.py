@@ -230,6 +230,39 @@ def e04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q20: recursive CTE (hierarchy walk via the SQL surface)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = (
+    "WITH RECURSIVE anc(start_key, k, depth) AS ("
+    "  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT) FROM orders "
+    "  WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) - 9 "
+    "  UNION ALL "
+    "  SELECT start_key, CAST(FLOOR(k / 2) AS BIGINT), depth + 1 "
+    "  FROM anc WHERE k > 0) "
+    "SELECT start_key, MAX(depth) AS chain_depth, "
+    "CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS chain_value "
+    "FROM anc JOIN orders ON o_orderkey = k "
+    "GROUP BY start_key ORDER BY start_key")
+
+
+@register("q20_recursive_cte", _Q20_SQL)
+def q20(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — the hierarchy-walk SQL
+    surface: each seed order climbs its implicit binary-tree ancestor
+    chain (k → ⌊k/2⌋; order keys are dense, so every ancestor exists),
+    joining back to orders to accumulate value along the chain. Depth is
+    ⌈log₂ N⌉ — recursion rounds grow logarithmically with table size, and
+    each round is a bounded equi-join, the shape that survives scale (the
+    same reason d06's pointer-doubling clustering converges in O(log d)).
+    The seed set is defined relative to MAX(o_orderkey), so the query is
+    scale-factor-independent. Both engines run the IDENTICAL SQL text."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q20_SQL)
+
+
+# ---------------------------------------------------------------------------
 # ts04: per-user EWMA via a bounded higher-order fold
 # ---------------------------------------------------------------------------
 
