@@ -58,6 +58,13 @@ def _previously_green() -> set[str]:
 
 
 _green = _previously_green()
+# Within the never-rowed set, oracle-backed queries outrank rows-only
+# ones: a driver budget slot spent on an oracle query earns a full
+# value-hash row, while a rows-only query earns only the weaker
+# non-empty check — so the weaker checks queue behind the stronger.
+for _name in [n for n, s in REGISTRY.items()
+              if n not in _green and s.oracle is None]:
+    REGISTRY[_name] = REGISTRY.pop(_name)
 for _name in [n for n in REGISTRY if n in _green]:
     REGISTRY[_name] = REGISTRY.pop(_name)  # move to end, keep spec
 

@@ -232,3 +232,21 @@ def test_q15_shape_scans_lineitem_once(spark, sf_dir):
              if "FileScan" in l and "lineitem" in l]
     assert len(scans) == 1, plan
     assert "Window" in plan
+
+
+def test_registry_rotation_orders_by_check_strength():
+    """Driver-budget ordering invariant: never-rowed oracle-backed
+    queries first (each budget slot earns a full value-hash row), then
+    never-rowed rows-only queries (weaker non-empty check), then
+    previously-green queries (already certified in some round)."""
+    from bd_delete_records_from_external_hive_table_spark.plans import _previously_green
+
+    green = _previously_green()
+
+    def strength(name: str) -> int:
+        if name in green:
+            return 2
+        return 0 if plans.REGISTRY[name].oracle is not None else 1
+
+    classes = [strength(n) for n in plans.REGISTRY]
+    assert classes == sorted(classes), classes
