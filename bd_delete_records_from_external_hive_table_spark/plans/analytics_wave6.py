@@ -263,6 +263,35 @@ def q20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q21: LATERAL correlated subquery with LIMIT (top-k per group, SQL form)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = (
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c CROSS JOIN LATERAL ("
+    "  SELECT o_orderkey, o_totalprice FROM orders "
+    "  WHERE o_custkey = c.c_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "ORDER BY c_custkey, o_totalprice DESC, o_orderkey")
+
+
+@register("q21_lateral_topk", _Q21_SQL)
+def q21(spark, sf_dir):
+    """LATERAL correlated subquery with LIMIT — the SQL spelling of
+    top-k-per-group (w01's window form, expressed the way analysts write
+    it). Catalyst decorrelates the per-customer ORDER BY ... LIMIT 2
+    into a partitioned window filter over ONE orders shuffle — no
+    per-customer subquery execution, no nested loop — so the plan is
+    w01's, at any scale. The (o_totalprice, o_orderkey) sort key makes
+    the kept rows unique, so both engines retain identical sets. Both
+    engines run the IDENTICAL SQL text."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
 # ts04: per-user EWMA via a bounded higher-order fold
 # ---------------------------------------------------------------------------
 
