@@ -264,6 +264,22 @@ def interval_join(left: DataFrame, right: DataFrame, *,
         .select(F.col("l_key").alias(key), "l_ts", "r_ts"))
 
 
+def enrich_with_static(stream: DataFrame, static_dim: DataFrame,
+                       on: str = "user_id",
+                       how: str = "left") -> DataFrame:
+    """Stream-static enrichment join — the standard shape for decorating
+    an event stream with a dimension (user profile, device registry,
+    source metadata). The static side is broadcast to the stream's
+    micro-batch tasks and — unlike a stream-stream join — needs NO
+    watermark and NO join state store: each micro-batch joins against
+    the dimension as-of that batch, so state is zero regardless of how
+    long the stream runs. The broadcast hint pins the only sane plan
+    for a dim (an unbounded stream side can never be the build side);
+    ``left`` keeps events whose key is missing from the dimension
+    (NULL-padded) rather than silently dropping them."""
+    return stream.join(F.broadcast(static_dim), on, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete"):
     """Drain a stream into an in-memory table with availableNow (test/dev

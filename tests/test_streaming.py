@@ -229,6 +229,34 @@ def test_streaming_debounce_matches_batch_keyset(spark, sf_dir, events_dir):
     assert got == want
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static join: enrich the event stream with a static user
+    dimension (cohort = user_id % 5), aggregate per cohort, and match
+    the batch equivalent exactly. Left join keeps events missing from
+    the dimension: dropping even users ensures the NULL-cohort bucket
+    is exercised."""
+    batch_ev = load_table(spark, sf_dir, "events")
+    dim = (batch_ev.select("user_id").distinct()
+           .where(F.col("user_id") % 2 == 1)  # odd users only
+           .withColumn("cohort", F.col("user_id") % 5))
+    enriched = sw.enrich_with_static(
+        sw.stream_events(spark, events_dir), dim)
+    agg = (enriched.groupBy("cohort")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total")))
+    sw.run_to_memory(agg, "enrich_t", "complete")
+    got = {(r.cohort, r.n, r.total)
+           for r in spark.table("enrich_t").collect()}
+    want = {(r.cohort, r.n, r.total)
+            for r in (batch_ev.join(dim, "user_id", "left")
+                      .groupBy("cohort")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("value"), 2).alias("total"))
+                      ).collect()}
+    assert got == want
+    assert any(c is None for c, _, _ in got)  # even users NULL-padded
+
+
 def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     """Late-data handling: with a 30-min watermark and 1-hour tumbling
     windows in append mode, rows arriving after their window's watermark
