@@ -230,6 +230,47 @@ def e04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# w12: time-RANGE window frame (rolling 1-hour burst detection)
+# ---------------------------------------------------------------------------
+
+@register("w12_time_range_burst",
+          "WITH s AS (SELECT user_id, "
+          "CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value "
+          "FROM events), "
+          "r AS (SELECT user_id, "
+          "COUNT(*) OVER w AS n_1h, SUM(value) OVER w AS v_1h FROM s "
+          "WINDOW w AS (PARTITION BY user_id ORDER BY sec "
+          "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) "
+          "SELECT user_id, MAX(n_1h) AS peak_1h_events, "
+          "CAST(ROUND(MAX(v_1h), 2) AS DOUBLE) AS peak_1h_value "
+          "FROM r GROUP BY user_id ORDER BY user_id")
+def w12(spark, sf_dir):
+    """Rolling 1-hour burst detection per user via a RANGE window frame —
+    the frame type (value-range, not row-count) none of w01–w11 exercise:
+    each event sees the count/sum of that user's events in the trailing
+    hour, then the per-user MAX reports the peak burst (the
+    rate-limit/anomaly signal). RANGE on epoch seconds handles ties
+    (same-second events share a frame) identically on both engines;
+    the sort the window needs is the only shuffle, and the rollup reuses
+    the same user_id partitioning — one exchange end-to-end. The peak
+    chooser is an exact integer MAX (count); the float sum rides along
+    and is display-rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, Window.currentRow))
+    r = (ev.select("user_id", sec.alias("sec"), "value")
+         .select("user_id",
+                 F.count(F.lit(1)).over(w).alias("n_1h"),
+                 F.sum("value").over(w).alias("v_1h")))
+    return (r.groupBy("user_id")
+            .agg(F.max("n_1h").alias("peak_1h_events"),
+                 F.round(F.max("v_1h"), 2).cast("double")
+                 .alias("peak_1h_value"))
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
 # q20: recursive CTE (hierarchy walk via the SQL surface)
 # ---------------------------------------------------------------------------
 
