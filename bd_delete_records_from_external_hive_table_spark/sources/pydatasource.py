@@ -39,6 +39,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -121,42 +122,90 @@ class _EventsReader(DataSourceReader):
                 for i in range(n)]
 
     def read(self, partition: _Range):
-        import numpy as np
-        import pyarrow as pa
+        yield from _gen_batches(partition.lo, partition.hi,
+                                partition.seed, self.batch)
 
-        for b_lo in range(partition.lo, partition.hi, self.batch):
-            b_hi = min(b_lo + self.batch, partition.hi)
-            if b_hi <= b_lo:
-                continue
-            idx = np.arange(b_lo, b_hi, dtype=np.uint64)
-            # splitmix64-style index hash: field values depend only on
-            # (index, seed), never on partitioning
-            h = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
-                partition.seed)
-            h ^= h >> np.uint64(30)
-            h *= np.uint64(0xBF58476D1CE4E5B9)
-            h ^= h >> np.uint64(27)
-            ts_us = (np.int64(
-                int(_EPOCH.timestamp() * 1_000_000))
-                + idx.astype(np.int64) * _STEP_US)
-            batch = pa.record_batch(
-                [
-                    pa.array(idx.astype(np.int64), pa.int64()),
-                    pa.array(ts_us, pa.timestamp("us", tz="UTC")),
-                    pa.array((h % np.uint64(10_000)).astype(np.int64),
-                             pa.int64()),
-                    pa.array(
-                        np.asarray(_TYPES, dtype=object)[
-                            (h >> np.uint64(16))
-                            % np.uint64(len(_TYPES))].tolist(),
-                        pa.string()),
-                    pa.array(((h >> np.uint64(32)) % np.uint64(100_000))
-                             .astype(np.float64) / 100.0,
-                             pa.float64()),
-                ],
-                names=["event_id", "ts", "user_id", "event_type", "value"],
-            )
-            yield batch
+
+def _gen_batches(lo: int, hi: int, seed: int, batch_size: int):
+    """Materialize index range [lo, hi) as Arrow RecordBatches — shared
+    by the batch and streaming readers so both read paths are
+    bit-identical for the same (index, seed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b_lo in range(lo, hi, batch_size):
+        b_hi = min(b_lo + batch_size, hi)
+        if b_hi <= b_lo:
+            continue
+        idx = np.arange(b_lo, b_hi, dtype=np.uint64)
+        # splitmix64-style index hash: field values depend only on
+        # (index, seed), never on partitioning
+        h = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        ts_us = (np.int64(
+            int(_EPOCH.timestamp() * 1_000_000))
+            + idx.astype(np.int64) * _STEP_US)
+        yield pa.record_batch(
+            [
+                pa.array(idx.astype(np.int64), pa.int64()),
+                pa.array(ts_us, pa.timestamp("us", tz="UTC")),
+                pa.array((h % np.uint64(10_000)).astype(np.int64),
+                         pa.int64()),
+                pa.array(
+                    np.asarray(_TYPES, dtype=object)[
+                        (h >> np.uint64(16))
+                        % np.uint64(len(_TYPES))].tolist(),
+                    pa.string()),
+                pa.array(((h >> np.uint64(32)) % np.uint64(100_000))
+                         .astype(np.float64) / 100.0,
+                         pa.float64()),
+            ],
+            names=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+
+
+class _EventsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming twin of `_EventsReader`: the offset is the
+    generated row index, each trigger advances it by ``rowsPerBatch``
+    (up to the ``rows`` cap), and ``partitions(start, end)`` splits the
+    batch's index window into parallel executor ranges exactly like the
+    batch reader. Offsets are plain dicts (checkpoint-JSON-able), so a
+    restarted query resumes from the committed index and — because every
+    field is a pure function of (index, seed) — regenerates the
+    identical rows: replayable exactly-once input for pipeline tests."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_trigger = int(options.get("rowsPerBatch", 250))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.batch = int(options.get("batch", 65536))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.per_trigger, self.rows)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["index"]), int(end["index"])
+        total = hi - lo
+        n = max(1, min(self.n_parts, total or 1))
+        width = -(-total // n) if total else 1
+        return [_Range(lo + i * width, min(lo + (i + 1) * width, hi),
+                       self.seed)
+                for i in range(n)]
+
+    def read(self, partition: _Range):
+        yield from _gen_batches(partition.lo, partition.hi,
+                                partition.seed, self.batch)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: regeneration is pure
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -176,6 +225,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _EventsReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _EventsStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:

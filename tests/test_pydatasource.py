@@ -90,3 +90,31 @@ def test_unrelated_filters_stay_with_spark(spark):
     assert sum(by_type.values()) == 5_000
     assert set(by_type) == {"click", "view", "purchase", "signup",
                             "error"}
+
+
+def test_streaming_source_equals_batch_read(spark):
+    """The streaming reader must regenerate EXACTLY the batch reader's
+    rows for the same (rows, seed): drain the stream (4 micro-batches of
+    250; Python micro-batch sources don't support availableNow, so
+    processAllAvailable runs triggers until the offset stops advancing)
+    and compare the full row set, proving offset-window splitting
+    loses/duplicates nothing."""
+    register_python_sources(spark)
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rows", 1000).option("rowsPerBatch", 250)
+              .option("partitions", 3).option("seed", 7).load())
+    q = (stream.writeStream.format("memory").queryName("pysrc_stream_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.event_id, r.ts, r.user_id, r.event_type, r.value)
+           for r in spark.table("pysrc_stream_t").collect()}
+    batch = (spark.read.format("synthetic_events")
+             .option("rows", 1000).option("partitions", 5)
+             .option("seed", 7).load())
+    want = {(r.event_id, r.ts, r.user_id, r.event_type, r.value)
+            for r in batch.collect()}
+    assert len(got) == 1000
+    assert got == want
