@@ -31,6 +31,7 @@ __all__ = [
     "EVENTS_FILE_SCHEMA", "EVENTS_LEGACY_FILE_SCHEMA", "stream_events",
     "tumbling_counts", "sliding_counts", "session_windows",
     "streaming_dedup", "running_user_totals", "per_key_quota",
+    "stateful_sessions", "enrich_with_static",
 ]
 
 #: On-disk file schema of the current events encoding: parquet
@@ -262,6 +263,86 @@ def interval_join(left: DataFrame, right: DataFrame, *,
                f"INTERVAL {max_delay}")),
         how)
         .select(F.col("l_key").alias(key), "l_ts", "r_ts"))
+
+
+_SESS_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampNTZType()),
+    StructField("session_end", TimestampNTZType()),
+    StructField("n_events", LongType()),
+])
+
+_SESS_STATE = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+])
+
+_GAP_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600}
+
+
+def _gap_to_us(gap: str) -> int:
+    qty, unit = gap.split()
+    return int(qty) * _GAP_UNITS[unit] * 1_000_000
+
+
+def stateful_sessions(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT — the
+    state-machine pattern built-in ``session_window`` can't generalize
+    to (per-session custom logic, early emission, side effects): state
+    holds one open session (start, end, n) per user; a session closes
+    and EMITS either when a same-batch event arrives ≥ gap later, or —
+    the part only a timeout can do — when the WATERMARK passes
+    last_event + gap with no successor (``state.hasTimedOut``), so idle
+    users' sessions flush without waiting for their next event. State is
+    three longs per user and every closed session is evicted: bounded
+    regardless of stream length. Timestamps are compared as integral
+    microseconds inside the state machine — no float time arithmetic."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _gap_to_us(gap)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        def emit(s: int, e: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [pd.to_datetime(s, unit="us")],
+                "session_end": [pd.to_datetime(e, unit="us")],
+                "n_events": [n]})
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit(s, e, n)
+            return
+        s, e, n = state.get if state.exists else (None, None, 0)
+        ts_us = sorted(
+            t for pdf in pdfs
+            for t in pdf["ts"].values.astype("datetime64[us]")
+            .astype("int64").tolist())
+        for t in ts_us:
+            if s is None:
+                s, e, n = t, t, 1
+            elif t - e >= gap_us:
+                yield emit(s, e, n)
+                s, e, n = t, t, 1
+            else:
+                e, n = max(e, t), n + 1
+        if s is not None:
+            state.update((s, e, n))
+            # timeout fires once the event-time watermark passes this
+            # (ms epoch); until then the session stays open for late
+            # same-session events inside the watermark delay
+            state.setTimeoutTimestamp((e + gap_us) // 1000)
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, _SESS_OUT_SCHEMA, _SESS_STATE, "append",
+                GroupStateTimeout.EventTimeTimeout))
 
 
 def enrich_with_static(stream: DataFrame, static_dim: DataFrame,

@@ -257,6 +257,54 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
     assert any(c is None for c, _, _ in got)  # even users NULL-padded
 
 
+def test_stateful_sessions_timeout_matches_batch(spark, sf_dir, tmp_path):
+    """Event-time-timeout sessionization: batch 1 is the real event file,
+    batch 2 a single far-future sentinel event (user −1). Processing the
+    sentinel advances the watermark past every real session's
+    last_event + gap, so ALL real sessions flush via state.hasTimedOut —
+    and must equal the batch F.session_window sessions exactly
+    (start, last-event end, count). The sentinel's own session stays
+    open in state (nothing ever outlasts its timeout) and is excluded."""
+    import os
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    batch_ev = load_table(spark, sf_dir, "events")
+    max_ts = batch_ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(999_999, max_ts + __import__("datetime").timedelta(days=30),
+          -1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    sentinel.coalesce(1).write.parquet(str(tmp_path / "sentinel_out"))
+    part = next((tmp_path / "sentinel_out").glob("part-*.parquet"))
+    shutil.copy(part, d / "b.parquet")
+    # file source processes oldest-mtime first: keep a.parquet older
+    os.utime(d / "a.parquet", (1, 1))
+    stream = sw.stream_events(spark, str(d),
+                              max_files_per_trigger=1).withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+    sessions = sw.stateful_sessions(stream, gap="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sess_state_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.table("sess_state_t").collect()
+           if r.user_id >= 0}
+    want_df = (batch_ev.withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+             F.count(F.lit(1)).alias("n")))
+    want = {(r.user_id, r.s, r.e, r.n) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     """Late-data handling: with a 30-min watermark and 1-hour tumbling
     windows in append mode, rows arriving after their window's watermark
