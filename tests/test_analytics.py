@@ -250,3 +250,35 @@ def test_registry_rotation_orders_by_check_strength():
 
     classes = [strength(n) for n in plans.REGISTRY]
     assert classes == sorted(classes), classes
+
+
+def test_t13_tfidf_scans_documents_once(spark, sf_dir):
+    """Document frequency is derived from the per-(source, token)
+    partials via a window SUM — a second corpus scan (or a self-join)
+    would double the dominant cost at scale."""
+    df = plans.REGISTRY["t13_tfidf_terms"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "documents" in l]
+    assert len(scans) == 2, plan  # token explode + the 1-row N scalar
+    # the token derivation itself appears once: one Generate (explode)
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_w12_burst_single_hash_exchange(spark, sf_dir):
+    """The rolling-burst rollup must reuse the window's user_id
+    partitioning: exactly ONE hash exchange (plus the output sort's
+    range exchange), or the query shuffles the event log twice."""
+    df = plans.REGISTRY["w12_time_range_burst"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q21_lateral_plans_as_window_group_limit(spark, sf_dir):
+    """The per-customer LATERAL ORDER BY ... LIMIT must decorrelate to
+    the WindowGroupLimit plan (pre-shuffle top-k pruning), never a
+    per-row correlated execution or nested loop."""
+    df = plans.REGISTRY["q21_lateral_topk"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
