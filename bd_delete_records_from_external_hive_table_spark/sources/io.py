@@ -1,9 +1,9 @@
-"""Generic schema-enforced dataset IO: parquet / ORC / CSV / JSON lines.
+"""Generic schema-enforced dataset IO: parquet / ORC / CSV / JSON / XML.
 
 The reference's storage surface is ORC-in-Hive plus an ORC path sink and a
 text metadata file (`/root/reference/.../backup/HDFSBackupStrategy.java:
-40-45,151-175`); this module generalizes it to the four formats a Spark
-pipeline actually exchanges data in, with scale rules baked into the API
+40-45,151-175`); this module generalizes it to the five formats a Spark
+pipeline actually exchanges data in (XML is native in Spark 4), with scale rules baked into the API
 instead of left to callers:
 
 - **Explicit schema always.** ``inferSchema`` (CSV) / schema sampling
@@ -36,7 +36,7 @@ from pyspark.sql.types import StructType
 __all__ = ["read_dataset", "write_dataset", "ReadResult"]
 
 _COLUMNAR = ("parquet", "orc")
-_TEXTUAL = ("csv", "json")
+_TEXTUAL = ("csv", "json", "xml")
 _CORRUPT = "_corrupt_record"
 
 
@@ -50,10 +50,11 @@ class ReadResult:
 
 def read_dataset(spark: SparkSession, path: str, fmt: str,
                  schema: str | StructType, *,
-                 csv_header: bool = True) -> ReadResult:
-    """Schema-enforced read. For csv/json, malformed rows are captured in
-    ``result.corrupt`` (the raw line) instead of crashing the scan or
-    silently vanishing."""
+                 csv_header: bool = True,
+                 xml_row_tag: str = "row") -> ReadResult:
+    """Schema-enforced read. For csv/json/xml, malformed rows are
+    captured in ``result.corrupt`` (the raw record) instead of crashing
+    the scan or silently vanishing."""
     fmt = fmt.lower()
     if fmt in _COLUMNAR:
         df = spark.read.format(fmt).schema(schema).load(path)
@@ -69,6 +70,11 @@ def read_dataset(spark: SparkSession, path: str, fmt: str,
               .option("columnNameOfCorruptRecord", _CORRUPT))
     if fmt == "csv":
         reader = reader.option("header", str(csv_header).lower())
+    if fmt == "xml":
+        # Spark 4 ships the XML source natively; a record is one
+        # rowTag element, and malformed elements land in the corrupt
+        # column exactly like csv/json lines.
+        reader = reader.option("rowTag", xml_row_tag)
     raw = reader.load(path)
     # Spark requires caching/materializing before filtering on the corrupt
     # column of the same scan; re-reading via two filters on one cached
@@ -82,7 +88,8 @@ def read_dataset(spark: SparkSession, path: str, fmt: str,
 def write_dataset(df: DataFrame, path: str, fmt: str, *,
                   partition_by: list[str] | None = None,
                   mode: str = "error",
-                  compress_text: bool = False) -> None:
+                  compress_text: bool = False,
+                  xml_row_tag: str = "row") -> None:
     """Write a dataset with scale-safe defaults: snappy for columnar
     formats, uncompressed (splittable) text unless ``compress_text``,
     optional directory partitioning."""
@@ -96,6 +103,8 @@ def write_dataset(df: DataFrame, path: str, fmt: str, *,
         writer = writer.option("compression", "gzip")
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer = writer.option("rowTag", xml_row_tag)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)

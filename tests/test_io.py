@@ -30,7 +30,7 @@ def rows(df):
     return sorted((r.id, r.name, r.score, str(r.ts)) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_round_trip(spark, frame, tmp_path, fmt):
     path = str(tmp_path / fmt)
     write_dataset(frame, path, fmt)
@@ -67,6 +67,21 @@ def test_json_corrupt_rows_quarantined(spark, tmp_path):
     assert res.corrupt.count() == 1
 
 
+def test_xml_corrupt_rows_quarantined(spark, tmp_path):
+    d = tmp_path / "xmldir"
+    d.mkdir()
+    (d / "part-00000.xml").write_text(
+        "<rows>"
+        "<row><id>1</id><name>a</name><score>1.5</score></row>"
+        "<row><id>bad</id><name>b</name><score>zzz</score></row>"
+        "<row><id>3</id><name>c</name><score>3.5</score></row>"
+        "</rows>")
+    res = read_dataset(spark, str(d), "xml", SCHEMA)
+    assert res.data.count() == 2
+    assert [r.id for r in res.data.orderBy("id").collect()] == [1, 3]
+    assert res.corrupt.count() == 1
+
+
 def test_partitioned_write_prunes(spark, frame, tmp_path):
     path = str(tmp_path / "bydate")
     write_dataset(frame.withColumn("part", frame.id % 2), path, "parquet",
@@ -91,4 +106,4 @@ def test_unknown_format_rejected(spark, frame, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         write_dataset(frame, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported format"):
-        read_dataset(spark, str(tmp_path / "x"), "xml", SCHEMA)
+        read_dataset(spark, str(tmp_path / "x"), "avro", SCHEMA)
