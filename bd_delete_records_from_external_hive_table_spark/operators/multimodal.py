@@ -133,7 +133,11 @@ def ingest_binary_dir(spark: SparkSession, path: str,
     modality_map = F.create_map(
         *[F.lit(x) for kv in _EXT_MODALITY.items() for x in kv])
     return df.select(
-        F.abs(F.xxhash64("path")).alias("media_id"),
+        # mask the sign bit rather than abs(): abs(Long.MIN_VALUE) stays
+        # negative in non-ANSI long math, and abs-folding +h/-h doubles
+        # the collision rate of a join-key id
+        F.xxhash64("path").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+        .alias("media_id"),
         F.coalesce(modality_map[ext], F.lit("unknown")).alias("modality"),
         F.col("content").alias("payload"),
         F.create_map(

@@ -185,14 +185,17 @@ def t13(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register("e04_centroid_similarity",
-          "WITH comp AS (SELECT label, pos, AVG(v) AS m FROM ("
+          "WITH comp AS (SELECT label, pos, "
+          "  CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DECIMAL(19,0))"
+          "  AS iq FROM ("
           "  SELECT label, UNNEST(embedding) AS v, "
           "         generate_subscripts(embedding, 1) AS pos "
           "  FROM embeddings) x GROUP BY label, pos), "
-          "nrm AS (SELECT label, SQRT(SUM(m * m)) AS nm FROM comp "
-          "        GROUP BY label) "
+          "nrm AS (SELECT label, CAST(SUM(iq * iq) AS DOUBLE) AS sq "
+          "        FROM comp GROUP BY label) "
           "SELECT a.label AS label_a, b.label AS label_b, "
-          "ROUND(SUM(a.m * b.m) / (MIN(na.nm) * MIN(nb.nm)), 4) AS cos_sim "
+          "ROUND(CAST(SUM(a.iq * b.iq) AS DOUBLE) "
+          "      / (SQRT(MIN(na.sq)) * SQRT(MIN(nb.sq))), 4) AS cos_sim "
           "FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label "
           "JOIN nrm na ON na.label = a.label "
           "JOIN nrm nb ON nb.label = b.label "
@@ -200,31 +203,44 @@ def t13(spark, sf_dir):
 def e04(spark, sf_dir):
     """Pairwise cosine similarity between per-label embedding centroids —
     the class-confusion / embedding-drift audit built on e02's centroid
-    block. The corpus-sized work is ONE posexplode + partial-agg mean;
+    block. The corpus-sized work is ONE posexplode + partial-agg sum;
     everything after operates on |labels| x dim rows (tiny), so the
     label < label self-join never touches raw vectors. At 100 TB the
-    plan cost is the one centroid aggregation — identical to e02."""
+    plan cost is the one centroid aggregation — identical to e02.
+
+    Determinism: a float AVG centroid would vary in its last bits with
+    partition order. Instead each component quantizes to an integer
+    (FLOOR(v·1e6) — FLOOR of a double is an exact bit-function) whose
+    BIGINT sum is order-free, and cosine is scale-invariant, so the
+    un-normalized integer sums ARE the centroid: all pair math runs in
+    exact DECIMAL and only the final division/sqrt touches floats —
+    identical on both engines, stable across driver re-runs."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("label", "pos").agg(F.avg("v").alias("m")))
+            .groupBy("label", "pos")
+            .agg(F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+                 .cast("decimal(19,0)").alias("iq")))
     nrm = (comp.groupBy("label")
-           .agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nm")))
+           .agg(F.sum(F.col("iq") * F.col("iq")).cast("double")
+                .alias("sq")))
     a = comp.select(F.col("label").alias("label_a"),
-                    "pos", F.col("m").alias("ma"))
+                    "pos", F.col("iq").alias("ia"))
     b = comp.select(F.col("label").alias("label_b"),
-                    F.col("pos").alias("pos_b"), F.col("m").alias("mb"))
+                    F.col("pos").alias("pos_b"), F.col("iq").alias("ib"))
     dots = (a.join(b, (F.col("pos") == F.col("pos_b"))
                    & (F.col("label_a") < F.col("label_b")))
             .groupBy("label_a", "label_b")
-            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+            .agg(F.sum(F.col("ia") * F.col("ib")).cast("double")
+                 .alias("dot")))
     na = nrm.select(F.col("label").alias("label_a"),
-                    F.col("nm").alias("na"))
+                    F.col("sq").alias("sqa"))
     nb = nrm.select(F.col("label").alias("label_b"),
-                    F.col("nm").alias("nb"))
+                    F.col("sq").alias("sqb"))
     return (dots.join(F.broadcast(na), "label_a")
             .join(F.broadcast(nb), "label_b")
             .select("label_a", "label_b",
-                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+                    F.round(F.col("dot")
+                            / (F.sqrt("sqa") * F.sqrt("sqb")), 4)
                     .alias("cos_sim"))
             .orderBy("label_a", "label_b"))
 

@@ -64,7 +64,9 @@ def read_dataset(spark: SparkSession, path: str, fmt: str,
 
     struct = (StructType.fromDDL(schema) if isinstance(schema, str)
               else schema)
-    with_corrupt = struct.add(_CORRUPT, "string")
+    # StructType.add mutates in place — copy first, or a caller-supplied
+    # schema object grows a phantom _corrupt_record column per call.
+    with_corrupt = StructType(list(struct.fields)).add(_CORRUPT, "string")
     reader = (spark.read.format(fmt).schema(with_corrupt)
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", _CORRUPT))

@@ -171,10 +171,18 @@ class _EventsStreamReader(DataSourceStreamReader):
     generated row index, each trigger advances it by ``rowsPerBatch``
     (up to the ``rows`` cap), and ``partitions(start, end)`` splits the
     batch's index window into parallel executor ranges exactly like the
-    batch reader. Offsets are plain dicts (checkpoint-JSON-able), so a
-    restarted query resumes from the committed index and — because every
-    field is a pure function of (index, seed) — regenerates the
-    identical rows: replayable exactly-once input for pipeline tests."""
+    batch reader. Offsets are plain dicts (checkpoint-JSON-able) and —
+    because every field is a pure function of (index, seed) — any index
+    window regenerates identical rows, so checkpoint recovery replays
+    the exact rows of the interrupted batch.
+
+    Restart correctness: a fresh reader instance starts with
+    ``_latest = 0``, but the engine replays the checkpointed WAL batch
+    through ``partitions(start, end)`` (and commits through
+    ``commit(end)``) BEFORE asking for a new ``latestOffset`` — so both
+    of those bump ``_latest`` to the highest index the checkpoint has
+    seen, and ``latestOffset`` can never travel backwards and re-emit
+    committed rows."""
 
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
@@ -193,6 +201,9 @@ class _EventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["index"]), int(end["index"])
+        # Checkpoint resync: a restarted instance learns the true
+        # progress from the offsets the engine hands back.
+        self._latest = max(self._latest, lo, hi)
         total = hi - lo
         n = max(1, min(self.n_parts, total or 1))
         width = -(-total // n) if total else 1
@@ -205,7 +216,9 @@ class _EventsStreamReader(DataSourceStreamReader):
                                 partition.seed, self.batch)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up: regeneration is pure
+        # nothing to clean up (regeneration is pure); keep the offset
+        # monotonic for restarted instances
+        self._latest = max(self._latest, int(end["index"]))
 
 
 class SyntheticEventsDataSource(DataSource):

@@ -80,13 +80,19 @@ def stream_events(spark: SparkSession, path: str,
     else:
         try:
             file_schema = spark.read.parquet(path).schema
-        except AnalysisException:
+        except AnalysisException as exc:
             # Empty dir / no footers yet (UNABLE_TO_INFER_SCHEMA): fall
-            # back to the CURRENT encoding's schema. Only this specific
-            # error is caught — permission/path errors must surface, and
-            # a legacy nanos-as-long directory that starts empty needs
+            # back to the CURRENT encoding's schema. ONLY that error
+            # class falls back — PATH_NOT_FOUND (a typo'd path) and
+            # permission errors are also AnalysisExceptions and must
+            # surface as themselves, not as a misleading schema warning.
+            # A legacy nanos-as-long directory that starts empty needs
             # EVENTS_LEGACY_FILE_SCHEMA passed explicitly or later files
             # will be misread as TIMESTAMP_NTZ.
+            cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", lambda: None)
+            if (cond() or "") != "UNABLE_TO_INFER_SCHEMA":
+                raise
             warnings.warn(
                 f"stream_events: could not infer schema from {path!r} "
                 f"(empty directory?); falling back to EVENTS_FILE_SCHEMA "
@@ -299,7 +305,15 @@ def stateful_sessions(events: DataFrame, gap: str = "30 minutes",
     users' sessions flush without waiting for their next event. State is
     three longs per user and every closed session is evicted: bounded
     regardless of stream length. Timestamps are compared as integral
-    microseconds inside the state machine — no float time arithmetic."""
+    microseconds inside the state machine — no float time arithmetic.
+
+    Emission is EAGER: a session closed by an in-batch successor emits
+    immediately, so an in-watermark late event arriving in a *later*
+    micro-batch can only join the still-open session (it extends the
+    open interval backwards or forwards, or opens its own). With
+    watermark delay 0 this equals batch ``session_window`` exactly;
+    a larger delay trades that early emission for cross-batch late-row
+    completeness — the standard custom-operator tradeoff."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = _gap_to_us(gap)
@@ -318,25 +332,35 @@ def stateful_sessions(events: DataFrame, gap: str = "30 minutes",
             state.remove()
             yield emit(s, e, n)
             return
-        s, e, n = state.get if state.exists else (None, None, 0)
-        ts_us = sorted(
-            t for pdf in pdfs
-            for t in pdf["ts"].values.astype("datetime64[us]")
-            .astype("int64").tolist())
-        for t in ts_us:
-            if s is None:
-                s, e, n = t, t, 1
-            elif t - e >= gap_us:
-                yield emit(s, e, n)
-                s, e, n = t, t, 1
+        # Interval sweep: the open session is an interval [s, e] with n
+        # events; batch events are point intervals. Sorting ALL of them
+        # by start and merging within-gap neighbours handles late rows
+        # on either side of the open session — an in-watermark event
+        # BEFORE the open start extends the session backwards (or forms
+        # its own earlier session) instead of being silently absorbed.
+        items = [tuple(state.get)] if state.exists else []
+        items += [(t, t, 1) for pdf in pdfs
+                  for t in pdf["ts"].values.astype("datetime64[us]")
+                  .astype("int64").tolist()]
+        items.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s0, e0, n0 in items:
+            if merged and s0 - merged[-1][1] < gap_us:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e0), pn + n0)
             else:
-                e, n = max(e, t), n + 1
-        if s is not None:
-            state.update((s, e, n))
+                merged.append((s0, e0, n0))
+        # All but the newest session are closed by an in-batch
+        # successor ≥ gap later and emit now; the newest stays open.
+        for s0, e0, n0 in merged[:-1]:
+            yield emit(s0, e0, n0)
+        if merged:
+            s0, e0, n0 = merged[-1]
+            state.update((s0, e0, n0))
             # timeout fires once the event-time watermark passes this
             # (ms epoch); until then the session stays open for late
             # same-session events inside the watermark delay
-            state.setTimeoutTimestamp((e + gap_us) // 1000)
+            state.setTimeoutTimestamp((e0 + gap_us) // 1000)
 
     return (events.withWatermark("ts", watermark)
             .groupBy("user_id")

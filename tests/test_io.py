@@ -107,3 +107,20 @@ def test_unknown_format_rejected(spark, frame, tmp_path):
         write_dataset(frame, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_dataset(spark, str(tmp_path / "x"), "avro", SCHEMA)
+
+
+def test_reader_does_not_mutate_caller_schema(spark, frame, tmp_path):
+    """StructType.add mutates in place; read_dataset must copy before
+    appending the corrupt column, or a reused schema object grows a
+    phantom _corrupt_record field per call."""
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(SCHEMA)
+    n_fields = len(struct.fields)
+    path = str(tmp_path / "reuse")
+    write_dataset(frame, path, "json")
+    for _ in range(2):
+        res = read_dataset(spark, path, "json", struct)
+        assert res.data.count() == frame.count()
+    assert len(struct.fields) == n_fields
+    assert "_corrupt_record" not in [f.name for f in struct.fields]

@@ -130,7 +130,6 @@ def test_ingest_binary_dir_end_to_end(spark, tmp_path):
     """Real on-disk files -> binaryFile scan -> MEDIA_SCHEMA -> real
     decode: the full multimodal ingestion path with zero synthetic
     DataFrames."""
-    import bd_delete_records_from_external_hive_table_spark.operators.media_codecs as mc
     px = (np.arange(4 * 4 * 3, dtype=np.int64) * 7 % 256) \
         .reshape(4, 4, 3).astype(np.uint8)
     (tmp_path / "a.ppm").write_bytes(mc.encode_ppm(px))

@@ -509,3 +509,13 @@ def test_cdc_stream_merges_into_hive_table(spark, tmp_path):
         3: ("User3", "NEW", "20260214"),
     }
     spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+
+
+def test_stream_events_missing_path_raises(spark, tmp_path):
+    """A typo'd path must surface as PATH_NOT_FOUND, not be swallowed
+    into the empty-directory schema fallback (which would mislead with
+    a schema warning and fail later, obscured, at stream start)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        sw.stream_events(spark, str(tmp_path / "no_such_dir"))
