@@ -349,6 +349,67 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# a24/a25: mergeable sketch rollups (KLL quantiles, Theta set algebra)
+# ---------------------------------------------------------------------------
+
+@register("a24_kll_quantile_rollup", None)  # sketch bytes: no SQL oracle
+def a24(spark, sf_dir):
+    """Mergeable QUANTILE sketches (Datasketches KLL) — a21's pattern
+    applied to percentiles, the re-aggregatable answer to a07/a14 at
+    100 TB: per-group KLL states persist alongside a continuous
+    aggregate, a new day of data sketches independently, and
+    kll_merge_agg folds it in — history is never re-sorted or
+    re-scanned for a percentile refresh. Returns per-event-type and
+    merged-global median/p90 estimates; deterministic for fixed input,
+    rank-error-bound-tested against exact percentiles in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type")
+           .agg(F.kll_sketch_agg_double("value").alias("sk"),
+                F.count(F.lit(1)).alias("n_events")))
+    est = per.select(
+        "event_type", "n_events",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"))
+    merged = (per.agg(F.kll_merge_agg_double("sk").alias("sk"),
+                      F.sum("n_events").alias("n_events"))
+              .select(F.lit("ALL").alias("event_type"), "n_events",
+                      F.kll_sketch_get_quantile_double(
+                          "sk", F.lit(0.5)).alias("p50"),
+                      F.kll_sketch_get_quantile_double(
+                          "sk", F.lit(0.9)).alias("p90")))
+    return est.unionByName(merged).orderBy("event_type")
+
+
+@register("a25_theta_set_algebra", None)  # sketch bytes: no SQL oracle
+def a25(spark, sf_dir):
+    """Mergeable SET-ALGEBRA sketches (Datasketches Theta) — the
+    capability HLL lacks: sketch the distinct USER sets per event type
+    once, then answer intersection/difference questions ('how many
+    clickers also purchased?') from the tiny sketch states without
+    ever re-touching the event log. One conditional-aggregation scan
+    builds both sketches; every estimate after is driver-side scalar
+    math on kilobytes. Error-bound-tested against exact distinct
+    counts in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    sks = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")))
+        .alias("sk_click"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")))
+        .alias("sk_buy"))
+    return sks.select(
+        F.theta_sketch_estimate("sk_click").alias("clickers"),
+        F.theta_sketch_estimate("sk_buy").alias("buyers"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_click", "sk_buy"))
+        .alias("click_and_buy"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_click", "sk_buy"))
+        .alias("click_not_buy"))
+
+
+# ---------------------------------------------------------------------------
 # ts04: per-user EWMA via a bounded higher-order fold
 # ---------------------------------------------------------------------------
 

@@ -198,7 +198,10 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "a05_approx_count_distinct", "a14_approx_quantile",
     "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
     "m01_media_features", "m02_video_frame_sample",
-    "a21_hll_sketch_rollup",
+    "a21_hll_sketch_rollup", "a25_theta_set_algebra",
+    # a24 (KLL) is deliberately absent: KLL compaction is RANDOMIZED
+    # (unseeded in the Spark API), so two runs legitimately differ —
+    # its local invariant is the rank-error bound test below.
 ])
 def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     """Every registry entry without a SQL oracle gets only a rows-only
@@ -294,3 +297,41 @@ def test_exact_dedup_idempotent(spark, sf_dir):
     once = dedup.exact_dedup(docs)
     assert once.count() == docs.select("text").distinct().count()
     assert dedup.exact_dedup(once).count() == once.count()
+
+
+def test_kll_quantile_rollup_rank_error(spark, sf_dir):
+    """KLL estimates are rank-bounded (~1.7% at the default k): the
+    exact RANK of each estimated quantile must sit within 3% of the
+    target rank, per group and for the merged global sketch."""
+    rows = plans.REGISTRY["a24_kll_quantile_rollup"] \
+        .spark_fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows:
+        vals = (ev if r.event_type == "ALL"
+                else ev.where(F.col("event_type") == r.event_type))
+        n = vals.count()
+        assert r.n_events == n
+        for q, est in ((0.5, r.p50), (0.9, r.p90)):
+            rank = vals.where(F.col("value") <= est).count() / n
+            assert abs(rank - q) < 0.03, (r.event_type, q, est, rank)
+
+
+def test_theta_set_algebra_error_bounds(spark, sf_dir):
+    """Theta intersection/difference estimates within 5% of the exact
+    distinct-user set algebra (and exactly consistent with each other:
+    clickers = click∩buy + click∖buy up to sketch error)."""
+    r = plans.REGISTRY["a25_theta_set_algebra"] \
+        .spark_fn(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events")
+    click = {x.user_id for x in
+             ev.where("event_type = 'click'").select("user_id")
+             .distinct().collect()}
+    buy = {x.user_id for x in
+           ev.where("event_type = 'purchase'").select("user_id")
+           .distinct().collect()}
+    exact = {"clickers": len(click), "buyers": len(buy),
+             "click_and_buy": len(click & buy),
+             "click_not_buy": len(click - buy)}
+    for k, want in exact.items():
+        got = getattr(r, k)
+        assert abs(got - want) <= max(0.05 * want, 1), (k, got, want)
