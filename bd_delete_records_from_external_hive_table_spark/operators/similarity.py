@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "hyperplane_bucket", "band_keys_udf", "auto_bits",
            "lsh_ann_topk", "embedding_near_duplicates",
-           "train_ivf_centroids", "ivf_assign", "ivf_ann_topk"]
+           "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
+           "embedding_moments", "pca_whitening"]
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -300,3 +301,63 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  .where(F.col("query_id") != F.col("neighbor_id"))
                  .select("query_id", "neighbor_id", sim.alias("sim"))
                  .distinct(), k)
+
+
+# ---------------------------------------------------------------------------
+# PCA whitening: distributed moments + driver-side eigh + vectorized project
+# ---------------------------------------------------------------------------
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
+    """Exact (count, mean, covariance) of an embedding column, computed
+    the way a 100 TB pipeline must: each Arrow batch contributes ONE
+    partial row (n, Σx, flattened Σxxᵀ) via a numpy matmul — the corpus
+    collapses to |batches| rows of (1 + d + d²) doubles before anything
+    moves, and only those partials reach the driver. For d = 64 that is
+    ~33 KB per partition: collecting them is metadata-sized, never
+    data-sized."""
+    def partials(it):
+        for pdf in it:
+            X = np.stack(pdf[vec_col].to_numpy())
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()],
+            })
+
+    rows = (df.select(vec_col)
+            .mapInPandas(partials, "n long, s array<double>, "
+                                   "g array<double>")
+            .collect())
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g = np.sum([np.asarray(r.g) for r in rows], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def pca_whitening(df: DataFrame, vec_col: str = "embedding",
+                  eps: float = 1e-6):
+    """ZCA-whiten an embedding column: W = V·diag(1/√(λ+ε))·Vᵀ from the
+    eigendecomposition of the corpus covariance. The heavy statistics are
+    distributed (``embedding_moments``); the eigendecomposition is a
+    d × d driver-side problem (64 × 64 here — microseconds at any corpus
+    size); the projection is one numpy matmul per Arrow batch. Whitening
+    decorrelates dimensions and equalizes their scale — the standard
+    preprocessing before product quantization / cosine bucketing when
+    raw embedding dimensions are correlated. Returns
+    ``(whitened_df, mu, W)``; whitened covariance ≈ identity is
+    test-asserted."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    _, mu, cov = embedding_moments(df, vec_col)
+    lam, vecs = np.linalg.eigh(cov)
+    w_mat = vecs @ np.diag(1.0 / np.sqrt(lam + eps)) @ vecs.T
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def whiten(col: pd.Series) -> pd.Series:
+        X = np.stack(col.to_numpy())
+        return pd.Series(list((X - mu) @ w_mat))
+
+    return df.withColumn(vec_col, whiten(F.col(vec_col))), mu, w_mat

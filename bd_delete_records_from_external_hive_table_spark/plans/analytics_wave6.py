@@ -349,6 +349,78 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# e05: PCA whitening audit (distributed moments + driver eigh + projection)
+# ---------------------------------------------------------------------------
+
+@register("e05_pca_whitening", None)  # driver-side eigh: no SQL oracle
+def e05(spark, sf_dir):
+    """PCA/ZCA whitening of the embedding corpus, then a self-audit: the
+    whitened covariance must be ≈ identity. The pattern is the one a
+    100 TB embedding pipeline uses before product quantization — corpus
+    statistics as mapInPandas gram-matrix partials (one row per Arrow
+    batch), a d×d eigendecomposition on the driver (trivial at any
+    corpus size), and a vectorized matmul projection per batch. Output
+    is the audit row (n, worst diagonal deviation from 1, worst
+    off-diagonal residual); thresholds are test-asserted."""
+    from ..operators.similarity import embedding_moments, pca_whitening
+
+    import numpy as np
+    emb = load_table(spark, sf_dir, "embeddings")
+    whitened, _, _ = pca_whitening(emb)
+    n, _, cov_w = embedding_moments(whitened)
+    off = cov_w - np.diag(np.diag(cov_w))
+    return spark.createDataFrame(
+        [(n,
+          round(float(np.abs(np.diag(cov_w) - 1.0).max()), 4),
+          round(float(np.abs(off).max()), 4))],
+        "n_vectors long, max_diag_dev double, max_offdiag double")
+
+
+# ---------------------------------------------------------------------------
+# t14: unigram-LM surprisal (the n-gram form of LM-based quality filtering)
+# ---------------------------------------------------------------------------
+
+@register("t14_unigram_surprisal",
+          "WITH ex AS (SELECT doc_id, UNNEST("
+          "  regexp_split_to_array(LOWER(text), '[^a-z]+')) AS token "
+          "  FROM documents), "
+          "tok AS (SELECT doc_id, token FROM ex WHERE token <> ''), "
+          "lm AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
+          "tot AS (SELECT SUM(c) AS t FROM lm) "
+          "SELECT doc_id, COUNT(*) AS n_toks, "
+          "ROUND(AVG(-ln(c / t)), 4) AS surprisal "
+          "FROM tok JOIN lm USING (token), tot "
+          "GROUP BY doc_id ORDER BY surprisal DESC, doc_id LIMIT 10")
+def t14(spark, sf_dir):
+    """Unigram-LM surprisal scoring — the n-gram form of the LM quality
+    filter (CCNet-style: score each document by its cross-entropy under
+    a model trained on the corpus itself; rare-token-stuffed docs score
+    high and get filtered/bucketed). One explode feeds BOTH the language
+    model (token→count) and the scoring pass; the model join is
+    dictionary-keyed (skewed on stopwords — exactly the shape AQE's
+    skew-join split handles), the corpus total is a 1-row broadcast, and
+    the output flows through TakeOrderedAndProject. The per-doc mean of
+    -ln p(token) sums ~50 doubles whose order can differ between
+    engines; at 4-dp rounding on O(1-10) values the 1e-14 drift is
+    far inside the rounding granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                       .alias("token"))
+           .where(F.col("token") != ""))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("t"))
+    return (tok.join(lm, "token")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_toks"),
+                 F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4)
+                 .alias("surprisal"))
+            .orderBy(F.desc("surprisal"), "doc_id")
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
 # a24/a25: mergeable sketch rollups (KLL quantiles, Theta set algebra)
 # ---------------------------------------------------------------------------
 

@@ -335,3 +335,26 @@ def test_theta_set_algebra_error_bounds(spark, sf_dir):
     for k, want in exact.items():
         got = getattr(r, k)
         assert abs(got - want) <= max(0.05 * want, 1), (k, got, want)
+
+
+def test_pca_whitening_identity_covariance(spark, sf_dir):
+    """Whitened embeddings must have ≈ identity covariance (diagonal
+    within 1e-2 of 1, off-diagonals below 1e-2) — the invariant that
+    makes e05 a meaningful rows-only registry entry."""
+    r = plans.REGISTRY["e05_pca_whitening"].spark_fn(spark, sf_dir).first()
+    assert r.n_vectors > 0
+    assert r.max_diag_dev < 0.01, r
+    assert r.max_offdiag < 0.01, r
+
+
+def test_pca_whitening_preserves_rows_and_dim(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        pca_whitening,
+    )
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    whitened, mu, w_mat = pca_whitening(emb)
+    assert whitened.count() == emb.count()
+    first = whitened.select("embedding").first()[0]
+    assert len(first) == len(mu) == w_mat.shape[0]
