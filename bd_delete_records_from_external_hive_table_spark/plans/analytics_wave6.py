@@ -349,6 +349,98 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# cdc02: SCD Type-2 history assembly from a change feed
+# ---------------------------------------------------------------------------
+
+@register("cdc02_scd2_history",
+          "WITH feed AS (SELECT user_id, date_trunc('day', ts) AS d, "
+          "  value, ROW_NUMBER() OVER (PARTITION BY user_id, "
+          "  date_trunc('day', ts) ORDER BY event_id DESC) AS rn "
+          "  FROM events WHERE event_type = 'signup'), "
+          "daily AS (SELECT user_id, d, value FROM feed WHERE rn = 1), "
+          "hist AS (SELECT user_id, value, d AS valid_from, "
+          "  LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS valid_to "
+          "  FROM daily) "
+          "SELECT user_id, value, valid_from, valid_to, "
+          "(valid_to IS NULL) AS is_current FROM hist "
+          "ORDER BY user_id, valid_from LIMIT 200")
+def cdc02(spark, sf_dir):
+    """SCD Type-2 dimension history assembled from a change feed — the
+    warehouse-standard versioned-dimension shape (cdc01 is the Type-1
+    'overwrite' sibling): collapse the feed to one change per (entity,
+    day) with a deterministic last-writer rule, then LEAD() closes each
+    version's validity interval and the open interval marks the current
+    row. One window shuffle on the entity key serves BOTH the dedup and
+    the interval assembly (same partitioning) — at 100 TB the feed is
+    shuffled once, and incremental runs only touch entities present in
+    the new batch. Day-granular bounds keep the intervals identical
+    across engine timestamp precisions."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup")
+    feed = ev.select("user_id", F.date_trunc("day", "ts").alias("d"),
+                     "value", "event_id")
+    w_dedup = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("event_id"))
+    daily = (feed.withColumn("rn", F.row_number().over(w_dedup))
+             .where(F.col("rn") == 1))
+    w_lead = Window.partitionBy("user_id").orderBy("d")
+    return (daily.select(
+        "user_id", "value", F.col("d").alias("valid_from"),
+        F.lead("d").over(w_lead).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+        .limit(200))
+
+
+# ---------------------------------------------------------------------------
+# ts05: day-of-week seasonal decomposition
+# ---------------------------------------------------------------------------
+
+@register("ts05_seasonal_decomposition",
+          "WITH daily AS (SELECT date_trunc('day', ts) AS d, "
+          "  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
+          "  FROM events GROUP BY d), "
+          "seas AS (SELECT *, AVG(total) OVER (PARTITION BY "
+          "  dayofweek(d)) AS dow_mean, AVG(total) OVER () AS grand "
+          "  FROM daily) "
+          "SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow, "
+          "COUNT(*) AS n_days, "
+          "ROUND(AVG(total), 2) AS dow_mean, "
+          "ROUND(AVG(total - dow_mean), 6) + 0.0 AS mean_resid, "
+          "ROUND(STDDEV_POP(total - dow_mean), 2) AS resid_stddev "
+          "FROM seas GROUP BY dow ORDER BY dow")
+# DuckDB dayofweek is 0-based (Sunday=0); +1 aligns to Spark's 1-based
+# Sunday=1. The +0.0 folds IEEE -0.0 (a rounded tiny negative) to 0.0
+# so both engines print the same zero.
+def ts05(spark, sf_dir):
+    """Day-of-week seasonal decomposition: split the daily series into a
+    weekday profile (the seasonal component) and residuals, reporting
+    per-dow mean and residual spread — the seasonality diagnostic run
+    before anomaly thresholds are set on a metric. The corpus collapses
+    to |days| rows in the FIRST aggregation (daily totals in exact-
+    decimal ROUND), so both window passes and the final rollup operate
+    on calendar-bounded data — at 100 TB the only full scan is the one
+    partial-agged daily rollup. mean_resid ≈ 0 by construction (the
+    residual of a group against its own mean) — kept as the decomposition
+    sanity column."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.round(F.sum("value"), 2).cast("double")
+                  .alias("total")))
+    dow = F.dayofweek("d")
+    seas = daily.select(
+        "d", "total",
+        F.avg("total").over(Window.partitionBy(dow)).alias("dow_mean"))
+    resid = F.col("total") - F.col("dow_mean")
+    return (seas.groupBy(dow.cast("bigint").alias("dow"))
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.round(F.avg("total"), 2).alias("dow_mean"),
+                 (F.round(F.avg(resid), 6) + 0.0).alias("mean_resid"),
+                 F.round(F.stddev_pop(resid), 2).alias("resid_stddev"))
+            .orderBy("dow"))
+
+
+# ---------------------------------------------------------------------------
 # e05: PCA whitening audit (distributed moments + driver eigh + projection)
 # ---------------------------------------------------------------------------
 
