@@ -349,6 +349,31 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t15: BPE tokenizer training (iterative; dictionary-sized per merge)
+# ---------------------------------------------------------------------------
+
+@register("t15_bpe_train", None)  # iterative trainer: no SQL oracle
+def t15(spark, sf_dir):
+    """BPE tokenizer training on the document corpus (8 merges) — the
+    tokenizer-learning step of an LLM data pipeline, in its
+    scale-correct Sennrich formulation: ONE corpus scan builds the
+    weighted word dictionary, every merge iteration then runs on
+    dictionary rows only (pair counts = JVM-codegen arrays_zip explode;
+    top pair = TakeOrderedAndProject(1) with a total order; merge apply
+    = Arrow-batched fold per word). Exact integer counts + total-order
+    tie-break make the learned merge table a pure function of the
+    corpus — pytest asserts equality with a pure-Python reference
+    trainer. Returns the merge table."""
+    from ..operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, num_merges=8)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, n) for r, a, b, n in merges],
+        "rank long, left string, right string, merged string, n long")
+
+
+# ---------------------------------------------------------------------------
 # cdc02: SCD Type-2 history assembly from a change feed
 # ---------------------------------------------------------------------------
 

@@ -199,6 +199,7 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
     "m01_media_features", "m02_video_frame_sample",
     "a21_hll_sketch_rollup", "a25_theta_set_algebra",
+    "t15_bpe_train",
     # a24 (KLL) is deliberately absent: KLL compaction is RANDOMIZED
     # (unseeded in the Spark API), so two runs legitimately differ —
     # its local invariant is the rank-error bound test below.
@@ -358,3 +359,26 @@ def test_pca_whitening_preserves_rows_and_dim(spark, sf_dir):
     assert whitened.count() == emb.count()
     first = whitened.select("embedding").first()[0]
     assert len(first) == len(mu) == w_mat.shape[0]
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """The distributed BPE trainer must learn EXACTLY the merge
+    sequence of the pure-Python reference on the same corpus — exact
+    integer counts and the (count DESC, pair ASC) tie-break make the
+    result partitioning-independent."""
+    from bd_delete_records_from_external_hive_table_spark.operators.bpe import (
+        reference_bpe, train_bpe, word_dictionary,
+    )
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got, vocab_df = train_bpe(docs, num_merges=6)
+    word_freqs = {r.word: r.freq for r in
+                  word_dictionary(docs).select("word", "freq").collect()}
+    want, ref_vocab = reference_bpe(word_freqs, num_merges=6)
+    assert got == want, (got, want)
+    assert len(got) == 6
+    # final symbol arrays agree too (spot-check the merged words)
+    spark_syms = {r.word: list(r.symbols)
+                  for r in vocab_df.select("word", "symbols").collect()}
+    assert spark_syms == ref_vocab
