@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-__all__ = ["word_dictionary", "train_bpe", "reference_bpe"]
+__all__ = ["word_dictionary", "train_bpe", "reference_bpe",
+           "encode_with_merges"]
 
 
 def word_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -139,3 +140,31 @@ def reference_bpe(word_freqs: dict[str, int], num_merges: int = 8,
                     i += 1
             vocab[w] = out
     return merges, vocab
+
+
+def encode_with_merges(words: DataFrame, merges) -> DataFrame:
+    """Apply a learned merge sequence to a word dictionary: adds
+    ``n_tokens`` (subword count per word). Encoding runs on DISTINCT
+    words — the corpus itself is never re-tokenized; callers join the
+    encoded dictionary back to exploded text on the word key."""
+    merge_pairs = [(left, right) for _, left, right, _ in merges]
+
+    @F.pandas_udf("int")
+    def n_tokens(col: pd.Series) -> pd.Series:
+        def one(word):
+            syms = list(word)
+            for left, right in merge_pairs:
+                merged, out, i, m = left + right, [], 0, len(syms)
+                while i < m:
+                    if (i + 1 < m and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+        return col.map(one)
+
+    return words.withColumn("n_tokens", n_tokens(F.col("word")))

@@ -374,6 +374,39 @@ def t15(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t16: BPE encoding + per-source compression report
+# ---------------------------------------------------------------------------
+
+@register("t16_bpe_compression", None)  # depends on trained merges: no oracle
+def t16(spark, sf_dir):
+    """Apply the trained BPE merges and report per-source compression
+    (chars per subword token) — the train→encode→measure loop of
+    tokenizer development. The scale move: the encoder runs on the
+    DISTINCT word dictionary (each word tokenized exactly once), and the
+    exploded corpus joins the encoded dictionary on the word key — the
+    corpus text is never re-tokenized. Exact integer sums; deterministic
+    for a fixed corpus (the merge table itself is reference-equal)."""
+    from ..operators.bpe import encode_with_merges, train_bpe, word_dictionary
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, num_merges=8)
+    encoded = encode_with_merges(
+        word_dictionary(docs).select("word", "freq"), merges)
+    ex = (docs.select("source",
+                      F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                      .alias("word"))
+          .where(F.col("word") != ""))
+    return (ex.join(encoded.select("word", "n_tokens"), "word")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("word")).alias("n_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"))
+            .withColumn("chars_per_token",
+                        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
 # cdc02: SCD Type-2 history assembly from a change feed
 # ---------------------------------------------------------------------------
 

@@ -199,7 +199,7 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
     "m01_media_features", "m02_video_frame_sample",
     "a21_hll_sketch_rollup", "a25_theta_set_algebra",
-    "t15_bpe_train",
+    "t15_bpe_train", "t16_bpe_compression",
     # a24 (KLL) is deliberately absent: KLL compaction is RANDOMIZED
     # (unseeded in the Spark API), so two runs legitimately differ —
     # its local invariant is the rank-error bound test below.
@@ -382,3 +382,14 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     spark_syms = {r.word: list(r.symbols)
                   for r in vocab_df.select("word", "symbols").collect()}
     assert spark_syms == ref_vocab
+
+
+def test_bpe_compression_improves_on_chars(spark, sf_dir):
+    """Encoding with 8 learned merges must strictly compress: fewer
+    subword tokens than characters, but at least one token per word."""
+    rows = plans.REGISTRY["t16_bpe_compression"] \
+        .spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens < r.n_chars, r
+        assert r.chars_per_token > 1.0, r
