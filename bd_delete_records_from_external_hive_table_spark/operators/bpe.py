@@ -92,7 +92,12 @@ def train_bpe(docs: DataFrame, text_col: str = "text",
     ``(merges, vocab_df)`` where merges is a list of
     (rank, left, right, count) and vocab_df carries the final symbol
     arrays. Stops early when the best pair drops under ``min_count``."""
-    vocab = word_dictionary(docs, text_col).localCheckpoint()
+    # The dictionary is tiny relative to the corpus (|vocab| rows);
+    # collapse it to a few partitions so each of the num_merges
+    # iterations schedules a handful of tasks instead of one per core —
+    # per-iteration fixed overhead is what dominates the loop.
+    vocab = (word_dictionary(docs, text_col)
+             .coalesce(4).localCheckpoint())
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         top = (_pair_counts(vocab)
@@ -102,8 +107,11 @@ def train_bpe(docs: DataFrame, text_col: str = "text",
         left, right, n = top[0].left, top[0].right, top[0].n
         merges.append((rank, left, right, int(n)))
         vocab = vocab.withColumn(
-            "symbols", _apply_merge(left, right)(F.col("symbols"))
-        ).localCheckpoint()
+            "symbols", _apply_merge(left, right)(F.col("symbols")))
+        # checkpoint every other round: lineage stays bounded (two udf
+        # layers max) at half the materialization jobs
+        if rank % 2 == 0 or rank == num_merges:
+            vocab = vocab.localCheckpoint()
     return merges, vocab
 
 
