@@ -63,25 +63,30 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
             .agg(F.sum("freq").alias("n")))
 
 
+def _merge_word(symbols, left: str, right: str, merged: str):
+    """Fold every adjacent (left, right) into the merged symbol — the
+    sequential inner step of BPE, shared by the training and encoding
+    UDFs (reference_bpe keeps its own copy on purpose: an independent
+    implementation is what makes the parity test meaningful)."""
+    out, i, m = [], 0, len(symbols)
+    while i < m:
+        if i + 1 < m and symbols[i] == left and symbols[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
 def _apply_merge(left: str, right: str):
-    """Pandas UDF replacing every adjacent (left, right) with the merged
-    symbol — the sequential inner step of BPE, parallel across words."""
+    """Pandas UDF applying one merge across words (parallel; the
+    per-word fold is the inherently sequential part)."""
     merged = left + right
 
     @F.pandas_udf(ArrayType(StringType()))
     def apply(col: pd.Series) -> pd.Series:
-        def one(symbols):
-            out, i, m = [], 0, len(symbols)
-            while i < m:
-                if (i + 1 < m and symbols[i] == left
-                        and symbols[i + 1] == right):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(symbols[i])
-                    i += 1
-            return out
-        return col.map(one)
+        return col.map(lambda syms: _merge_word(syms, left, right, merged))
 
     return apply
 
@@ -162,16 +167,7 @@ def encode_with_merges(words: DataFrame, merges) -> DataFrame:
         def one(word):
             syms = list(word)
             for left, right in merge_pairs:
-                merged, out, i, m = left + right, [], 0, len(syms)
-                while i < m:
-                    if (i + 1 < m and syms[i] == left
-                            and syms[i + 1] == right):
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                syms = _merge_word(syms, left, right, left + right)
             return len(syms)
         return col.map(one)
 

@@ -317,6 +317,8 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
     data-sized."""
     def partials(it):
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to stack
+                continue
             X = np.stack(pdf[vec_col].to_numpy())
             yield pd.DataFrame({
                 "n": [len(X)],
@@ -328,6 +330,10 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
             .mapInPandas(partials, "n long, s array<double>, "
                                    "g array<double>")
             .collect())
+    if not rows:
+        raise ValueError(
+            f"embedding_moments: no rows in column {vec_col!r} — "
+            f"moments of an empty corpus are undefined")
     n = sum(r.n for r in rows)
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     g = np.sum([np.asarray(r.g) for r in rows], axis=0)

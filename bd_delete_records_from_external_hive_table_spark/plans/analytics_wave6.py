@@ -381,17 +381,22 @@ def t15(spark, sf_dir):
 def t16(spark, sf_dir):
     """Apply the trained BPE merges and report per-source compression
     (chars per subword token) — the train→encode→measure loop of
-    tokenizer development. The scale move: the encoder runs on the
-    DISTINCT word dictionary (each word tokenized exactly once), and the
-    exploded corpus joins the encoded dictionary on the word key — the
-    corpus text is never re-tokenized. Exact integer sums; deterministic
+    tokenizer development. The scale move: token counts come
+    straight from the trainer's final DISTINCT-word vocab (each word was
+    tokenized once, during training) and the exploded corpus joins that
+    dictionary on the word key — no re-tokenization, no second corpus
+    scan. ``operators.bpe.encode_with_merges`` is the same
+    dictionary-encode for corpora the trainer has NOT seen (tested
+    equal to the trainer's own vocab). Exact integer sums; deterministic
     for a fixed corpus (the merge table itself is reference-equal)."""
-    from ..operators.bpe import encode_with_merges, train_bpe, word_dictionary
+    from ..operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = train_bpe(docs, num_merges=8)
-    encoded = encode_with_merges(
-        word_dictionary(docs).select("word", "freq"), merges)
+    merges, vocab = train_bpe(docs, num_merges=8)
+    # the trainer's final vocab ALREADY holds each word's merged
+    # symbols — n_tokens is just its length; re-encoding (or a second
+    # word_dictionary scan) would repeat the work the loop has done
+    encoded = vocab.select("word", F.size("symbols").alias("n_tokens"))
     ex = (docs.select("source",
                       F.explode(F.split(F.lower("text"), "[^a-z]+"))
                       .alias("word"))
@@ -459,8 +464,7 @@ def cdc02(spark, sf_dir):
           "  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
           "  FROM events GROUP BY d), "
           "seas AS (SELECT *, AVG(total) OVER (PARTITION BY "
-          "  dayofweek(d)) AS dow_mean, AVG(total) OVER () AS grand "
-          "  FROM daily) "
+          "  dayofweek(d)) AS dow_mean FROM daily) "
           "SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow, "
           "COUNT(*) AS n_days, "
           "ROUND(AVG(total), 2) AS dow_mean, "

@@ -203,6 +203,10 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     # a24 (KLL) is deliberately absent: KLL compaction is RANDOMIZED
     # (unseeded in the Spark API), so two runs legitimately differ —
     # its local invariant is the rank-error bound test below.
+    # e05 (PCA whitening) is absent too: its moments sum float partials
+    # whose order varies with partitioning, so the rounded audit values
+    # can differ in the last digit across runs — its invariant is the
+    # whitened-covariance-identity test.
 ])
 def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     """Every registry entry without a SQL oracle gets only a rows-only
@@ -393,3 +397,33 @@ def test_bpe_compression_improves_on_chars(spark, sf_dir):
     for r in rows:
         assert r.n_words <= r.n_bpe_tokens < r.n_chars, r
         assert r.chars_per_token > 1.0, r
+
+
+def test_encode_with_merges_equals_trainer_vocab(spark, sf_dir):
+    """Encoding a fresh dictionary with the learned merges must produce
+    exactly the token counts the trainer's own final vocab carries —
+    the guarantee that lets t16 skip re-encoding, and that makes
+    encode_with_merges trustworthy on corpora the trainer never saw."""
+    from bd_delete_records_from_external_hive_table_spark.operators.bpe import (
+        encode_with_merges, train_bpe, word_dictionary,
+    )
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, num_merges=4)
+    fresh = encode_with_merges(
+        word_dictionary(docs).select("word", "freq"), merges)
+    got = {r.word: r.n_tokens for r in fresh.collect()}
+    want = {r.word: len(r.symbols)
+            for r in vocab.select("word", "symbols").collect()}
+    assert got == want
+
+
+def test_embedding_moments_empty_input_raises(spark):
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        embedding_moments,
+    )
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        embedding_moments(empty)
