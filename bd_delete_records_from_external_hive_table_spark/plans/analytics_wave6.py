@@ -349,6 +349,44 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# f14: error-tolerant expressions (try_cast / try_divide)
+# ---------------------------------------------------------------------------
+
+@register("f14_try_functions",
+          "SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) "
+          "AS prio, COUNT(*) AS n, "
+          "CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS BIGINT) IS NULL "
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable_status, "
+          "ROUND(AVG(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) "
+          "AS BIGINT) - 1 = 0 THEN NULL ELSE o_totalprice / "
+          "(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1) END), "
+          "2) AS avg_safe_ratio "
+          "FROM orders GROUP BY prio ORDER BY prio")
+def f14(spark, sf_dir):
+    """Error-tolerant expression surface (``try_cast`` / ``try_divide``)
+    — on a 100 TB ingest some rows are always malformed, and the try_*
+    family turns would-be task failures into NULLs that flow into
+    ordinary NULL-skipping aggregates instead of killing the job:
+    try_cast parses the leading priority digit (and proves the
+    letters-only status column yields NULL, never an error), try_divide
+    absorbs the zero divisor the priority-1 group produces. All
+    branch-free codegen; the oracle spells try_divide as its CASE
+    definition (DuckDB has TRY_CAST but no TRY_DIVIDE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("bigint")
+    return (orders.groupBy(prio.alias("prio"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("o_orderstatus")
+                              .try_cast("bigint")
+                              .isNull(), 1).otherwise(0)).cast("bigint")
+                 .alias("n_unparseable_status"),
+                 F.round(F.avg(F.try_divide(F.col("o_totalprice"),
+                                            prio - 1)), 2)
+                 .alias("avg_safe_ratio"))
+            .orderBy("prio"))
+
+
+# ---------------------------------------------------------------------------
 # t15: BPE tokenizer training (iterative; dictionary-sized per merge)
 # ---------------------------------------------------------------------------
 
