@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 __all__ = ["word_dictionary", "train_bpe", "reference_bpe",
-           "encode_with_merges"]
+           "encode_with_merges", "save_merges", "load_merges"]
 
 
 def word_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -172,3 +172,20 @@ def encode_with_merges(words: DataFrame, merges) -> DataFrame:
         return col.map(one)
 
     return words.withColumn("n_tokens", n_tokens(F.col("word")))
+
+
+def save_merges(spark, merges, path: str, mode: str = "error") -> None:
+    """Persist a learned merge table as parquet — the tokenizer
+    artifact: encode jobs load the merges instead of re-training, so
+    token boundaries stay identical across the corpus's lifetime."""
+    (spark.createDataFrame(
+        [(r, a, b, n) for r, a, b, n in merges],
+        "rank long, left string, right string, n long")
+     .coalesce(1).write.mode(mode).parquet(path))
+
+
+def load_merges(spark, path: str):
+    """Load merges saved by :func:`save_merges`, rank order restored —
+    BPE merges MUST apply in training order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.rank, r.left, r.right, int(r.n)) for r in rows]

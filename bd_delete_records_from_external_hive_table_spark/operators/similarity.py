@@ -34,7 +34,8 @@ __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "hyperplane_bucket", "band_keys_udf", "auto_bits",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
-           "embedding_moments", "pca_whitening"]
+           "embedding_moments", "pca_whitening",
+           "save_ivf_index", "load_ivf_index"]
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -367,3 +368,26 @@ def pca_whitening(df: DataFrame, vec_col: str = "embedding",
         return pd.Series(list((X - mu) @ w_mat))
 
     return df.withColumn(vec_col, whiten(F.col(vec_col))), mu, w_mat
+
+
+# ---------------------------------------------------------------------------
+# Index artifact lifecycle: train once, persist, reuse
+# ---------------------------------------------------------------------------
+
+def save_ivf_index(spark, centroids: np.ndarray, path: str,
+                   mode: str = "error") -> None:
+    """Persist trained IVF centroids as parquet (bucket id + vector) —
+    the train-once/serve-many artifact: tomorrow's query job loads the
+    quantizer instead of re-sampling and re-running k-means, so bucket
+    assignments stay IDENTICAL across jobs (a retrained quantizer would
+    silently reshuffle every stored assignment)."""
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
+    (spark.createDataFrame(rows, "bucket int, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(path))
+
+
+def load_ivf_index(spark, path: str) -> np.ndarray:
+    """Load centroids saved by :func:`save_ivf_index`, bucket order
+    restored (parquet preserves no order; the bucket id does)."""
+    rows = spark.read.parquet(path).orderBy("bucket").collect()
+    return np.asarray([r.centroid for r in rows], dtype=np.float64)

@@ -427,3 +427,34 @@ def test_embedding_moments_empty_input_raises(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     with pytest.raises(ValueError, match="no rows"):
         embedding_moments(empty)
+
+
+def test_index_artifacts_round_trip(spark, sf_dir, tmp_path):
+    """Train-once/serve-many: IVF centroids and BPE merges survive a
+    parquet round-trip bit-identically, and bucket assignments computed
+    from the loaded quantizer equal the in-memory ones."""
+    import numpy as np
+
+    from bd_delete_records_from_external_hive_table_spark.operators.bpe import (
+        load_merges, save_merges, train_bpe,
+    )
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        ivf_assign, load_ivf_index, save_ivf_index, train_ivf_centroids,
+    )
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, nlist=8)
+    save_ivf_index(spark, cent, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert np.array_equal(cent, loaded)
+    a1 = {(r.vec_id, r.bucket) for r in
+          ivf_assign(emb.select("vec_id", "embedding"), cent).collect()}
+    a2 = {(r.vec_id, r.bucket) for r in
+          ivf_assign(emb.select("vec_id", "embedding"), loaded).collect()}
+    assert a1 == a2
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, num_merges=4)
+    save_merges(spark, merges, str(tmp_path / "merges"))
+    assert load_merges(spark, str(tmp_path / "merges")) == merges
