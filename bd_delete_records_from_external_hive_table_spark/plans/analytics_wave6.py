@@ -349,6 +349,65 @@ def q21(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# a26: market-basket frequent pairs (co-occurrence support + lift)
+# ---------------------------------------------------------------------------
+
+@register("a26_frequent_pairs",
+          "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey "
+          "FROM lineitem), "
+          "n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders "
+          "FROM items), "
+          "cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items "
+          "GROUP BY l_partkey), "
+          "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+          "COUNT(*) AS support FROM items a JOIN items b "
+          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+          "GROUP BY part_a, part_b) "
+          "SELECT part_a, part_b, support, "
+          "ROUND(support * n_orders / (ca.c * CAST(cb.c AS DOUBLE)), 4) "
+          "AS lift FROM pairs, n "
+          "JOIN cnt ca ON ca.l_partkey = part_a "
+          "JOIN cnt cb ON cb.l_partkey = part_b "
+          "WHERE support >= 2 "
+          "ORDER BY support DESC, part_a, part_b LIMIT 15")
+def a26(spark, sf_dir):
+    """Market-basket frequent-pair mining (the A-priori pair stage):
+    which parts co-occur in the same order more than chance, reported
+    as support + lift. The pair generation self-joins baskets ON THE
+    ORDER KEY — pair count is bounded by basket_size² per order, never
+    |parts|², and the join co-locates on the one shuffle the distinct
+    pass already needs. Item counts are dictionary-sized; the order
+    total is a 1-row broadcast; output flows through
+    TakeOrderedAndProject. Support/counts are exact integers; lift is
+    one deterministic division per surviving pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k2"),
+                     F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, (F.col("k") == F.col("k2"))
+                    & (F.col("part_a") < F.col("part_b")))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .where(F.col("support") >= 2))
+    ca = cnt.select(F.col("l_partkey").alias("part_a"),
+                    F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"),
+                    F.col("c").alias("cb"))
+    return (pairs.crossJoin(F.broadcast(n))
+            .join(ca, "part_a").join(cb, "part_b")
+            .select("part_a", "part_b", "support",
+                    F.round(F.col("support") * F.col("n_orders")
+                            / (F.col("ca") * F.col("cb")
+                               .cast("double")), 4).alias("lift"))
+            .orderBy(F.desc("support"), "part_a", "part_b")
+            .limit(15))
+
+
+# ---------------------------------------------------------------------------
 # f14: error-tolerant expressions (try_cast / try_divide)
 # ---------------------------------------------------------------------------
 
