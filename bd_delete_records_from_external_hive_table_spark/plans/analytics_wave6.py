@@ -408,6 +408,90 @@ def a26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# g01: triangle counting with degree-ordered orientation
+# ---------------------------------------------------------------------------
+
+_G01_EDGES = (
+    "SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u, "
+    "GREATEST(a.l_partkey, b.l_partkey) AS v "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "      WHERE l_partkey < 400) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "      WHERE l_partkey < 400) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")
+
+
+@register("g01_triangle_count",
+          "WITH edges AS (" + _G01_EDGES + "), "
+          "deg AS (SELECT x AS node, COUNT(*) AS d FROM ("
+          "  SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) t "
+          "  GROUP BY x), "
+          "ori AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) "
+          "  THEN e.u ELSE e.v END AS s, "
+          "  CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END "
+          "  AS t FROM edges e "
+          "  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v), "
+          "wedges AS (SELECT e1.t AS a, e2.t AS b FROM ori e1 "
+          "  JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t) "
+          "SELECT (SELECT COUNT(*) FROM edges) AS n_edges, "
+          "(SELECT COUNT(*) FROM deg) AS n_nodes, "
+          "CAST((SELECT COUNT(*) FROM wedges w JOIN edges e "
+          "ON w.a = e.u AND w.b = e.v) AS BIGINT) AS n_triangles")
+def g01(spark, sf_dir):
+    """Triangle counting on the co-purchase graph (parts sharing an
+    order) via DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii 2011):
+    each undirected edge points from its lower-(degree, id) endpoint to
+    the higher, so every triangle is counted exactly once and — the
+    scale property — wedge generation is Σ out-degree² where
+    out-degrees are bounded by orientation (a hub's edges point INTO
+    it, so the hub never fans out its full neighborhood). The wedge
+    join and the closing-edge probe are plain equi-joins; nothing in
+    the plan is quadratic in the part catalog. The part-key cap keeps
+    the demo graph bounded at any SF while exercising the identical
+    plan."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey") < 400)
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k2"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, (F.col("k") == F.col("k2"))
+                    & (F.col("pa") < F.col("pb")))
+             .select(F.least("pa", "pb").alias("u"),
+                     F.greatest("pa", "pb").alias("v"))
+             .distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ori = (edges.join(du, "u").join(dv, "v")
+           .select(F.when(lower_first, F.col("u")).otherwise(F.col("v"))
+                   .alias("s"),
+                   F.when(lower_first, F.col("v")).otherwise(F.col("u"))
+                   .alias("t")))
+    e1 = ori.select(F.col("s"), F.col("t").alias("a"))
+    e2 = ori.select(F.col("s").alias("s2"), F.col("t").alias("b"))
+    wedges = (e1.join(e2, (F.col("s") == F.col("s2"))
+                      & (F.col("a") < F.col("b")))
+              .select("a", "b"))
+    # wedges carry a < b and edges are canonical u < v, so the closing
+    # edge can ONLY match as (a=u, b=v) — a pure equi-join (an OR form
+    # would plan as a nested loop)
+    closing = wedges.join(
+        edges, (wedges.a == edges.u) & (wedges.b == edges.v))
+    n_tri = closing.count()
+    n_edges = edges.count()
+    n_nodes = deg.count()
+    return spark.createDataFrame(
+        [(n_edges, n_nodes, n_tri)],
+        "n_edges long, n_nodes long, n_triangles bigint")
+
+
+# ---------------------------------------------------------------------------
 # f14: error-tolerant expressions (try_cast / try_divide)
 # ---------------------------------------------------------------------------
 
