@@ -492,6 +492,50 @@ def g01(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# g02: PageRank (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+@register("g02_pagerank", None)  # iterative float fixpoint: no SQL oracle
+def g02(spark, sf_dir):
+    """PageRank over the (undirected → both-ways) co-purchase graph:
+    5 power iterations at damping 0.85 — the canonical iterative graph
+    workload. Per iteration: contributions = rank/out-degree shipped
+    along edges (ONE join keyed on the source vertex), partial-agged
+    per destination, damped — the plan a 1000-executor PageRank uses,
+    with ``localCheckpoint`` truncating lineage per round exactly like
+    d06/t15. Dangling mass is impossible here (undirected edges give
+    every vertex out-degree ≥ 1); the Σrank = |V| invariant and top-10
+    stability are test-asserted. Returns the top-10 parts by rank."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey") < 400)
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k2"),
+                  F.col("l_partkey").alias("pb"))
+    und = (a.join(b, (F.col("k") == F.col("k2"))
+                  & (F.col("pa") < F.col("pb")))
+           .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+           .distinct())
+    edges = (und.unionAll(und.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+             .localCheckpoint())
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    ranks = deg.select("u", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(5):
+        contrib = (edges.join(ranks, "u").join(deg, "u")
+                   .select(F.col("v").alias("u"),
+                           (F.col("rank") / F.col("outd"))
+                           .alias("c")))
+        ranks = (contrib.groupBy("u")
+                 .agg((F.lit(0.15) + F.lit(0.85) * F.sum("c"))
+                      .alias("rank"))
+                 .localCheckpoint())
+    return (ranks.select("u", F.round("rank", 4).alias("rank"))
+            .orderBy(F.desc("rank"), "u").limit(10))
+
+
+# ---------------------------------------------------------------------------
 # f14: error-tolerant expressions (try_cast / try_divide)
 # ---------------------------------------------------------------------------
 

@@ -207,6 +207,9 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     # whose order varies with partitioning, so the rounded audit values
     # can differ in the last digit across runs — its invariant is the
     # whitened-covariance-identity test.
+    # g02 (PageRank) likewise sums float contributions in join order;
+    # its invariant is exact 4-dp agreement with a numpy power
+    # iteration on the same edge set.
 ])
 def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     """Every registry entry without a SQL oracle gets only a rows-only
@@ -458,3 +461,44 @@ def test_index_artifacts_round_trip(spark, sf_dir, tmp_path):
     merges, _ = train_bpe(docs, num_merges=4)
     save_merges(spark, merges, str(tmp_path / "merges"))
     assert load_merges(spark, str(tmp_path / "merges")) == merges
+
+
+def test_pagerank_mass_conservation_and_reference(spark, sf_dir):
+    """5-iteration PageRank: total rank mass stays |V| (damping
+    conserves mass when no vertex dangles — undirected edges guarantee
+    out-degree ≥ 1), and the Spark result matches a numpy power
+    iteration on the same edge set to 1e-6."""
+    import numpy as np
+
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey") < 400)
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k2"),
+                  F.col("l_partkey").alias("pb"))
+    edges = {(r.pa, r.pb) for r in
+             a.join(b, (F.col("k") == F.col("k2"))
+                    & (F.col("pa") < F.col("pb")))
+             .select("pa", "pb").distinct().collect()}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = [[] for _ in nodes]
+    outd = [0] * len(nodes)
+    for u, v in edges:
+        adj[idx[v]].append(idx[u]); adj[idx[u]].append(idx[v])
+        outd[idx[u]] += 1; outd[idx[v]] += 1
+    r = np.ones(len(nodes))
+    for _ in range(5):
+        nr = np.empty_like(r)
+        for i in range(len(nodes)):
+            nr[i] = 0.15 + 0.85 * sum(r[j] / outd[j] for j in adj[i])
+        r = nr
+    got = {row.u: row.rank for row in
+           plans.REGISTRY["g02_pagerank"].spark_fn(spark, sf_dir)
+           .collect()}
+    want = sorted(((round(float(r[idx[n]]), 4), n) for n in nodes),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    assert got == {n: rv for rv, n in want}, (got, want)
