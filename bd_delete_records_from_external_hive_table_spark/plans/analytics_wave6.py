@@ -408,8 +408,28 @@ def a26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# g01: triangle counting with degree-ordered orientation
+# g01/g02: co-purchase graph analytics
 # ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark, sf_dir):
+    """Canonical (u < v, distinct) co-purchase edges over the capped
+    part range — ONE definition shared by g01, g02, and the PageRank
+    reference test so the three can never silently diverge onto
+    different graphs. Checkpointed: both consumers fan out multiple
+    actions over it, and the basket self-join must compute once."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey") < 400)
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k2"),
+                  F.col("l_partkey").alias("pb"))
+    return (a.join(b, (F.col("k") == F.col("k2"))
+                   & (F.col("pa") < F.col("pb")))
+            .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+            .distinct()
+            .localCheckpoint())
+
 
 _G01_EDGES = (
     "SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u, "
@@ -449,18 +469,7 @@ def g01(spark, sf_dir):
     the plan is quadratic in the part catalog. The part-key cap keeps
     the demo graph bounded at any SF while exercising the identical
     plan."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_partkey") < 400)
-          .select("l_orderkey", "l_partkey").distinct())
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k2"),
-                  F.col("l_partkey").alias("pb"))
-    edges = (a.join(b, (F.col("k") == F.col("k2"))
-                    & (F.col("pa") < F.col("pb")))
-             .select(F.least("pa", "pb").alias("u"),
-                     F.greatest("pa", "pb").alias("v"))
-             .distinct())
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -499,31 +508,27 @@ def g01(spark, sf_dir):
 def g02(spark, sf_dir):
     """PageRank over the (undirected → both-ways) co-purchase graph:
     5 power iterations at damping 0.85 — the canonical iterative graph
-    workload. Per iteration: contributions = rank/out-degree shipped
-    along edges (ONE join keyed on the source vertex), partial-agged
-    per destination, damped — the plan a 1000-executor PageRank uses,
-    with ``localCheckpoint`` truncating lineage per round exactly like
+    workload. Per iteration: a vertex-sized prep join attaches
+    out-degree to ranks, then contributions = rank/out-degree ship
+    along edges in the round's ONE edge-sized join, partial-agged per
+    destination, damped — the plan a 1000-executor PageRank uses, with
+    ``localCheckpoint`` truncating lineage per round exactly like
     d06/t15. Dangling mass is impossible here (undirected edges give
-    every vertex out-degree ≥ 1); the Σrank = |V| invariant and top-10
-    stability are test-asserted. Returns the top-10 parts by rank."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_partkey") < 400)
-          .select("l_orderkey", "l_partkey").distinct())
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k2"),
-                  F.col("l_partkey").alias("pb"))
-    und = (a.join(b, (F.col("k") == F.col("k2"))
-                  & (F.col("pa") < F.col("pb")))
-           .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-           .distinct())
+    every vertex out-degree ≥ 1), so rank mass stays |V| — asserted in
+    the test via a numpy power-iteration reference the Spark result
+    must match. Returns the top-10 parts by rank."""
+    und = _copurchase_edges(spark, sf_dir)
     edges = (und.unionAll(und.select(F.col("v").alias("u"),
                                      F.col("u").alias("v")))
              .localCheckpoint())
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    deg = (edges.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+           .localCheckpoint())
     ranks = deg.select("u", F.lit(1.0).alias("rank")).localCheckpoint()
     for _ in range(5):
-        contrib = (edges.join(ranks, "u").join(deg, "u")
+        # vertex-sized prep join attaches out-degree to ranks, so the
+        # edge-sized join of the round is the ONE against edges
+        r_outd = ranks.join(deg, "u")
+        contrib = (edges.join(r_outd, "u")
                    .select(F.col("v").alias("u"),
                            (F.col("rank") / F.col("outd"))
                            .alias("c")))

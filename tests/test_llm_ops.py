@@ -464,25 +464,22 @@ def test_index_artifacts_round_trip(spark, sf_dir, tmp_path):
 
 
 def test_pagerank_mass_conservation_and_reference(spark, sf_dir):
-    """5-iteration PageRank: total rank mass stays |V| (damping
-    conserves mass when no vertex dangles — undirected edges guarantee
-    out-degree ≥ 1), and the Spark result matches a numpy power
-    iteration on the same edge set to 1e-6."""
+    """5-iteration PageRank vs a numpy power iteration on the SAME edge
+    set (the shared _copurchase_edges helper, so the two can't diverge
+    onto different graphs): the reference conserves rank mass
+    (Σrank = |V| — no dangling vertices on an undirected graph), and
+    Spark's top-10 agrees with the reference within a float-summation
+    tolerance — NOT exact 4-dp equality, because the two sides sum
+    contributions in different orders and a value near a rounding
+    boundary may legitimately print a different last digit."""
     import numpy as np
 
-    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave6 import (
+        _copurchase_edges,
+    )
 
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_partkey") < 400)
-          .select("l_orderkey", "l_partkey").distinct())
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k2"),
-                  F.col("l_partkey").alias("pb"))
-    edges = {(r.pa, r.pb) for r in
-             a.join(b, (F.col("k") == F.col("k2"))
-                    & (F.col("pa") < F.col("pb")))
-             .select("pa", "pb").distinct().collect()}
+    edges = {(r.u, r.v) for r in
+             _copurchase_edges(spark, sf_dir).collect()}
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     idx = {n: i for i, n in enumerate(nodes)}
     adj = [[] for _ in nodes]
@@ -496,9 +493,18 @@ def test_pagerank_mass_conservation_and_reference(spark, sf_dir):
         for i in range(len(nodes)):
             nr[i] = 0.15 + 0.85 * sum(r[j] / outd[j] for j in adj[i])
         r = nr
+    # mass conservation: damping redistributes but never leaks
+    assert abs(float(r.sum()) - len(nodes)) < 1e-6 * len(nodes)
     got = {row.u: row.rank for row in
            plans.REGISTRY["g02_pagerank"].spark_fn(spark, sf_dir)
            .collect()}
-    want = sorted(((round(float(r[idx[n]]), 4), n) for n in nodes),
-                  key=lambda t: (-t[0], t[1]))[:10]
-    assert got == {n: rv for rv, n in want}, (got, want)
+    assert len(got) == 10
+    ref = {n: float(r[idx[n]]) for n in nodes}
+    ref_sorted = sorted(ref.items(), key=lambda t: (-t[1], t[0]))
+    # every returned part must score within tolerance of the reference,
+    # and sit in the reference's top set up to boundary wobble
+    ref_cut = ref_sorted[10][1] if len(ref_sorted) > 10 else -1.0
+    for part, rank in got.items():
+        assert abs(rank - ref[part]) <= 2e-4, (part, rank, ref[part])
+        assert ref[part] >= ref_cut - 2e-4, (part, ref[part], ref_cut)
+    assert len(set(got) & {n for n, _ in ref_sorted[:10]}) >= 9
