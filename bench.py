@@ -72,6 +72,10 @@ def main() -> None:
             "warm_value": round(sum(warm.values()), 4),
             "unit": "sec",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # Host context: identical queries have drifted 30-60% within
+            # a day on this shared host; the load average at run end
+            # makes cross-run comparisons diagnosable.
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "queries": timings,
             "warm_queries": warm,
         }
