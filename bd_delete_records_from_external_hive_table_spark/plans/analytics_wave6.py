@@ -733,6 +733,59 @@ def ts05(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ts06: CUSUM changepoint detection (recursive scan over the daily series)
+# ---------------------------------------------------------------------------
+
+_TS06_SQL = (
+    "WITH RECURSIVE "
+    "daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+    "  CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS total_c "
+    "  FROM events GROUP BY event_type, date_trunc('day', ts)), "
+    "stats AS (SELECT event_type, "
+    "  CAST(FLOOR(CAST(SUM(total_c) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+    "  AS mu_c FROM daily GROUP BY event_type), "
+    "rk AS (SELECT daily.*, ROW_NUMBER() OVER (PARTITION BY event_type "
+    "  ORDER BY d) AS rn FROM daily), "
+    "cus AS ("
+    "  SELECT rk.event_type, rn, d, "
+    "  GREATEST(CAST(0 AS BIGINT), total_c - mu_c - 10000) AS cusum_c "
+    "  FROM rk JOIN stats ON stats.event_type = rk.event_type "
+    "  WHERE rn = 1 "
+    "  UNION ALL "
+    "  SELECT rk.event_type, rk.rn, rk.d, "
+    "  GREATEST(CAST(0 AS BIGINT), "
+    "           cus.cusum_c + rk.total_c - s.mu_c - 10000) "
+    "  FROM cus JOIN rk ON rk.event_type = cus.event_type "
+    "  AND rk.rn = cus.rn + 1 "
+    "  JOIN stats s ON s.event_type = rk.event_type) "
+    "SELECT event_type, d, CAST(ROUND(cusum_c / 100.0, 2) AS DOUBLE) AS cusum "
+    "FROM cus WHERE cusum_c > 0 ORDER BY event_type, d")
+
+
+@register("ts06_cusum_changepoints", _TS06_SQL)
+def ts06(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the one-sided
+    cumulative-sum statistic Sᵢ = max(0, Sᵢ₋₁ + xᵢ − μ − k) flags days
+    where the metric runs persistently above its mean plus the slack k
+    — the classic sequential drift detector. The recursion is a SCAN
+    (every prefix value matters, not just the final fold), expressed as
+    a recursive CTE over the CALENDAR-BOUNDED daily rollup: the corpus
+    collapses to |days| rows per type in the first aggregation, so
+    recursion depth is bounded by the calendar (≪ the default 100-level
+    CTE limit here), never by event volume. Both engines run the
+    IDENTICAL SQL text, and the entire recursion runs in exact INTEGER
+    cents (daily totals and the per-type mean quantized to a cent):
+    a float mean would accumulate its last-bit drift across every
+    recursion level and land CUSUM values on rounding boundaries —
+    integer state cannot drift. Cents convert to currency only in the
+    final projection."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_TS06_SQL)
+
+
+# ---------------------------------------------------------------------------
 # e05: PCA whitening audit (distributed moments + driver eigh + projection)
 # ---------------------------------------------------------------------------
 
