@@ -774,7 +774,7 @@ def ts06(spark, sf_dir):
     array is CALENDAR-BOUNDED, so the O(|days|²) fold is a few hundred
     codegen integer ops per type, where a per-level recursive join
     would pay ~|days| Spark stages of scheduling overhead for a 5-row
-    frontier (measured 16.6 s vs 1.1 s warm at sf0.1; the cold gap is one-time codegen of the nested fold). All state is exact
+    frontier (measured 16.6 s recursive vs ~1 s scan at sf0.1 — 0.77-1.1 s warm across runs on this drifting host; the cold gap is one-time codegen of the nested fold). All state is exact
     INTEGER cents (daily totals and the per-type mean quantized): a
     float mean would accumulate last-bit drift across every step and
     land CUSUM values on rounding boundaries — integer state cannot
@@ -805,10 +805,10 @@ def ts06(spark, sf_dir):
                     acc + x["total_c"] - F.col("mu_c") - 10000))
             .alias("cusum_c")))
     return (per.select("event_type", F.explode(scan).alias("s"))
-            .select("event_type", F.col("s.d").alias("d"),
-                    F.round(F.col("s.cusum_c") / F.lit(100.0)
-                            .cast("double"), 2).alias("cusum"))
             .where(F.col("s.cusum_c") > 0)
+            .select("event_type", F.col("s.d").alias("d"),
+                    F.round(F.col("s.cusum_c") / F.lit(100.0), 2)
+                    .alias("cusum"))
             .orderBy("event_type", "d"))
 
 

@@ -28,6 +28,13 @@ from bd_delete_records_from_external_hive_table_spark.session import SessionFact
 from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
 
 
+def _loadavg():
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -74,8 +81,9 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             # Host context: identical queries have drifted 30-60% within
             # a day on this shared host; the load average at run end
-            # makes cross-run comparisons diagnosable.
-            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            # makes cross-run comparisons diagnosable. Guarded: an
+            # unobtainable loadavg must never discard a finished run.
+            "loadavg_end": _loadavg(),
             "queries": timings,
             "warm_queries": warm,
         }
