@@ -408,6 +408,50 @@ def a26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# p02: single-pass data profiling report
+# ---------------------------------------------------------------------------
+
+_P02_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey",
+             "o_totalprice")
+
+
+@register("p02_data_profile",
+          " UNION ALL ".join(
+              f"SELECT '{c}' AS col_name, "
+              f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+              f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+              f"CAST(MIN({c}) AS VARCHAR) AS min_val, "
+              f"CAST(MAX({c}) AS VARCHAR) AS max_val FROM orders"
+              for c in _P02_COLS) + " ORDER BY col_name")
+def p02(spark, sf_dir):
+    """Single-pass data-profiling report (the ANALYZE/data-quality
+    summary every warehouse job runs before trusting a feed): per-column
+    null count, exact distinct count, and min/max — computed in ONE
+    aggregation over ONE scan (multiple COUNT DISTINCTs compile to a
+    shared Expand), then unpivoted to the per-column report shape. The
+    oracle spells it as per-column scans, which is exactly the naive
+    plan this query exists to avoid — at 100 TB, one profiler pass vs
+    |columns| passes. min/max stringify for a uniform report schema."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _P02_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _P02_COLS)
+    return (one.selectExpr(
+        f"stack({len(_P02_COLS)}, {stack}) AS "
+        f"(col_name, n_nulls, n_distinct, min_val, max_val)")
+        .orderBy("col_name"))
+
+
+# ---------------------------------------------------------------------------
 # g01/g02: co-purchase graph analytics
 # ---------------------------------------------------------------------------
 
