@@ -112,3 +112,31 @@ def test_injection_screen_catches_embedded_patterns(bad, pad):
     except CriteriaValidationError:
         raised = True
     assert raised
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-fold properties (pure function, no Spark session needed)
+# ---------------------------------------------------------------------------
+
+_sym = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+@given(st.lists(_sym, max_size=12), _sym, _sym)
+@settings(max_examples=300, deadline=None)
+def test_bpe_merge_fold_reconstructs_and_exhausts(symbols, left, right):
+    """The shared BPE merge fold must (a) preserve the character stream
+    (concatenation is invariant under merging) and (b) leave no
+    UN-OVERLAPPED adjacent (left, right) pair behind: a leftover pair
+    may only exist where the left-to-right greedy pass consumed its
+    left symbol into a previous merge (e.g. 'aaa' with (a,a) →
+    [aa, a])."""
+    from bd_delete_records_from_external_hive_table_spark.operators.bpe import _merge_word
+
+    merged = left + right
+    out = _merge_word(symbols, left, right, merged)
+    assert "".join(out) == "".join(symbols)
+    for i in range(len(out) - 1):
+        if out[i] == left and out[i + 1] == right:
+            # only legal when the greedy pass just emitted a merge at
+            # i-1 that consumed what would have been this pair's left
+            assert i > 0 and out[i - 1] == merged
