@@ -408,6 +408,74 @@ def a26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# v01: snapshot diff (table reconciliation)
+# ---------------------------------------------------------------------------
+
+#: Deterministic "tomorrow" snapshot derived from orders: every 97th
+#: key deleted, every 89th key inserted back shifted (simulating new
+#: rows), every 13th surviving key's total modified.
+_V01_B = (
+    "SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0 "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 97 <> 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 1000000, o_custkey, o_totalprice "
+    "FROM orders WHERE o_orderkey % 89 = 0")
+
+
+@register("v01_snapshot_diff",
+          "WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice "
+          "FROM orders), "
+          "b AS (" + _V01_B + "), "
+          "j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k, "
+          "  CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+          "       WHEN b.o_orderkey IS NULL THEN 'removed' "
+          "       WHEN a.o_totalprice <> b.o_totalprice "
+          "            OR a.o_custkey <> b.o_custkey THEN 'changed' "
+          "       ELSE 'unchanged' END AS klass "
+          "  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey) "
+          "SELECT klass, COUNT(*) AS n, "
+          "CAST(MIN(k) AS BIGINT) AS first_key "
+          "FROM j GROUP BY klass ORDER BY klass")
+def v01(spark, sf_dir):
+    """Snapshot diff — the table-reconciliation operator (the read-side
+    sibling of the deletion engine's post-deletion validation, C7):
+    classify every key across two snapshots as added / removed /
+    changed / unchanged via ONE key-keyed full outer join, then roll up
+    per class. At 100 TB both snapshots shuffle once on the key (or not
+    at all if both are bucketed by it); no per-column self-joins, no
+    row-by-row driver comparison. The comparison snapshot is derived
+    deterministically from the same table so the oracle is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    b = (a.where(F.col("o_orderkey") % 97 != 0)
+         .withColumn("o_totalprice",
+                     F.when(F.col("o_orderkey") % 13 == 0,
+                            F.col("o_totalprice") + 10.0)
+                     .otherwise(F.col("o_totalprice")))
+         .unionByName(
+             a.where(F.col("o_orderkey") % 89 == 0)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 1_000_000)))
+    bb = b.select(F.col("o_orderkey").alias("bk"),
+                  F.col("o_custkey").alias("bc"),
+                  F.col("o_totalprice").alias("bt"))
+    j = a.join(bb, a.o_orderkey == bb.bk, "full_outer")
+    klass = (F.when(F.col("o_orderkey").isNull(), "added")
+             .when(F.col("bk").isNull(), "removed")
+             .when((F.col("o_totalprice") != F.col("bt"))
+                   | (F.col("o_custkey") != F.col("bc")), "changed")
+             .otherwise("unchanged"))
+    return (j.select(F.coalesce("o_orderkey", "bk").alias("k"),
+                     klass.alias("klass"))
+            .groupBy("klass")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("k").cast("bigint").alias("first_key"))
+            .orderBy("klass"))
+
+
+# ---------------------------------------------------------------------------
 # p02: single-pass data profiling report
 # ---------------------------------------------------------------------------
 
