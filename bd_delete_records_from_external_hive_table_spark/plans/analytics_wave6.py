@@ -381,7 +381,12 @@ def a26(spark, sf_dir):
     TakeOrderedAndProject. Support/counts are exact integers; lift is
     one deterministic division per surviving pair."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the deduped basket feeds FOUR consumers (total, item counts, both
+    # pair sides); without materialization each re-scans lineitem — 5
+    # corpus passes at 100 TB. The checkpoint is smaller than the
+    # source (distinct keys only) and is read, not recomputed.
+    items = (li.select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint())
     n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = items.select(F.col("l_orderkey").alias("k"),
@@ -448,7 +453,11 @@ def v01(spark, sf_dir):
     row-by-row driver comparison. The comparison snapshot is derived
     deterministically from the same table so the oracle is exact."""
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    # snapshot A feeds three subtrees (both derived-B branches + the
+    # join's left side); the checkpoint holds one projected copy so
+    # orders is scanned once, not three times
+    a = (orders.select("o_orderkey", "o_custkey", "o_totalprice")
+         .localCheckpoint())
     b = (a.where(F.col("o_orderkey") % 97 != 0)
          .withColumn("o_totalprice",
                      F.when(F.col("o_orderkey") % 13 == 0,
@@ -984,7 +993,11 @@ def t14(spark, sf_dir):
                        F.explode(F.split(F.lower("text"), "[^a-z]+"))
                        .alias("token"))
            .where(F.col("token") != ""))
-    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # the LM is dictionary-sized: checkpointing it means the corpus is
+    # exploded exactly twice (model build + scoring) instead of three
+    # times, and the scalar total derives from the checkpoint for free
+    lm = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint())
     tot = lm.agg(F.sum("c").alias("t"))
     return (tok.join(lm, "token")
             .crossJoin(F.broadcast(tot))
