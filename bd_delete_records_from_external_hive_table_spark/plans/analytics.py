@@ -848,7 +848,9 @@ def cdc01(spark, sf_dir):
     key, brand-new keys for every 500th) so the merge is deterministic;
     the key set broadcasts, the target is never shuffled."""
     from ..operators.upsert import merge_frames
-    orders = _t(spark, sf_dir, "orders")
+    # the target feeds the two derived update branches AND the merge's
+    # matched/unmatched sides — checkpoint so orders is scanned once
+    orders = _t(spark, sf_dir, "orders").localCheckpoint()
     changed = (orders.where(F.col("o_orderkey") % 100 == 0)
                .withColumn("o_totalprice",
                            F.round(F.col("o_totalprice") * 1.1, 2)))

@@ -344,8 +344,10 @@ def w11(spark, sf_dir):
     monotonically (funnel property), so each successive join probes a
     smaller build side. Counts are exact integers; the strictly-after
     comparisons ride microsecond-exact timestamps on both engines."""
+    # three stage aggregates + two back-references re-scanned events
+    # six times; the checkpointed projection is read instead
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts")
+        "user_id", "event_type", "ts").localCheckpoint()
     s1 = (ev.groupBy("user_id")
           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
                .alias("t_view"))

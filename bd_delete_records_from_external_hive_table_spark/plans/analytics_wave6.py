@@ -216,10 +216,13 @@ def e04(spark, sf_dir):
     exact DECIMAL and only the final division/sqrt touches floats —
     identical on both engines, stable across driver re-runs."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # comp feeds THREE consumers (norms + both pair sides); checkpoint
+    # the |labels|x dim aggregate so the corpus is scanned once
     comp = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("label", "pos")
             .agg(F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
-                 .cast("decimal(19,0)").alias("iq")))
+                 .cast("decimal(19,0)").alias("iq"))
+            .localCheckpoint())
     nrm = (comp.groupBy("label")
            .agg(F.sum(F.col("iq") * F.col("iq")).cast("double")
                 .alias("sq")))

@@ -46,11 +46,15 @@ _AUG_EMB = ("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500 "
 
 
 def _aug_docs(spark, sf_dir):
-    """documents plus a replicated 10% (ids offset by 100000)."""
+    """documents plus a replicated 10% (ids offset by 100000).
+    Checkpointed: the union's two branches would otherwise each scan
+    the parquet, and every consumer that references the corpus twice
+    (pair sides, keeper joins) multiplies that again — d10 reached 24
+    file scans before materialization."""
     docs = load_table(spark, sf_dir, "documents")
     extra = (docs.where(F.col("doc_id") % 10 == 0)
              .withColumn("doc_id", F.col("doc_id") + 100000))
-    return docs.unionByName(extra)
+    return docs.unionByName(extra).localCheckpoint()
 
 
 def _aug_emb(spark, sf_dir):
@@ -58,7 +62,7 @@ def _aug_emb(spark, sf_dir):
            .where(F.col("vec_id") < 500).select("vec_id", "embedding"))
     extra = (emb.where(F.col("vec_id") % 25 == 0)
              .withColumn("vec_id", F.col("vec_id") + 100000))
-    return emb.unionByName(extra)
+    return emb.unionByName(extra).localCheckpoint()
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +106,7 @@ def _aug_neardup_docs(spark, sf_dir):
     planted = (docs.where(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 1000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" zq zq")).alias("text")))
-    return docs.unionByName(planted)
+    return docs.unionByName(planted).localCheckpoint()
 
 
 @register("d03_ngram_jaccard_pairs",
@@ -636,7 +640,7 @@ def _contam_docs(spark, sf_dir):
                .select((F.col("doc_id") + 2000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" zq zq"))
                        .alias("text")))
-    return docs.unionByName(planted)
+    return docs.unionByName(planted).localCheckpoint()
 
 
 @register("t08_contamination_check",
@@ -796,7 +800,10 @@ def _ingest_batch(spark, sf_dir):
                  .select((F.col("doc_id") + 3000).alias("doc_id"), "text"))
     in_batch = (base.where(F.col("doc_id") % 25 == 0)
                 .select((F.col("doc_id") + 4000).alias("doc_id"), "text"))
-    return base.unionByName(vs_corpus).unionByName(in_batch)
+    # checkpointed: three union branches over one file, and d10
+    # references the batch on BOTH sides of its keeper self-join
+    return (base.unionByName(vs_corpus).unionByName(in_batch)
+            .localCheckpoint())
 
 
 @register("d10_incremental_ingest_dedup",
@@ -818,8 +825,14 @@ def d10(spark, sf_dir):
     batch, which is small by definition). In-batch dups collapse via the
     same min-id keeper policy as d01/d07."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the store is the small DISTINCT-hash index: checkpointing IT (not
+    # the anti-join output) keeps the corpus scan single while leaving
+    # the LeftAnti visible in the final plan (fresh is referenced by
+    # both the keeper aggregate and the semi probe; re-running the
+    # batch-sized anti join twice against checkpoints costs no I/O)
     store = (docs.where(F.col("doc_id") < 400)
-             .select(F.md5("text").alias("h")).distinct())
+             .select(F.md5("text").alias("h")).distinct()
+             .localCheckpoint())
     batch = _ingest_batch(spark, sf_dir) \
         .select("doc_id", F.md5("text").alias("h"))
     fresh = batch.join(store, "h", "left_anti")
@@ -1324,7 +1337,10 @@ def d12(spark, sf_dir):
              .where(F.col("w") != "").distinct())
     typos = (words.where(F.length("w") >= 5)
              .select(F.expr("substr(w, 1, length(w) - 1)").alias("w")))
-    vocab = words.union(typos).distinct()
+    # the vocabulary feeds both sides of the blocking-key join (and is
+    # itself a two-branch union over the corpus): checkpoint so the
+    # corpus tokenization runs once, not four times
+    vocab = words.union(typos).distinct().localCheckpoint()
     # |w|+1 keys: position 0 = the word itself, i>=1 deletes char i
     keys = vocab.select(
         "w", F.explode(F.transform(
