@@ -282,3 +282,30 @@ def test_q21_lateral_plans_as_window_group_limit(spark, sf_dir):
     plan = _explain_simple(df)
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_registry_query_rescans_a_fact_table(spark, sf_dir):
+    """Scan-count invariant from the round-3 plan audit: no registry
+    query's FINAL plan may scan any single fact table 3+ times — shared
+    derivations must materialize (localCheckpoint) instead of
+    re-deriving per consumer (d10 reached 24 documents scans before the
+    sweep). Exempt: q11 (Catalyst's scalar-subquery shape) and j14
+    (TPC-H Q21's canonical base + EXISTS + NOT EXISTS triple)."""
+    facts = ("lineitem", "orders", "events", "documents", "embeddings")
+    exempt = {"q11_scalar_subquery", "j14_tpch_q21_shape"}
+    offenders = []
+    for name, spec in plans.REGISTRY.items():
+        if name in exempt:
+            continue
+        plan = (spec.spark_fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        counts: dict[str, int] = {}
+        for line in plan.splitlines():
+            if "FileScan" in line:
+                for t in facts:
+                    if f"{t}.parquet" in line:
+                        counts[t] = counts.get(t, 0) + 1
+        bad = {t: c for t, c in counts.items() if c >= 3}
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
