@@ -849,8 +849,12 @@ def cdc01(spark, sf_dir):
     the key set broadcasts, the target is never shuffled."""
     from ..operators.upsert import merge_frames
     # the target feeds the two derived update branches AND the merge's
-    # matched/unmatched sides — checkpoint so orders is scanned once
-    orders = _t(spark, sf_dir, "orders").localCheckpoint()
+    # matched/unmatched sides — checkpoint a PROJECTED copy (an
+    # unprojected one would defeat column pruning) so orders is
+    # scanned once
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderstatus", "o_totalprice")
+              .localCheckpoint(eager=False))
     changed = (orders.where(F.col("o_orderkey") % 100 == 0)
                .withColumn("o_totalprice",
                            F.round(F.col("o_totalprice") * 1.1, 2)))

@@ -347,7 +347,7 @@ def w11(spark, sf_dir):
     # three stage aggregates + two back-references re-scanned events
     # six times; the checkpointed projection is read instead
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts").localCheckpoint()
+        "user_id", "event_type", "ts").localCheckpoint(eager=False)
     s1 = (ev.groupBy("user_id")
           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
                .alias("t_view"))

@@ -222,7 +222,7 @@ def e04(spark, sf_dir):
             .groupBy("label", "pos")
             .agg(F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
                  .cast("decimal(19,0)").alias("iq"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     nrm = (comp.groupBy("label")
            .agg(F.sum(F.col("iq") * F.col("iq")).cast("double")
                 .alias("sq")))
@@ -389,7 +389,7 @@ def a26(spark, sf_dir):
     # corpus passes at 100 TB. The checkpoint is smaller than the
     # source (distinct keys only) and is read, not recomputed.
     items = (li.select("l_orderkey", "l_partkey").distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = items.select(F.col("l_orderkey").alias("k"),
@@ -460,7 +460,7 @@ def v01(spark, sf_dir):
     # join's left side); the checkpoint holds one projected copy so
     # orders is scanned once, not three times
     a = (orders.select("o_orderkey", "o_custkey", "o_totalprice")
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     b = (a.where(F.col("o_orderkey") % 97 != 0)
          .withColumn("o_totalprice",
                      F.when(F.col("o_orderkey") % 13 == 0,
@@ -552,7 +552,7 @@ def _copurchase_edges(spark, sf_dir):
                    & (F.col("pa") < F.col("pb")))
             .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
             .distinct()
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 _G01_EDGES = (
@@ -1000,7 +1000,7 @@ def t14(spark, sf_dir):
     # exploded exactly twice (model build + scoring) instead of three
     # times, and the scalar total derives from the checkpoint for free
     lm = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     tot = lm.agg(F.sum("c").alias("t"))
     return (tok.join(lm, "token")
             .crossJoin(F.broadcast(tot))

@@ -54,7 +54,7 @@ def _aug_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     extra = (docs.where(F.col("doc_id") % 10 == 0)
              .withColumn("doc_id", F.col("doc_id") + 100000))
-    return docs.unionByName(extra).localCheckpoint()
+    return docs.unionByName(extra).localCheckpoint(eager=False)
 
 
 def _aug_emb(spark, sf_dir):
@@ -62,7 +62,7 @@ def _aug_emb(spark, sf_dir):
            .where(F.col("vec_id") < 500).select("vec_id", "embedding"))
     extra = (emb.where(F.col("vec_id") % 25 == 0)
              .withColumn("vec_id", F.col("vec_id") + 100000))
-    return emb.unionByName(extra).localCheckpoint()
+    return emb.unionByName(extra).localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +106,7 @@ def _aug_neardup_docs(spark, sf_dir):
     planted = (docs.where(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 1000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" zq zq")).alias("text")))
-    return docs.unionByName(planted).localCheckpoint()
+    return docs.unionByName(planted).localCheckpoint(eager=False)
 
 
 @register("d03_ngram_jaccard_pairs",
@@ -640,7 +640,7 @@ def _contam_docs(spark, sf_dir):
                .select((F.col("doc_id") + 2000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" zq zq"))
                        .alias("text")))
-    return docs.unionByName(planted).localCheckpoint()
+    return docs.unionByName(planted).localCheckpoint(eager=False)
 
 
 @register("t08_contamination_check",
@@ -803,7 +803,7 @@ def _ingest_batch(spark, sf_dir):
     # checkpointed: three union branches over one file, and d10
     # references the batch on BOTH sides of its keeper self-join
     return (base.unionByName(vs_corpus).unionByName(in_batch)
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 @register("d10_incremental_ingest_dedup",
@@ -832,7 +832,7 @@ def d10(spark, sf_dir):
     # batch-sized anti join twice against checkpoints costs no I/O)
     store = (docs.where(F.col("doc_id") < 400)
              .select(F.md5("text").alias("h")).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     batch = _ingest_batch(spark, sf_dir) \
         .select("doc_id", F.md5("text").alias("h"))
     fresh = batch.join(store, "h", "left_anti")
@@ -1340,7 +1340,7 @@ def d12(spark, sf_dir):
     # the vocabulary feeds both sides of the blocking-key join (and is
     # itself a two-branch union over the corpus): checkpoint so the
     # corpus tokenization runs once, not four times
-    vocab = words.union(typos).distinct().localCheckpoint()
+    vocab = words.union(typos).distinct().localCheckpoint(eager=False)
     # |w|+1 keys: position 0 = the word itself, i>=1 deletes char i
     keys = vocab.select(
         "w", F.explode(F.transform(

@@ -293,6 +293,12 @@ def test_no_registry_query_rescans_a_fact_table(spark, sf_dir):
     (TPC-H Q21's canonical base + EXISTS + NOT EXISTS triple)."""
     facts = ("lineitem", "orders", "events", "documents", "embeddings")
     exempt = {"q11_scalar_subquery", "j14_tpch_q21_shape"}
+    # FileScan Location strings truncate at spark.sql.maxMetadataStringLength
+    # (default 100): under a long sf_dir the "<table>.parquet" suffix
+    # would vanish and the test would pass vacuously — raise the limit
+    # for the duration of the sweep.
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     offenders = []
     for name, spec in plans.REGISTRY.items():
         if name in exempt:
@@ -308,4 +314,10 @@ def test_no_registry_query_rescans_a_fact_table(spark, sf_dir):
         bad = {t: c for t, c in counts.items() if c >= 3}
         if bad:
             offenders.append((name, bad))
+    spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
     assert not offenders, offenders
+    # guard against vacuity: at least one single-scan query must be seen
+    plan = (plans.REGISTRY["q01_scan_count"].spark_fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert any("lineitem.parquet" in l for l in plan.splitlines()
+               if "FileScan" in l)
