@@ -211,13 +211,18 @@ def a22(spark, sf_dir):
     table, so "value" derives from lineitem revenue.
 
     The scalar total is a re-aggregate of the |parts|-grained group
-    sums under a global window — NOT a second fact scan (decimal
-    addition is associative-exact, so re-summing group sums equals
-    summing rows). The threshold uses the multiply-compare form
-    ``part_value * 1000 > total`` in exact decimals: an equivalent
-    float-fraction form could flip a boundary group between engines.
-    One fact-side shuffle (by l_partkey) plus one single-task pass
-    over |parts| tiny rows — the right trade at 100 TB."""
+    sums — NOT a second fact scan: ``by_part`` is materialized once
+    (lazy ``localCheckpoint``) and the total computed as a 1-row
+    aggregate broadcast back via cross join. Unlike the previous
+    global-window form this never funnels the |parts| rows through a
+    single task — the scalar agg's final stage sees one partial sum
+    per partition, so it stays O(partitions) even when parts grow
+    with SF (SF x 200k; billions of rows at a genuine 100 TB).
+    Decimal addition is associative-exact, so re-summing group sums
+    equals summing rows, and the threshold keeps the multiply-compare
+    form ``part_value * 1000 > total`` in exact decimals: an
+    equivalent float-fraction form could flip a boundary group
+    between engines."""
     nation = _t(spark, sf_dir, "nation") \
         .where(F.col("n_name") == "NATION_5").select("n_nationkey")
     supp = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -229,10 +234,11 @@ def a22(spark, sf_dir):
     by_part = (li.join(dim(supp, sf_dir, "supplier"),
                        li.l_suppkey == supp.s_suppkey)
                .groupBy("l_partkey")
-               .agg(F.sum(_rev()).alias("part_value")))
-    total = F.sum("part_value").over(Window.partitionBy())
+               .agg(F.sum(_rev()).alias("part_value"))
+               .localCheckpoint(eager=False))
+    total = by_part.agg(F.sum("part_value").alias("total_value"))
     return (by_part
-            .withColumn("total_value", total)
+            .crossJoin(F.broadcast(total))
             .where(F.col("part_value") * 1000 > F.col("total_value"))
             .select("l_partkey",
                     F.round("part_value", 2).cast("double")
