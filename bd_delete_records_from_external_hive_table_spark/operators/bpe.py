@@ -10,20 +10,39 @@ per merge.
 
 Spark mapping:
 - word counting: explode + partial-agged groupBy (the one corpus scan);
-- pair counting per iteration: ``arrays_zip(slice, slice)`` adjacent
+- pair counting per round: ``arrays_zip(slice, slice)`` adjacent
   pairs → explode → freq-weighted partial-agg sum — all JVM codegen;
-- top pair: ``TakeOrderedAndProject(1)`` with a total (count DESC,
-  pair ASC) order, so ties break deterministically on any partitioning;
+- candidate pairs: ``TakeOrderedAndProject(4*batch)`` with a total
+  (count DESC, pair ASC) order, so ties break deterministically on any
+  partitioning;
 - merge application: a Pandas UDF folding each word's symbol array
-  (words are short; the per-word loop is the inherently sequential part
-  of BPE — Arrow batching keeps it vectorized across words);
-- ``localCheckpoint`` per iteration truncates lineage the same way the
+  through the round's whole batch (words are short; the per-word loop
+  is the inherently sequential part of BPE — Arrow batching keeps it
+  vectorized across words);
+- ``localCheckpoint`` per round truncates lineage the same way the
   d06 connected-components loop does, keeping the plan constant-size
-  across merges.
+  across rounds.
 
-Determinism: all counts are exact integers and the top-pair rule is
+BATCHED merges — the scale move that decouples Spark-job count from
+merge count: per round, the top-``batch`` FULLY-DISJOINT candidate
+pairs (greedy scan of the (count DESC, pair ASC)-ordered top
+``4*batch``; disjoint in both input symbols AND merged outputs — see
+``_select_disjoint``) are accepted together and applied in ONE
+single-pass rewrite. Full disjointness means no batch member can
+consume or create a symbol another member touches, so the batch
+result equals any sequential application order, and each pair's
+pre-round count is still its exact corpus count. A real 32k–100k-merge tokenizer thus runs
+O(merges/batch) Spark rounds instead of one job pair per merge;
+``batch=1`` degenerates to the classic strictly-sequential trainer.
+This batch rule is itself standard practice for distributed BPE (it is
+how the Sennrich formulation parallelizes); the learned table differs
+from strictly-sequential BPE only in that pairs accepted later in a
+round don't see counts updated by earlier ones.
+
+Determinism: all counts are exact integers and the candidate rule is
 totally ordered, so the learned merge sequence is a pure function of
-the corpus — test-asserted equal to a pure-Python reference trainer.
+(corpus, num_merges, min_count, batch) — test-asserted equal to a
+pure-Python reference trainer at 64 merges.
 """
 
 from __future__ import annotations
@@ -79,79 +98,139 @@ def _merge_word(symbols, left: str, right: str, merged: str):
     return out
 
 
-def _apply_merge(left: str, right: str):
-    """Pandas UDF applying one merge across words (parallel; the
-    per-word fold is the inherently sequential part)."""
-    merged = left + right
+def _select_disjoint(cands, k: int):
+    """Greedy scan of (count DESC, pair ASC)-ordered candidates:
+    accept a pair only when neither its symbols NOR its merged output
+    collides with any symbol or output already accepted this round.
+    Full disjointness (inputs AND outputs) makes the batch truly
+    commutative — no merge can consume or create a symbol another
+    batch member consumes — so one left-to-right pass with a pair
+    table applies the whole batch, and each accepted pair's pre-round
+    count is its exact corpus count. (Input-only disjointness is NOT
+    enough: accepting (a,b) and (ab,c) together would let the first
+    merge mint new 'ab' symbols the second would then consume,
+    reintroducing order dependence.) The first candidate is always
+    accepted, so every round makes progress."""
+    accepted, used = [], set()
+    for left, right, n in cands:
+        merged = left + right
+        if left in used or right in used or merged in used:
+            continue
+        accepted.append((left, right, n))
+        used.update((left, right, merged))
+        if len(accepted) >= k:
+            break
+    return accepted
+
+
+def _apply_merges(pairs):
+    """Pandas UDF applying one fully-disjoint merge BATCH across words
+    in a SINGLE left-to-right pass per word (parallel across words;
+    the per-word fold is the inherently sequential part). Correct
+    because _select_disjoint guarantees matches of different pairs
+    can never overlap or feed each other; within-pair runs ('aaa' for
+    pair (a,a)) resolve greedy-left exactly like the one-pair fold."""
+    table = {(left, right): left + right for left, right, _ in pairs}
 
     @F.pandas_udf(ArrayType(StringType()))
     def apply(col: pd.Series) -> pd.Series:
-        return col.map(lambda syms: _merge_word(syms, left, right, merged))
+        def one(syms):
+            out, i, m = [], 0, len(syms)
+            while i < m:
+                if i + 1 < m and (syms[i], syms[i + 1]) in table:
+                    out.append(table[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+        return col.map(one)
 
     return apply
 
 
 def train_bpe(docs: DataFrame, text_col: str = "text",
-              num_merges: int = 8, min_count: int = 2):
-    """Learn ``num_merges`` BPE merges from the corpus. Returns
-    ``(merges, vocab_df)`` where merges is a list of
-    (rank, left, right, count) and vocab_df carries the final symbol
-    arrays. Stops early when the best pair drops under ``min_count``."""
+              num_merges: int = 8, min_count: int = 2,
+              batch: int = 16):
+    """Learn ``num_merges`` BPE merges from the corpus in
+    ``O(num_merges / batch)`` Spark rounds (see module docstring for
+    the symbol-disjoint batch rule). Returns ``(merges, vocab_df)``
+    where merges is a list of (rank, left, right, count) and vocab_df
+    carries the final symbol arrays. Stops early when no candidate
+    pair reaches ``min_count``. ``batch=1`` is the classic
+    strictly-sequential trainer."""
     # The dictionary is tiny relative to the corpus (|vocab| rows);
-    # collapse it to a few partitions so each of the num_merges
-    # iterations schedules a handful of tasks instead of one per core —
-    # per-iteration fixed overhead is what dominates the loop.
+    # collapse it to a few partitions so each round schedules a
+    # handful of tasks instead of one per core — per-round fixed
+    # overhead is what dominates the loop.
     vocab = (word_dictionary(docs, text_col)
              .coalesce(4).localCheckpoint())
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        top = (_pair_counts(vocab)
-               .orderBy(F.desc("n"), "left", "right").limit(1).collect())
-        if not top or top[0].n < min_count:
+    while len(merges) < num_merges:
+        k = min(batch, num_merges - len(merges))
+        cand = (_pair_counts(vocab)
+                .where(F.col("n") >= min_count)
+                .orderBy(F.desc("n"), "left", "right")
+                .limit(4 * batch).collect())
+        accepted = _select_disjoint(
+            [(r.left, r.right, int(r.n)) for r in cand], k)
+        if not accepted:
             break
-        left, right, n = top[0].left, top[0].right, top[0].n
-        merges.append((rank, left, right, int(n)))
-        vocab = vocab.withColumn(
-            "symbols", _apply_merge(left, right)(F.col("symbols")))
-        # checkpoint every other round: lineage stays bounded (two udf
-        # layers max) at half the materialization jobs
-        if rank % 2 == 0 or rank == num_merges:
-            vocab = vocab.localCheckpoint()
+        for left, right, n in accepted:
+            merges.append((len(merges) + 1, left, right, n))
+        vocab = (vocab.withColumn(
+            "symbols", _apply_merges(accepted)(F.col("symbols")))
+            .localCheckpoint())
     return merges, vocab
 
 
 def reference_bpe(word_freqs: dict[str, int], num_merges: int = 8,
-                  min_count: int = 2):
-    """Pure-Python reference trainer (the Sennrich pseudocode) for
-    test parity — same tie-break: (count DESC, pair ASC)."""
+                  min_count: int = 2, batch: int = 16):
+    """Pure-Python reference trainer for test parity — the Sennrich
+    pseudocode extended with the SAME batch rule as :func:`train_bpe`
+    (top ``4*batch`` candidates by (count DESC, pair ASC); greedy
+    symbol-disjoint acceptance of up to ``batch`` per round),
+    implemented independently so the parity test is meaningful.
+    ``batch=1`` is the classic strictly-sequential trainer."""
     vocab = {w: list(w) for w in word_freqs}
-    merges = []
-    for rank in range(1, num_merges + 1):
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges:
         counts: dict[tuple[str, str], int] = {}
         for w, syms in vocab.items():
             f = word_freqs[w]
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
                 counts[p] = counts.get(p, 0) + f
-        if not counts:
+        cand = sorted(counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:4 * batch]
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        k = min(batch, num_merges - len(merges))
+        for (left, right), n in cand:
+            if n < min_count:
+                break  # sorted by count desc: nothing below qualifies
+            if left in used or right in used or (left + right) in used:
+                continue
+            accepted.append((left, right, n))
+            used.update((left, right, left + right))
+            if len(accepted) >= k:
+                break
+        if not accepted:
             break
-        (left, right), n = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < min_count:
-            break
-        merges.append((rank, left, right, n))
-        merged = left + right
-        for w, syms in vocab.items():
-            out, i, m = [], 0, len(syms)
-            while i < m:
-                if (i + 1 < m and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            vocab[w] = out
+        for left, right, n in accepted:
+            merges.append((len(merges) + 1, left, right, n))
+            merged = left + right
+            for w, syms in vocab.items():
+                out, i, m = [], 0, len(syms)
+                while i < m:
+                    if (i + 1 < m and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
     return merges, vocab
 
 

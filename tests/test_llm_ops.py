@@ -370,8 +370,10 @@ def test_pca_whitening_preserves_rows_and_dim(spark, sf_dir):
 
 def test_bpe_train_matches_reference(spark, sf_dir):
     """The distributed BPE trainer must learn EXACTLY the merge
-    sequence of the pure-Python reference on the same corpus — exact
-    integer counts and the (count DESC, pair ASC) tie-break make the
+    sequence of the independent pure-Python reference on the same
+    corpus, at a non-toy merge count (64, batched 16 per round — 4
+    Spark rounds): exact integer counts, the (count DESC, pair ASC)
+    candidate order and the greedy symbol-disjoint batch rule make the
     result partitioning-independent."""
     from bd_delete_records_from_external_hive_table_spark.operators.bpe import (
         reference_bpe, train_bpe, word_dictionary,
@@ -379,16 +381,36 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    got, vocab_df = train_bpe(docs, num_merges=6)
+    got, vocab_df = train_bpe(docs, num_merges=64)
     word_freqs = {r.word: r.freq for r in
                   word_dictionary(docs).select("word", "freq").collect()}
-    want, ref_vocab = reference_bpe(word_freqs, num_merges=6)
+    want, ref_vocab = reference_bpe(word_freqs, num_merges=64)
     assert got == want, (got, want)
-    assert len(got) == 6
+    assert len(got) == 64
     # final symbol arrays agree too (spot-check the merged words)
     spark_syms = {r.word: list(r.symbols)
                   for r in vocab_df.select("word", "symbols").collect()}
     assert spark_syms == ref_vocab
+
+
+def test_bpe_batch1_is_classic_sequential(spark, sf_dir):
+    """``batch=1`` must degenerate to the classic strictly-sequential
+    Sennrich trainer: each round recounts and takes the single global
+    top pair. Cross-checked Spark batch=1 vs reference batch=1 (and
+    the reference's batch=1 path is the unmodified classic loop, so
+    this pins the degenerate semantics)."""
+    from bd_delete_records_from_external_hive_table_spark.operators.bpe import (
+        reference_bpe, train_bpe, word_dictionary,
+    )
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got, _ = train_bpe(docs, num_merges=6, batch=1)
+    word_freqs = {r.word: r.freq for r in
+                  word_dictionary(docs).select("word", "freq").collect()}
+    want, _ = reference_bpe(word_freqs, num_merges=6, batch=1)
+    assert got == want, (got, want)
+    assert len(got) == 6
 
 
 def test_bpe_compression_improves_on_chars(spark, sf_dir):
