@@ -290,23 +290,26 @@ def a18(spark, sf_dir):
 def q16(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): a grouped revenue view consumed
     twice — once for the scalar MAX, once for the equality filter.
-    Expressing the MAX as a separate aggregate re-plans the view and
-    SCANS LINEITEM TWICE (self-"join" subtrees are not exchange-reused
-    here); instead the scalar threshold is a global window over the
-    supplier-grained view — one fact scan, then a single-task pass over
-    |suppliers| tiny rows, which is the right trade at 100 TB (a second
-    fact scan costs ~10^6x the window's data volume). The decimal
-    revenue makes the MAX-equality tie-exact across engines."""
-    from pyspark.sql import Window as W
+    Expressing the MAX as a separate aggregate on the raw view would
+    re-plan it and SCAN LINEITEM TWICE (self-"join" subtrees are not
+    exchange-reused here), and the previous global-window form
+    single-tasked a pass over ALL |suppliers| rows — the same 100 TB
+    hazard the a22 audit flagged (suppliers grow SFx10k). Instead the
+    supplier-grained view materializes ONCE (lazy localCheckpoint) and
+    the scalar MAX is a re-aggregate whose final stage sees one
+    partial max per partition, broadcast back as a 1-row cross join.
+    The decimal revenue makes the MAX-equality tie-exact across
+    engines."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-               .agg(F.sum(_rev()).alias("total_revenue")))
+               .agg(F.sum(_rev()).alias("total_revenue"))
+               .localCheckpoint(eager=False))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (revenue
-            .withColumn("max_rev",
-                        F.max("total_revenue").over(W.partitionBy()))
+            .crossJoin(F.broadcast(max_rev))
             .where(F.col("total_revenue") == F.col("max_rev"))
             .join(dim(supp, sf_dir, "supplier"),
                   F.col("supplier_no") == F.col("s_suppkey"))

@@ -168,44 +168,50 @@ def _gen_batches(lo: int, hi: int, seed: int, batch_size: int):
 
 class _EventsStreamReader(DataSourceStreamReader):
     """Micro-batch streaming twin of `_EventsReader`: the offset is the
-    generated row index, each trigger advances it by ``rowsPerBatch``
-    (up to the ``rows`` cap), and ``partitions(start, end)`` splits the
+    generated row index and ``partitions(start, end)`` splits the
     batch's index window into parallel executor ranges exactly like the
     batch reader. Offsets are plain dicts (checkpoint-JSON-able) and —
     because every field is a pure function of (index, seed) — any index
     window regenerates identical rows, so checkpoint recovery replays
-    the exact rows of the interrupted batch.
+    the exact rows of an interrupted batch.
 
-    Restart correctness: a fresh reader instance starts with
-    ``_latest = 0``, but the engine replays the checkpointed WAL batch
-    through ``partitions(start, end)`` (and commits through
-    ``commit(end)``) BEFORE asking for a new ``latestOffset`` — so both
-    of those bump ``_latest`` to the highest index the checkpoint has
-    seen, and ``latestOffset`` can never travel backwards and re-emit
-    committed rows."""
+    Restart correctness: ``latestOffset`` reports AVAILABILITY (the
+    full ``rows`` cap), never instance-paced progress. The Python
+    stream-reader API hands a fresh instance no start offset before
+    its first ``latestOffset`` call, so any pacing derived from
+    instance state (``min(self._latest + per_trigger, rows)``) would,
+    after a restart whose last batch COMMITTED, return an offset
+    BEHIND the checkpointed start — the engine logs the regressed
+    offset and the next trigger re-emits committed rows into an
+    append sink. Kafka-style sources answer latestOffset from the
+    external system for exactly this reason; here the "external
+    system" is the deterministic generator, whose availability is the
+    cap. ``rowsPerBatch`` survives as the partition-split width, so
+    executor parallelism and Arrow chunking are unchanged — the one
+    behavioral difference is that all available rows arrive in the
+    first micro-batch (admission-control ReadLimits are not exposed
+    to Python sources)."""
 
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
-        self.per_trigger = int(options.get("rowsPerBatch", 250))
+        self.per_part = int(options.get("rowsPerBatch", 250))
         self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 42))
         self.batch = int(options.get("batch", 65536))
-        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        self._latest = min(self._latest + self.per_trigger, self.rows)
-        return {"index": self._latest}
+        # availability, not progress: pure function of the options, so
+        # a restarted instance can never regress the offset log
+        return {"index": self.rows}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["index"]), int(end["index"])
-        # Checkpoint resync: a restarted instance learns the true
-        # progress from the offsets the engine hands back.
-        self._latest = max(self._latest, lo, hi)
         total = hi - lo
-        n = max(1, min(self.n_parts, total or 1))
+        n = max(1, min(max(self.n_parts, -(-total // self.per_part)),
+                       total or 1))
         width = -(-total // n) if total else 1
         return [_Range(lo + i * width, min(lo + (i + 1) * width, hi),
                        self.seed)
@@ -216,9 +222,7 @@ class _EventsStreamReader(DataSourceStreamReader):
                                 partition.seed, self.batch)
 
     def commit(self, end: dict) -> None:
-        # nothing to clean up (regeneration is pure); keep the offset
-        # monotonic for restarted instances
-        self._latest = max(self._latest, int(end["index"]))
+        pass  # regeneration is pure; nothing to clean up
 
 
 class SyntheticEventsDataSource(DataSource):

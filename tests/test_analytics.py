@@ -342,3 +342,41 @@ def test_no_registry_query_rescans_a_fact_table(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert any("lineitem.parquet" in l for l in plan.splitlines()
                if "FileScan" in l)
+
+
+def test_no_registry_query_windows_over_single_partition(spark, sf_dir):
+    """Window-shuffle invariant from the round-3 audit: no registry
+    query may run a window function over an Exchange SinglePartition
+    on an input that GROWS with data size — a global window is a
+    one-task pass over everything below it (the shape that pushed a22
+    and q16 onto the broadcast-scalar rewrite). Exempt, each with a
+    docstring stating its bound:
+      - w06_distribution_ranks: demo over a <=500-row dimension slice;
+      - s04_temperature_mixing: window input is the per-SOURCE
+        aggregate (|sources| rows, corpus-count-invariant);
+      - w09_rolling_distinct_users: calendar-day spine (rows = days
+        in the queried range, not events)."""
+    exempt = {"w06_distribution_ranks", "s04_temperature_mixing",
+              "w09_rolling_distinct_users"}
+    offenders = []
+    for name, spec in plans.REGISTRY.items():
+        if name in exempt:
+            continue
+        plan = (spec.spark_fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if (("Window" in line and "windowspecdefinition" in line)
+                    or "WindowGroupLimit" in line):
+                # nearest Exchange below is the one feeding this window
+                for nxt in lines[i + 1:i + 5]:
+                    if "Exchange" in nxt:
+                        if "SinglePartition" in nxt:
+                            offenders.append((name, line.strip()[:80]))
+                        break
+    assert not offenders, offenders
+    # vacuity guard: the exempt demo still plans the shape we skip
+    plan = (plans.REGISTRY["w06_distribution_ranks"]
+            .spark_fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" in plan

@@ -94,11 +94,10 @@ def test_unrelated_filters_stay_with_spark(spark):
 
 def test_streaming_source_equals_batch_read(spark):
     """The streaming reader must regenerate EXACTLY the batch reader's
-    rows for the same (rows, seed): drain the stream (4 micro-batches of
-    250; Python micro-batch sources don't support availableNow, so
-    processAllAvailable runs triggers until the offset stops advancing)
-    and compare the full row set, proving offset-window splitting
-    loses/duplicates nothing."""
+    rows for the same (rows, seed): drain the stream (one micro-batch —
+    latestOffset reports full availability for restart safety — split
+    into ceil(1000/250)=4 parallel ranges) and compare the full row
+    set, proving offset-window splitting loses/duplicates nothing."""
     register_python_sources(spark)
     stream = (spark.readStream.format("synthetic_events")
               .option("rows", 1000).option("rowsPerBatch", 250)
@@ -118,3 +117,34 @@ def test_streaming_source_equals_batch_read(spark):
             for r in batch.collect()}
     assert len(got) == 1000
     assert got == want
+
+
+def test_stream_reader_restart_never_regresses_offset():
+    """Protocol-level restart simulation for the committed-batch case:
+    reader A runs latestOffset -> partitions -> commit; a FRESH reader
+    (the restarted driver's state, which receives NO start offset
+    before its first latestOffset call) must not report an offset
+    behind A's committed end — a regressed offset would enter the
+    offset log and the following trigger would re-emit committed rows
+    into an append sink. Also pins the partition-split width: the
+    batch window splits into ceil(total / rowsPerBatch) >= partitions
+    ranges that tile [lo, hi) exactly."""
+    from bd_delete_records_from_external_hive_table_spark.sources.pydatasource import (
+        _EventsStreamReader,
+    )
+
+    opts = {"rows": "1000", "rowsPerBatch": "250",
+            "partitions": "3", "seed": "7"}
+    a = _EventsStreamReader(opts)
+    start = a.initialOffset()
+    end = a.latestOffset()
+    parts = a.partitions(start, end)
+    assert len(parts) == 4  # ceil(1000/250), > the 3 requested parts
+    bounds = sorted((p.lo, p.hi) for p in parts)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 1000
+    assert all(bounds[i][1] == bounds[i + 1][0]
+               for i in range(len(bounds) - 1))
+    a.commit(end)
+
+    b = _EventsStreamReader(opts)  # restarted driver: fresh instance
+    assert b.latestOffset()["index"] >= end["index"]
