@@ -285,6 +285,19 @@ class DeletionExecutor:
             audit("concurrent_modification_detected", batch=batch,
                   planned_retained=planned_retained,
                   observed_retained=observed_retained)
+            # Reconcile: retained is the write-time truth (observed in
+            # the write pass itself); deleted falls back to the
+            # analyze-time per-partition match counts — the criteria's
+            # known target set, and the only non-negative estimate
+            # available without a second scan (the retention scan never
+            # reads matching rows, so write-time total is unobservable
+            # for free). Rebuild `before` as their sum so the batch
+            # arithmetic (deleted = before - retained) stays
+            # consistent instead of going negative when a concurrent
+            # writer ADDED rows after analyze. The reference has no
+            # answer here at all — its counts race identically
+            # (DeletionExecutor.java:143-158) with no detection.
+            before = observed_retained + sum(per_part.values())
         self.metrics.record_batch(batch, before, observed_retained, per_part)
 
     def drop_partitions(self, partitions: list[str]) -> list[str]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from . import reference_queries  # noqa: F401  (q01-q10 first)
 from . import analytics  # noqa: F401
@@ -34,8 +35,12 @@ from . import llm_ops  # noqa: F401
 from .registry import REGISTRY, oracle_sql, queries, register  # noqa: F401
 
 
-def _previously_green() -> set[str]:
-    rowed: set[str] = set()
+def _previously_green() -> dict[str, int]:
+    """name → LATEST round whose driver row certified the query green
+    (hash_match, or non-empty rows-only). Keys = the previously-green
+    set; values drive oldest-certification-first re-checking so driver
+    coverage ages uniformly once every query has a row."""
+    rowed: dict[str, int] = {}
     root = os.path.abspath(os.path.join(os.path.dirname(__file__),
                                         "..", ".."))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -46,14 +51,16 @@ def _previously_green() -> set[str]:
             continue
         if not isinstance(data, dict):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                rowed.add(name)
+                rowed[name] = max(rowed.get(name, 0), rnd)
             elif (row.get("err") == "no_oracle"
                   and (row.get("spark_rows") or 0) > 0):
-                rowed.add(name)
+                rowed[name] = max(rowed.get(name, 0), rnd)
     return rowed
 
 
@@ -65,7 +72,11 @@ _green = _previously_green()
 for _name in [n for n, s in REGISTRY.items()
               if n not in _green and s.oracle is None]:
     REGISTRY[_name] = REGISTRY.pop(_name)
-for _name in [n for n in REGISTRY if n in _green]:
+# Previously-green queries queue last, OLDEST certification first (ties
+# keep registry order): once everything has a row, leftover driver
+# budget re-certifies the stalest rows so coverage ages uniformly.
+for _name in sorted([n for n in REGISTRY if n in _green],
+                    key=lambda n: _green[n]):
     REGISTRY[_name] = REGISTRY.pop(_name)  # move to end, keep spec
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "register"]

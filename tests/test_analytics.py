@@ -239,23 +239,29 @@ def test_dim_pins_drop_above_threshold(spark, sf_dir, monkeypatch):
 
 
 def test_q15_shape_scans_lineitem_once(spark, sf_dir):
-    """The scalar MAX threshold is a global window over the
-    supplier-grained revenue view — the fact table is scanned exactly
-    once (a separate MAX aggregate would re-plan the view and scan
-    lineitem twice)."""
+    """The scalar MAX threshold must come from ONE materialization of
+    the supplier-grained revenue view: the view localCheckpoints (plan
+    shows its truncated lineage, zero lineitem FileScans), the max is
+    a re-aggregate of it, and it rejoins broadcast — never the old
+    global-window one-task pass over all suppliers, and never a second
+    lineitem scan from re-planning the view for the MAX."""
     df = plans.REGISTRY["q16_tpch_q15_shape"].spark_fn(spark, sf_dir)
     plan = _explain_simple(df)
     scans = [l for l in plan.splitlines()
              if "FileScan" in l and "lineitem" in l]
-    assert len(scans) == 1, plan
-    assert "Window" in plan
+    assert len(scans) == 0, plan          # checkpoint = one materialization
+    assert "Window" not in plan, plan     # no global-window scalar
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_registry_rotation_orders_by_check_strength():
     """Driver-budget ordering invariant: never-rowed oracle-backed
     queries first (each budget slot earns a full value-hash row), then
     never-rowed rows-only queries (weaker non-empty check), then
-    previously-green queries (already certified in some round)."""
+    previously-green queries — and within the greens, OLDEST
+    certification round first, so once every query has a row the
+    leftover budget re-certifies the stalest rows and driver coverage
+    ages uniformly."""
     from bd_delete_records_from_external_hive_table_spark.plans import _previously_green
 
     green = _previously_green()
@@ -267,6 +273,10 @@ def test_registry_rotation_orders_by_check_strength():
 
     classes = [strength(n) for n in plans.REGISTRY]
     assert classes == sorted(classes), classes
+    green_rounds = [green[n] for n in plans.REGISTRY if n in green]
+    assert green_rounds == sorted(green_rounds), green_rounds
+    # sanity: rounds actually span history (r01..r03 all contribute)
+    assert len(set(green_rounds)) >= 2
 
 
 def test_t13_tfidf_scans_documents_once(spark, sf_dir):

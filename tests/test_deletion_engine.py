@@ -490,3 +490,55 @@ def test_latest_backup_path_skips_other_sources(spark, table, tmp_path):
     found = mgr.latest_backup()
     assert found is not None
     assert found.ref.removeprefix("file:") == genuine.ref
+
+
+def test_concurrent_writer_divergence_uses_observed_count(spark, table):
+    """A writer that modifies a partition BETWEEN analyze() and
+    execute() must not corrupt the metrics: the rewrite observes the
+    retained count during its own write pass (observe() accumulator —
+    write-time truth), detects the divergence from the stale plan,
+    emits the concurrent_modification_detected audit event, and
+    reconciles metrics from the observed value — retained = observed,
+    deleted = the analyze-time match count, never the negative number
+    the stale plan arithmetic would produce. (The reference has no
+    detection at all: its analyze-time counts race identically,
+    DeletionExecutor.java:143-158.)"""
+    import logging
+
+    seed(spark, table)  # ids 1..10, one partition
+    cfg = _cfg(table, DeletionCriteria(
+        where_clause="id = 5",
+        start_time=datetime(2026, 2, 13, 0, 0, 0),
+        end_time=datetime(2026, 2, 13, 23, 59, 59)))
+    ex = DeletionExecutor(spark, cfg)
+    plan = ex.handler.analyze()
+    assert plan.counts["20260213"] == (10, 1)
+
+    # concurrent writer lands 5 more (non-matching) rows post-analyze
+    seed(spark, table, ids=range(21, 26))
+
+    audit_log = logging.getLogger("bd_engine.audit")
+    events: list[str] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            events.append(record.getMessage())
+
+    h = _Capture()
+    old_level = audit_log.level
+    audit_log.addHandler(h)
+    audit_log.setLevel(logging.INFO)
+    try:
+        result = ex.execute(plan)
+    finally:
+        audit_log.removeHandler(h)
+        audit_log.setLevel(old_level)
+
+    # write-time truth: 15 rows present, 1 matched -> 14 retained
+    assert result.retained == 14
+    assert result.deleted == 1  # analyze-time match count, not 10-14
+    assert result.partitions_rewritten == ["20260213"]
+    assert remaining_ids(spark, table) == \
+        [1, 2, 3, 4, 6, 7, 8, 9, 10, 21, 22, 23, 24, 25]
+    assert any("concurrent_modification_detected" in m for m in events), \
+        events
