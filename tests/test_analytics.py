@@ -226,7 +226,7 @@ def test_dim_pins_drop_above_threshold(spark, sf_dir, monkeypatch):
                               .spark_fn(spark, sf_dir))
         assert j19.count("BroadcastHashJoin") == 1, j19  # nation only
         for name in ("j13_tpch_q19_disjunctive", "a16_tpch_q16_shape",
-                     "a18_tpch_q17_shape", "q16_tpch_q15_shape",
+                     "a18_tpch_q17_shape",
                      "q18_tpch_q20_shape", "j14_tpch_q21_shape",
                      "j01_broadcast_join"):
             plan = _explain_simple(plans.REGISTRY[name]
@@ -234,6 +234,14 @@ def test_dim_pins_drop_above_threshold(spark, sf_dir, monkeypatch):
             assert "BroadcastHashJoin" not in plan, f"{name}: {plan}"
             assert ("SortMergeJoin" in plan
                     or "ShuffledHashJoin" in plan), f"{name}: {plan}"
+        # q16's ONE surviving broadcast is the 1-row scalar max — an
+        # SF-INVARIANT side that must stay broadcast even at 100 TB;
+        # the supplier join itself falls back to shuffle.
+        q16p = _explain_simple(plans.REGISTRY["q16_tpch_q15_shape"]
+                               .spark_fn(spark, sf_dir))
+        assert q16p.count("BroadcastHashJoin") == 1, q16p
+        assert ("SortMergeJoin" in q16p
+                or "ShuffledHashJoin" in q16p), q16p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

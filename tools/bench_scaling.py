@@ -1,0 +1,108 @@
+"""Scaling datapoint: run the most expensive bench queries at sf0.1 AND
+sf1 (tools/make_sf1.py) and record per-query time ratios.
+
+The correctness suite proves the plans right at small SF; this tool is
+the evidence that the plan SHAPES hold through a decade of data growth:
+a query whose warm time grows by more than the 10x data factor (plus a
+small constant) has a superlinear shape — a bucket blowup, a quadratic
+candidate set, a driver-side collect that grew — and gets flagged.
+
+Protocol: one session per SF (32 cores, 32 shuffle partitions, AQE on),
+the same warmup bench.py uses, then each query twice — cold (plan +
+codegen + run) and warm (steady-state). Ratios compare WARM times: the
+planning constant doesn't scale with data and would mask the signal.
+Results merge into BENCH_DETAIL.json under "sf_scaling" and print as
+one JSON line.
+
+Run SOLO (never concurrently with pytest/bench — shared CPUs skew
+every number).
+
+Usage: python tools/make_sf1.py && python tools/bench_scaling.py [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+DATA_FACTOR = 10.0
+
+
+def _top_queries(n: int) -> list[str]:
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    return [q for q, _ in sorted(detail["queries"].items(),
+                                 key=lambda kv: -kv[1])[:n]]
+
+
+def _run_at(sf_dir: str, names: list[str]) -> dict[str, dict[str, float]]:
+    from bd_delete_records_from_external_hive_table_spark import plans
+    from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES, load_table
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = SessionFactory.create(app_name=f"bd-scaling-{sf_dir}",
+                                  master=f"local[{cpus}]",
+                                  shuffle_partitions=int(cpus))
+    out: dict[str, dict[str, float]] = {}
+    try:
+        for t in TABLES:
+            load_table(spark, sf_dir, t).count()
+        spark.range(4).mapInPandas(lambda it: it, "id long").count()
+        for name in names:
+            spec = plans.REGISTRY[name]
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).collect()
+            cold = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).collect()
+            warm = time.perf_counter() - t1
+            out[name] = {"cold": round(cold, 4), "warm": round(warm, 4)}
+    finally:
+        spark.stop()
+    return out
+
+
+def main(top_n: int = 20) -> None:
+    names = _top_queries(top_n)
+    load0 = os.getloadavg()[0]
+    r01 = _run_at(SF01, names)
+    r1 = _run_at(SF1, names)
+    scaling = {}
+    for name in names:
+        w0, w1 = r01[name]["warm"], r1[name]["warm"]
+        scaling[name] = {
+            "sf0.1_cold": r01[name]["cold"], "sf0.1_warm": w0,
+            "sf1_cold": r1[name]["cold"], "sf1_warm": w1,
+            "warm_ratio": round(w1 / w0, 2) if w0 else None,
+            "superlinear": bool(w0 and w1 / w0 > DATA_FACTOR),
+        }
+    result = {
+        "data_factor": DATA_FACTOR,
+        "loadavg_start": round(load0, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "queries": scaling,
+    }
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(path) as f:
+        detail = json.load(f)
+    detail["sf_scaling"] = result
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+    flagged = {n: s["warm_ratio"] for n, s in scaling.items()
+               if s["superlinear"]}
+    print(json.dumps({"metric": "sf1_over_sf0.1_warm_ratio",
+                      "flagged_superlinear": flagged,
+                      "ratios": {n: s["warm_ratio"]
+                                 for n, s in scaling.items()}}))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)

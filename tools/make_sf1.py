@@ -1,0 +1,119 @@
+"""Generate an sf1-scale dataset (10x sf0.1) for scaling measurements.
+
+The driver ships sf0.001/0.01/0.1 only; the scaling datapoint the
+round-3 verdict asked for needs one decade more. This derives sf1 from
+sf0.1 by REPLICATION WITH KEY SHIFTS rather than re-synthesis, so every
+distribution the queries aggregate over (prices, dates, types, text
+length, embedding norms) is exactly preserved while the entity
+populations grow 10x the way a real star schema grows:
+
+- region/nation: SF-invariant, copied verbatim;
+- customer/supplier/part: replica k shifts the primary key by
+  k * 1e6 — 10x more entities, same per-entity distributions;
+- orders/lineitem: orderkey shifts by k * 1e7 and every foreign key
+  shifts in lockstep with its dimension, so join fan-outs and group
+  cardinalities scale like real data (10x groups, same group sizes);
+- events: 10x events, 10x distinct users, SAME time window (event
+  density grows, the calendar doesn't — matching how a busier system
+  fills the same quarter);
+- documents: doc_id shifts; replica text gets a ' rk<k>' suffix (and
+  n_chars is recomputed) so the exact/near-dup population grows
+  realistically instead of every doc becoming a 10-way duplicate —
+  near-dup queries then see replicas as near (high Jaccard) but not
+  identical, the worst case for LSH bucket sizing;
+- embeddings: vec_id shifts; replica vectors rotate the array by k
+  positions — norm-preserving but direction-changing, so ANN bucket
+  occupancy grows with corpus size instead of collapsing onto 10
+  copies of the same 2000 points.
+
+Writes to $SPARK_GRAFT_SF1_DIR (default /tmp/sf1). Pure duckdb — no
+Spark session, runs in seconds. Deterministic: same input -> same
+output, no RNG anywhere.
+
+Usage: python tools/make_sf1.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+DIM_SHIFT = 1_000_000      # customer/supplier/part/doc/vec keys
+ORD_SHIFT = 10_000_000     # orderkey / event_id
+
+
+def _copy(con, name: str) -> None:
+    con.sql(f"COPY (SELECT * FROM read_parquet('{SRC}/{name}.parquet')) "
+            f"TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+
+
+def _replicate(con, name: str, select_k: str, replicas: int) -> None:
+    """UNION ALL of `select_k` evaluated for k = 0..replicas-1 (k=0 must
+    reproduce the source rows exactly)."""
+    parts = [select_k.format(k=k) for k in range(replicas)]
+    con.sql(f"COPY ({' UNION ALL '.join(parts)}) "
+            f"TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+
+
+def main(replicas: int = 10) -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation"):
+        _copy(con, t)
+
+    _replicate(con, "customer", (
+        f"SELECT c_custkey + {{k}} * {DIM_SHIFT} AS c_custkey, c_name, "
+        f"c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM read_parquet('{SRC}/customer.parquet')"), replicas)
+    _replicate(con, "supplier", (
+        f"SELECT s_suppkey + {{k}} * {DIM_SHIFT} AS s_suppkey, s_name, "
+        f"s_nationkey, s_acctbal "
+        f"FROM read_parquet('{SRC}/supplier.parquet')"), replicas)
+    _replicate(con, "part", (
+        f"SELECT p_partkey + {{k}} * {DIM_SHIFT} AS p_partkey, p_name, "
+        f"p_brand, p_type, p_size, p_retailprice "
+        f"FROM read_parquet('{SRC}/part.parquet')"), replicas)
+    _replicate(con, "orders", (
+        f"SELECT o_orderkey + {{k}} * {ORD_SHIFT} AS o_orderkey, "
+        f"o_custkey + {{k}} * {DIM_SHIFT} AS o_custkey, o_orderstatus, "
+        f"o_totalprice, o_orderdate, o_orderpriority "
+        f"FROM read_parquet('{SRC}/orders.parquet')"), replicas)
+    _replicate(con, "lineitem", (
+        f"SELECT l_orderkey + {{k}} * {ORD_SHIFT} AS l_orderkey, "
+        f"l_partkey + {{k}} * {DIM_SHIFT} AS l_partkey, "
+        f"l_suppkey + {{k}} * {DIM_SHIFT} AS l_suppkey, "
+        f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate "
+        f"FROM read_parquet('{SRC}/lineitem.parquet')"), replicas)
+    _replicate(con, "events", (
+        f"SELECT event_id + {{k}} * {ORD_SHIFT} AS event_id, ts, "
+        f"user_id + {{k}} * {DIM_SHIFT} AS user_id, event_type, value, "
+        f"props FROM read_parquet('{SRC}/events.parquet')"), replicas)
+    _replicate(con, "documents", (
+        f"SELECT doc_id + {{k}} * {DIM_SHIFT} AS doc_id, "
+        f"CASE WHEN {{k}} = 0 THEN text "
+        f"ELSE text || ' rk{{k}}' END AS text, lang, source, "
+        f"CASE WHEN {{k}} = 0 THEN n_chars "
+        f"ELSE length(text || ' rk{{k}}') END AS n_chars "
+        f"FROM read_parquet('{SRC}/documents.parquet')"), replicas)
+    _replicate(con, "embeddings", (
+        f"SELECT vec_id + {{k}} * {DIM_SHIFT} AS vec_id, "
+        f"CASE WHEN {{k}} = 0 THEN embedding ELSE "
+        f"list_concat(embedding[{{k}}+1:], embedding[1:{{k}}]) END "
+        f"AS embedding, label "
+        f"FROM read_parquet('{SRC}/embeddings.parquet')"), replicas)
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        n = con.sql(f"SELECT COUNT(*) FROM "
+                    f"read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
