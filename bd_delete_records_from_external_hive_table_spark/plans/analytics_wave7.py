@@ -1,0 +1,206 @@
+"""Seventh-wave queries (round 4): corpus-statistics, embedding-geometry
+and merge-on-read read-path shapes the registry still lacked.
+
+- a27 exact grouped median/quartiles — the EXACT complement of the
+  approx quantiles (a14/a24): Spark's ``percentile`` runs as a proper
+  partial-aggregate (per-group sorted buffers merged map-side), not a
+  global sort, so the shuffle carries one state per group.
+- t17 hapax-legomena rate — vocabulary-richness screen (share of
+  words seen exactly once): the corpus scans ONCE into a (source,
+  word) dictionary; everything after is dictionary-sized.
+- e06 Matryoshka norm-retention — how much of each embedding's energy
+  the first k dims keep (the representation-truncation question MRL
+  training asks). One pass computes every budget from the SAME
+  running prefix via a single ``aggregate`` fold, not one slice-sum
+  per budget.
+- cdc03 merge-on-read read path — the ``base LEFT ANTI JOIN
+  tombstones`` shape of :mod:`..operators.deletion_vectors` (its
+  ``read()``, deletion_vectors.py:156-169) as an oracle-checked query:
+  line-level quarantine keys hide their orders at read time with no
+  base rewrite. The tombstone side stays a keys-only projection, so
+  AQE broadcasts it when small; the base never shuffles.
+
+Reference anchor: widens the declared-query surface admitted by the
+reference's SQL boundary (DeletionCriteria.java:40-63) as waves 1-6 do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register("a27_exact_median_groups",
+          "SELECT l_returnflag, "
+          "CAST(COUNT(*) AS BIGINT) AS n, "
+          "ROUND(MEDIAN(l_quantity), 4) AS med_qty, "
+          "ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price, "
+          "ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75_price "
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def a27(spark, sf_dir):
+    """Exact grouped median + quartiles — the no-error-bound complement
+    of a14's approx_percentile and a24's KLL rollup. Spark's
+    ``percentile`` is a true aggregate (per-group buffer, map-side
+    partial merge): the shuffle moves one digest per (partition,
+    group), never the raw rows, and there is no global sort anywhere.
+    Both engines use linear interpolation (percentile ==
+    QUANTILE_CONT), so values agree to float rounding; ROUND(.,4)
+    absorbs the last-bit drift of summing in different orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+                 .alias("med_qty"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
+                 .alias("p25_price"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
+                 .alias("p75_price"))
+            .orderBy("l_returnflag"))
+
+
+@register("t17_hapax_rate",
+          "WITH words AS (SELECT source, w AS word FROM documents, "
+          "UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(w) "
+          "WHERE w <> ''), "
+          "freqs AS (SELECT source, word, COUNT(*) AS f FROM words "
+          "GROUP BY source, word) "
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, "
+          "CAST(COUNT(*) FILTER (f = 1) AS BIGINT) AS hapax, "
+          "ROUND(COUNT(*) FILTER (f = 1) * 1.0 / COUNT(*), 6) "
+          "AS hapax_rate "
+          "FROM freqs GROUP BY source ORDER BY source")
+def t17(spark, sf_dir):
+    """Hapax-legomena rate per source: the share of vocabulary words
+    occurring exactly once — a standard vocabulary-richness /
+    contamination screen (boilerplate-heavy or templated sources show
+    abnormally LOW hapax rates). ONE corpus scan explodes to (source,
+    word); the per-word count and the per-source rollup are two
+    dictionary-sized aggregations whose grouping keys share the
+    ``source`` prefix, and the word-frequency exchange carries partial
+    counts, not token instances. All JVM codegen — no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select("source",
+                         F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                         .alias("word"))
+             .where(F.col("word") != ""))
+    freqs = (words.groupBy("source", "word")
+             .agg(F.count(F.lit(1)).alias("f")))
+    return (freqs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("hapax"))
+            .withColumn("hapax_rate",
+                        F.round(F.col("hapax") / F.col("vocab"), 6))
+            .select("source", "vocab", "hapax", "hapax_rate")
+            .orderBy("source"))
+
+
+_E06_BUDGETS = (8, 16, 32, 64)
+
+
+@register("e06_matryoshka_ablation",
+          "WITH pp AS (SELECT vec_id, "
+          "list_sum(list_transform(embedding[1:8], "
+          "  x -> CAST(x AS DOUBLE) * x)) AS s8, "
+          "list_sum(list_transform(embedding[1:16], "
+          "  x -> CAST(x AS DOUBLE) * x)) AS s16, "
+          "list_sum(list_transform(embedding[1:32], "
+          "  x -> CAST(x AS DOUBLE) * x)) AS s32, "
+          "list_sum(list_transform(embedding, "
+          "  x -> CAST(x AS DOUBLE) * x)) AS s64 "
+          "FROM embeddings) "
+          "SELECT CAST(k AS BIGINT) AS k, "
+          "ROUND(AVG(retention), 6) AS avg_retention, "
+          "ROUND(MIN(retention), 6) AS min_retention "
+          "FROM (SELECT vec_id, 8 AS k, sqrt(s8 / s64) AS retention "
+          "      FROM pp WHERE s64 > 0 "
+          "      UNION ALL SELECT vec_id, 16, sqrt(s16 / s64) FROM pp "
+          "      WHERE s64 > 0 "
+          "      UNION ALL SELECT vec_id, 32, sqrt(s32 / s64) FROM pp "
+          "      WHERE s64 > 0 "
+          "      UNION ALL SELECT vec_id, 64, 1.0 FROM pp "
+          "      WHERE s64 > 0) "
+          "GROUP BY k ORDER BY k")
+def e06(spark, sf_dir):
+    """Matryoshka-style truncation ablation: for each dim budget k in
+    (8, 16, 32, 64), how much of the embedding's L2 energy the first k
+    dims retain — cos(v, truncate_k(v)) = ||v[:k]|| / ||v||, the exact
+    quality loss of serving a k-dim prefix index. ONE ``aggregate``
+    fold per row accumulates the running prefix sum and emits every
+    budget's partial in a single pass (never one slice-scan per
+    budget); per-vector ratios then unpivot to (k, retention) rows and
+    aggregate — all JVM higher-order functions, no Python, no shuffle
+    until the final |budgets|-row rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_budgets = len(_E06_BUDGETS)
+    budgets_arr = F.array(*[F.lit(b) for b in _E06_BUDGETS])
+    # fold once: acc = struct(idx, running, partials[4]); at each
+    # element, bump running and snapshot it when idx hits a budget
+    partials = F.aggregate(
+        "embedding",
+        F.struct(F.lit(0).alias("i"),
+                 F.lit(0.0).alias("run"),
+                 F.array_repeat(F.lit(0.0), n_budgets).alias("ps")),
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["run"] + x.cast("double") * x).alias("run"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_budgets - 1)),
+                lambda j: F.when(acc["i"] + 1 == budgets_arr[j],
+                                 acc["run"] + x.cast("double") * x)
+                .otherwise(acc["ps"][j])).alias("ps")),
+        lambda acc: acc["ps"])
+    pp = (emb.select("vec_id", partials.alias("ps"))
+          .where(F.element_at("ps", n_budgets) > 0))
+    unpivoted = pp.select(
+        "vec_id",
+        F.explode(F.arrays_zip(
+            budgets_arr.alias("k"),
+            F.transform("ps",
+                        lambda s: F.sqrt(
+                            s / F.element_at("ps", n_budgets)))
+            .alias("retention"))).alias("z"))
+    return (unpivoted
+            .groupBy(F.col("z.k").cast("bigint").alias("k"))
+            .agg(F.round(F.avg("z.retention"), 6).alias("avg_retention"),
+                 F.round(F.min("z.retention"), 6).alias("min_retention"))
+            .orderBy("k"))
+
+
+@register("cdc03_mor_read",
+          "WITH tombstones AS (SELECT DISTINCT l_orderkey AS key "
+          "FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 49) "
+          "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS live_orders, "
+          "ROUND(SUM(o_totalprice), 2) AS live_value "
+          "FROM orders WHERE NOT EXISTS (SELECT 1 FROM tombstones "
+          "WHERE key = o_orderkey) "
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+def cdc03(spark, sf_dir):
+    """Merge-on-read read path as a query: a line-level quarantine
+    (returned full-quantity lines) produces tombstone KEYS, and the
+    logical orders table is ``base LEFT ANTI JOIN tombstones`` — the
+    exact read shape of the deletion-vector operator
+    (deletion_vectors.py:156-169, MergeOnReadDeleter.read), where
+    delete cost is O(matching rows) and the base is never rewritten.
+    The tombstone side reduces to a DISTINCT key projection before the
+    join (pushdown-pruned to two columns), so the anti join probes a
+    key set, and AQE broadcasts it while small; the orders side keeps
+    its scan partitioning — no fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    tomb = (li.where((F.col("l_returnflag") == "R")
+                     & (F.col("l_quantity") > 49))
+            .select(F.col("l_orderkey").alias("key"))
+            .distinct())
+    orders = _t(spark, sf_dir, "orders")
+    live = orders.join(tomb, orders.o_orderkey == tomb.key, "left_anti")
+    return (live.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("live_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("live_value"))
+            .orderBy("o_orderpriority"))

@@ -398,3 +398,18 @@ def test_no_registry_query_windows_over_single_partition(spark, sf_dir):
             .spark_fn(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "SinglePartition" in plan
+
+
+def test_cdc03_mor_read_plans_anti_join(spark, sf_dir):
+    """The merge-on-read read path must lower to a LEFT ANTI join of
+    the base against the keys-only tombstone projection — never a
+    filter-by-collected-list or a full outer reconciliation — and the
+    tombstone side must be pruned to the key column before the join
+    (scan reads only what the DISTINCT needs)."""
+    df = plans.REGISTRY["cdc03_mor_read"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    assert "LeftAnti" in plan, plan
+    # lineitem (tombstone source) and orders each scanned exactly once
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert sum("lineitem" in l for l in scans) == 1, plan
+    assert sum("orders" in l for l in scans) == 1, plan
