@@ -396,7 +396,13 @@ def a26(spark, sf_dir):
                      F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey").alias("k2"),
                      F.col("l_partkey").alias("part_b"))
-    pairs = (a.join(b, (F.col("k") == F.col("k2"))
+    # MERGE-pinned: both pair sides are the SAME fact-derived relation
+    # — it grows with SF and must co-partition on the order key, never
+    # broadcast. Without the pin, the lazy checkpoint's LogicalRDD
+    # carries the (tiny) pre-materialization size estimate and Spark
+    # broadcast-hashes the whole basket relation: the sf1 scaling run
+    # measured a >250x blowup (OOM-thrash) from exactly that plan.
+    pairs = (a.join(b.hint("merge"), (F.col("k") == F.col("k2"))
                     & (F.col("part_a") < F.col("part_b")))
              .groupBy("part_a", "part_b")
              .agg(F.count(F.lit(1)).alias("support"))

@@ -54,14 +54,18 @@ def a27(spark, sf_dir):
     QUANTILE_CONT), so values agree to float rounding; ROUND(.,4)
     absorbs the last-bit drift of summing in different orders."""
     li = _t(spark, sf_dir, "lineitem")
+    # both price quantiles come from ONE percentile buffer (array of
+    # percentages) — a second buffer would re-accumulate the same
+    # 600k-value histogram per group for no information gain
     return (li.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
                  .alias("med_qty"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
-                 .alias("p25_price"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
-                 .alias("p75_price"))
+                 F.expr("percentile(l_extendedprice, array(0.25, 0.75))")
+                 .alias("pq"))
+            .select("l_returnflag", "n", "med_qty",
+                    F.round(F.element_at("pq", 1), 4).alias("p25_price"),
+                    F.round(F.element_at("pq", 2), 4).alias("p75_price"))
             .orderBy("l_returnflag"))
 
 

@@ -50,6 +50,13 @@ ENGINE_CONFS: dict[str, str] = {
     # testdata events.ts is parquet TIMESTAMP(NANOS) — unrepresentable in
     # Spark; read as long and convert in sources.tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local mode runs driver and all executor threads in ONE JVM; the
+    # Spark default heap (1g) starves 32 threads the moment a shuffle
+    # or broadcast exceeds toy scale (the sf1 scaling run lost task
+    # results to block-manager eviction and thrashed GC for minutes).
+    # Applied at JVM launch; a live session ignores it. Overridable for
+    # constrained hosts.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 

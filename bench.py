@@ -88,7 +88,18 @@ def main() -> None:
             "warm_queries": warm,
         }
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        detail_path = os.path.join(here, "BENCH_DETAIL.json")
+        # Preserve sections other tools maintain in this file (e.g.
+        # tools/bench_scaling.py's "sf_scaling") — a bench refresh
+        # replaces its own keys only.
+        try:
+            with open(detail_path) as f:
+                existing = json.load(f)
+            extra = {k: v for k, v in existing.items() if k not in detail}
+        except Exception:
+            extra = {}
+        detail.update(extra)
+        with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
         top10 = lambda d: dict(sorted(((k, round(v, 2)) for k, v in
                                        d.items()), key=lambda kv: -kv[1])[:10])

@@ -42,7 +42,12 @@ def _top_queries(n: int) -> list[str]:
                                  key=lambda kv: -kv[1])[:n]]
 
 
-def _run_at(sf_dir: str, names: list[str]) -> dict[str, dict[str, float]]:
+def _run_at(sf_dir: str, names: list[str],
+            done: dict[str, dict[str, float]] | None = None,
+            save=None) -> dict[str, dict[str, float]]:
+    """Time each query (cold + warm) at sf_dir. ``done`` entries are
+    skipped and ``save(out)`` checkpoints after every query, so a run
+    killed by a shell timeout resumes where it left off."""
     from bd_delete_records_from_external_hive_table_spark import plans
     from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
     from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES, load_table
@@ -51,12 +56,14 @@ def _run_at(sf_dir: str, names: list[str]) -> dict[str, dict[str, float]]:
     spark = SessionFactory.create(app_name=f"bd-scaling-{sf_dir}",
                                   master=f"local[{cpus}]",
                                   shuffle_partitions=int(cpus))
-    out: dict[str, dict[str, float]] = {}
+    out: dict[str, dict[str, float]] = dict(done or {})
     try:
         for t in TABLES:
             load_table(spark, sf_dir, t).count()
         spark.range(4).mapInPandas(lambda it: it, "id long").count()
         for name in names:
+            if name in out:
+                continue
             spec = plans.REGISTRY[name]
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).collect()
@@ -65,16 +72,48 @@ def _run_at(sf_dir: str, names: list[str]) -> dict[str, dict[str, float]]:
             spec.spark_fn(spark, sf_dir).collect()
             warm = time.perf_counter() - t1
             out[name] = {"cold": round(cold, 4), "warm": round(warm, 4)}
+            if save is not None:
+                save(out)
     finally:
         spark.stop()
     return out
 
 
-def main(top_n: int = 20) -> None:
+STATE = "/tmp/bench_scaling_state.json"
+
+
+def main(top_n: int = 20, only: str | None = None) -> None:
+    """``only`` = "0.1" or "1" runs a single SF and saves its timings to
+    the state file (so each half fits a shell timeout); no ``only``
+    runs whichever halves the state file is missing, then merges."""
     names = _top_queries(top_n)
+    state: dict = {}
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            state = json.load(f)
     load0 = os.getloadavg()[0]
-    r01 = _run_at(SF01, names)
-    r1 = _run_at(SF1, names)
+
+    def _half(key: str, sf_dir: str) -> None:
+        part_key = key + "_partial"
+
+        def save(out):
+            state[part_key] = out
+            with open(STATE, "w") as f:
+                json.dump(state, f)
+
+        state[key] = _run_at(sf_dir, names, state.get(part_key), save)
+        state.pop(part_key, None)
+        with open(STATE, "w") as f:
+            json.dump(state, f)
+
+    if only in (None, "0.1") and "sf0.1" not in state:
+        _half("sf0.1", SF01)
+    if only in (None, "1") and "sf1" not in state:
+        _half("sf1", SF1)
+    if only is not None and ("sf0.1" not in state or "sf1" not in state):
+        print(json.dumps({"partial": only, "done": sorted(state)}))
+        return
+    r01, r1 = state["sf0.1"], state["sf1"]
     scaling = {}
     for name in names:
         w0, w1 = r01[name]["warm"], r1[name]["warm"]
@@ -105,4 +144,5 @@ def main(top_n: int = 20) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    top = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    main(top, sys.argv[2] if len(sys.argv) > 2 else None)
