@@ -413,3 +413,20 @@ def test_cdc03_mor_read_plans_anti_join(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan" in l]
     assert sum("lineitem" in l for l in scans) == 1, plan
     assert sum("orders" in l for l in scans) == 1, plan
+
+
+def test_a26_pair_join_never_broadcasts_baskets(spark, sf_dir):
+    """Regression pin for the sf1 scaling finding: the basket pair
+    self-join must co-partition on the order key (SortMergeJoin),
+    never broadcast-hash the SF-growing items relation — the lazy
+    checkpoint's LogicalRDD reports its pre-materialization size
+    estimate, which tricked Spark into building a hash relation of
+    the whole basket table (>250x blowup at sf1)."""
+    df = plans.REGISTRY["a26_frequent_pairs"].spark_fn(spark, sf_dir)
+    plan = _explain_simple(df)
+    assert "SortMergeJoin" in plan, plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastHashJoin [k#" in line or \
+                ("BroadcastHashJoin" in line and "[k2#" in line):
+            raise AssertionError(f"pair join broadcast: {line}\n{plan}")

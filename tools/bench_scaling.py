@@ -93,25 +93,30 @@ def main(top_n: int = 20, only: str | None = None) -> None:
             state = json.load(f)
     load0 = os.getloadavg()[0]
 
+    def _complete(key: str) -> bool:
+        return set(names) <= set(state.get(key, {}))
+
     def _half(key: str, sf_dir: str) -> None:
         part_key = key + "_partial"
+        done = {**state.get(key, {}), **state.get(part_key, {})}
 
         def save(out):
             state[part_key] = out
             with open(STATE, "w") as f:
                 json.dump(state, f)
 
-        state[key] = _run_at(sf_dir, names, state.get(part_key), save)
+        state[key] = _run_at(sf_dir, names, done, save)
         state.pop(part_key, None)
         with open(STATE, "w") as f:
             json.dump(state, f)
 
-    if only in (None, "0.1") and "sf0.1" not in state:
+    if only in (None, "0.1") and not _complete("sf0.1"):
         _half("sf0.1", SF01)
-    if only in (None, "1") and "sf1" not in state:
+    if only in (None, "1") and not _complete("sf1"):
         _half("sf1", SF1)
-    if only is not None and ("sf0.1" not in state or "sf1" not in state):
-        print(json.dumps({"partial": only, "done": sorted(state)}))
+    if only is not None and not (_complete("sf0.1") and _complete("sf1")):
+        print(json.dumps({"partial": only,
+                          "done": {k: len(v) for k, v in state.items()}}))
         return
     r01, r1 = state["sf0.1"], state["sf1"]
     scaling = {}
