@@ -208,3 +208,166 @@ def cdc03(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("live_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("live_value"))
             .orderBy("o_orderpriority"))
+
+
+@register("a28_heavy_hitters",
+          "WITH words AS (SELECT w AS word FROM documents, "
+          "UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(w) "
+          "WHERE w <> '') "
+          "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words "
+          "GROUP BY word ORDER BY n DESC, word LIMIT 20")
+def a28(spark, sf_dir):
+    """EXACT top-20 heavy hitters with bounded per-task state — the
+    Misra-Gries two-pass: pass 1 runs an MG summary (capacity 256)
+    per Arrow batch inside ``mapInPandas``, emitting only candidate
+    keys (any key with global share > 1/capacity is guaranteed to be
+    an MG candidate in at least one partition — the standard
+    distributed-MG soundness argument); pass 2 exactly recounts ONLY
+    the candidates (semi join) and takes the top 20. Two corpus scans
+    total, but per-task state is O(capacity) however many distinct
+    keys exist — the shape that survives a key space too large for a
+    hash aggregate (user pairs, n-grams, URLs) where the single-pass
+    groupBy would spill or die. On this corpus the result is
+    provably identical to the oracle's plain GROUP BY top-20."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                         .alias("word"))
+             .where(F.col("word") != ""))
+
+    capacity = 256
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:  # decrement-all: the MG eviction step
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield pd.DataFrame({"word": list(counters)})
+
+    cands = (words.mapInPandas(mg_candidates, "word string")
+             .distinct())
+    return (words.join(cands.hint("broadcast"), "word", "left_semi")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "word").limit(20))
+
+
+@register("ts07_autocorrelation",
+          "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+          "SUM(o_totalprice) AS rev FROM orders GROUP BY d), "
+          "lagged AS (SELECT a.rev AS x, b.rev AS y, lag FROM daily a "
+          "JOIN (SELECT UNNEST(range(1, 8)) AS lag) l ON true "
+          "JOIN daily b ON b.d = a.d - CAST(lag AS INT)) "
+          "SELECT CAST(lag AS BIGINT) AS lag, "
+          "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+          "ROUND(CORR(x, y), 4) AS acf FROM lagged "
+          "GROUP BY lag ORDER BY lag")
+def ts07(spark, sf_dir):
+    """Autocorrelation function of the daily revenue series (lags
+    1-7) — the seasonality detector that tells a forecaster whether
+    ts05's weekly decomposition is even warranted (a lag-7 spike =
+    weekly cycle). The fact table collapses to |days| rows in ONE
+    partial-aggregated rollup; the lag alignment is a 7-way explode
+    of that tiny series joined back on shifted dates, so every
+    downstream op is calendar-bounded. CORR over the same float pairs
+    on both engines; ROUND(4) absorbs summation-order drift."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum("o_totalprice").alias("rev"))
+             .localCheckpoint(eager=False))
+    lags = (daily.select("d", F.col("rev").alias("x"),
+                         F.explode(F.sequence(F.lit(1), F.lit(7)))
+                         .alias("lag")))
+    prev = daily.select(F.col("d").alias("d2"), F.col("rev").alias("y"))
+    return (lags.join(prev,
+                      prev.d2 == F.date_sub(lags.d, F.col("lag")))
+            .groupBy(F.col("lag").cast("bigint").alias("lag"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.corr("x", "y"), 4).alias("acf"))
+            .orderBy("lag"))
+
+
+@register("w13_last_touch_attribution",
+          "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
+          "  last_value(CASE WHEN event_type <> 'purchase' "
+          "             THEN event_type END IGNORE NULLS) OVER ("
+          "    PARTITION BY user_id ORDER BY ts, event_id "
+          "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+          "  AS channel FROM events) "
+          "SELECT COALESCE(channel, '(none)') AS channel, "
+          "CAST(COUNT(*) AS BIGINT) AS purchases "
+          "FROM ordered WHERE event_type = 'purchase' "
+          "GROUP BY channel ORDER BY channel")
+def w13(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event type. ONE user-keyed window
+    shuffle does all the work — `last(..., ignorenulls) OVER (ROWS
+    ... 1 PRECEDING)` carries the running channel; the purchase
+    filter and the channel rollup are map-side against the window
+    output. The frame needs no lookback bound: running `last` state
+    is O(1) per row regardless of history. Deterministic across
+    engines via the (ts, event_id) total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    channel = F.last(F.when(F.col("event_type") != "purchase",
+                            F.col("event_type")), ignorenulls=True).over(w)
+    return (ev.withColumn("channel", channel)
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("channel", F.lit("(none)"))
+                     .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("purchases"))
+            .orderBy("channel"))
+
+
+@register("e07_pair_cosine_histogram",
+          "WITH pairs AS (SELECT a.embedding AS ea, b.embedding AS eb "
+          "FROM embeddings a JOIN embeddings b "
+          "ON b.vec_id = a.vec_id + 97), "
+          "cos AS (SELECT list_sum(list_transform(range(1, 65), "
+          "  i -> CAST(ea[i] AS DOUBLE) * eb[i])) / "
+          "  (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * x))) * "
+          "   sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * x)))) "
+          "  AS c FROM pairs) "
+          "SELECT CAST(FLOOR(c * 10) AS BIGINT) AS bucket, "
+          "CAST(COUNT(*) AS BIGINT) AS n, "
+          "ROUND(AVG(c), 4) AS avg_cos FROM cos "
+          "GROUP BY bucket ORDER BY bucket")
+def e07(spark, sf_dir):
+    """Embedding-space health histogram: cosine similarity of
+    deterministic probe pairs (vec_id, vec_id+97), bucketed at 0.1
+    width — the quick check for collapsed or hubby embedding spaces
+    (healthy: mass near 0; collapsed: mass near 1) before any ANN
+    index is built. The probe join is a key equi-join (no pair
+    explosion — |corpus| probe pairs, not |corpus|²); the cosine is
+    one zip_with dot product per pair, all JVM higher-order
+    functions. FLOOR bucketing, not ROUND, so no half-way value can
+    split engines; per-bucket AVG rounds at 4dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 97).alias("vec_id"),
+                   F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+    cos = (dot / (nrm(F.col("ea")) * nrm(F.col("eb")))).alias("c")
+    return (a.join(b, "vec_id")
+            .select(cos)
+            .groupBy(F.floor(F.col("c") * 10).cast("bigint")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("c"), 4).alias("avg_cos"))
+            .orderBy("bucket"))
