@@ -158,7 +158,14 @@ def train_bpe(docs: DataFrame, text_col: str = "text",
     where merges is a list of (rank, left, right, count) and vocab_df
     carries the final symbol arrays. Stops early when no candidate
     pair reaches ``min_count``. ``batch=1`` is the classic
-    strictly-sequential trainer."""
+    strictly-sequential trainer.
+
+    Reproducibility contract: the learned table is a pure function of
+    (corpus, num_merges, min_count, batch) — changing ``batch``
+    changes the table, so a tokenizer trained under one batch setting
+    must be re-used via :func:`save_merges`/:func:`load_merges`
+    (encode from the artifact), never re-trained under another
+    setting, when token boundaries must stay bit-stable."""
     # The dictionary is tiny relative to the corpus (|vocab| rows);
     # collapse it to a few partitions so each round schedules a
     # handful of tasks instead of one per core — per-round fixed

@@ -273,6 +273,17 @@ def a18(spark, sf_dir):
                 2).cast("double").alias("avg_yearly")))
 
 
+def _q16_revenue(spark, sf_dir):
+    """q16's pre-checkpoint revenue view, exposed so the plan test can
+    pin the ONE-lineitem-scan property that the checkpoint's lineage
+    truncation hides from the final plan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    return (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(F.sum(_rev()).alias("total_revenue")))
+
+
 @register("q16_tpch_q15_shape",
           "WITH revenue AS ("
           "  SELECT l_suppkey AS supplier_no, "
@@ -300,12 +311,7 @@ def q16(spark, sf_dir):
     partial max per partition, broadcast back as a 1-row cross join.
     The decimal revenue makes the MAX-equality tie-exact across
     engines."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
-    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-               .agg(F.sum(_rev()).alias("total_revenue"))
-               .localCheckpoint(eager=False))
+    revenue = _q16_revenue(spark, sf_dir).localCheckpoint(eager=False)
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (revenue

@@ -190,6 +190,24 @@ def q19(spark, sf_dir):
                     "p_type", "unit_price"))
 
 
+def _a22_by_part(spark, sf_dir):
+    """a22's pre-checkpoint per-part value view, exposed so the plan
+    test can pin the ONE-lineitem-scan property that the checkpoint's
+    lineage truncation hides from the final plan."""
+    nation = _t(spark, sf_dir, "nation") \
+        .where(F.col("n_name") == "NATION_5").select("n_nationkey")
+    supp = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (li.join(dim(supp, sf_dir, "supplier"),
+                    li.l_suppkey == supp.s_suppkey)
+            .groupBy("l_partkey")
+            .agg(F.sum(_rev()).alias("part_value")))
+
+
 @register("a22_tpch_q11_shape",
           "WITH value_by_part AS ("
           "  SELECT l_partkey, SUM(" + _REV + ") AS part_value "
@@ -223,19 +241,7 @@ def a22(spark, sf_dir):
     form ``part_value * 1000 > total`` in exact decimals: an
     equivalent float-fraction form could flip a boundary group
     between engines."""
-    nation = _t(spark, sf_dir, "nation") \
-        .where(F.col("n_name") == "NATION_5").select("n_nationkey")
-    supp = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-            .join(F.broadcast(nation),
-                  F.col("s_nationkey") == F.col("n_nationkey"))
-            .select("s_suppkey"))
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-    by_part = (li.join(dim(supp, sf_dir, "supplier"),
-                       li.l_suppkey == supp.s_suppkey)
-               .groupBy("l_partkey")
-               .agg(F.sum(_rev()).alias("part_value"))
-               .localCheckpoint(eager=False))
+    by_part = _a22_by_part(spark, sf_dir).localCheckpoint(eager=False)
     total = by_part.agg(F.sum("part_value").alias("total_value"))
     return (by_part
             .crossJoin(F.broadcast(total))

@@ -715,18 +715,29 @@ def f14(spark, sf_dir):
 # One trained tokenizer per (session, corpus, size): t15 and t16 are the
 # train and encode halves of the same pipeline, so the trainer loop runs
 # once and both queries read the artifact — exactly what save_merges/
-# load_merges model for cross-job reuse, done in-process here.
+# load_merges model for cross-job reuse, done in-process here. The
+# session is held by WEAKREF and hits require identity: an id()-keyed
+# cache could serve a vocab DataFrame bound to a stopped session whose
+# CPython address was reused, and would pin dead sessions' checkpointed
+# RDDs for the process lifetime.
 _BPE_MEMO: dict = {}
 
 
 def _trained_bpe(spark, sf_dir, num_merges):
+    import weakref
+
     from ..operators.bpe import train_bpe
 
-    key = (id(spark), sf_dir, num_merges)
-    if key not in _BPE_MEMO:
-        docs = load_table(spark, sf_dir, "documents")
-        _BPE_MEMO[key] = train_bpe(docs, num_merges=num_merges)
-    return _BPE_MEMO[key]
+    key = (sf_dir, num_merges)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        spark_ref, value = hit
+        if spark_ref() is spark:
+            return value
+    docs = load_table(spark, sf_dir, "documents")
+    value = train_bpe(docs, num_merges=num_merges)
+    _BPE_MEMO[key] = (weakref.ref(spark), value)
+    return value
 
 
 @register("t15_bpe_train", None)  # iterative trainer: no SQL oracle

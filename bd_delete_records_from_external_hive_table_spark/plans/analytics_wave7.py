@@ -227,8 +227,18 @@ def a28(spark, sf_dir):
     total, but per-task state is O(capacity) however many distinct
     keys exist — the shape that survives a key space too large for a
     hash aggregate (user pairs, n-grams, URLs) where the single-pass
-    groupBy would spill or die. On this corpus the result is
-    provably identical to the oracle's plain GROUP BY top-20."""
+    groupBy would spill or die.
+
+    Exactness is CONDITIONAL and therefore GUARDED: MG soundness
+    promises candidacy only for keys with global share >
+    1/(capacity+1) (max-over-partitions local share >= global share,
+    and such a key survives its partition's decrements). If the true
+    20th-ranked count is at or under that threshold the candidate set
+    may have missed a contender — so every returned row is checked
+    against the total token count (emitted by the SAME pass-1 scan as
+    per-partition sentinel rows) and the query RAISES instead of
+    silently returning an uncertified rank. On this corpus the guard
+    passes and the result equals the oracle's plain GROUP BY top-20."""
     import pandas as pd
 
     docs = _t(spark, sf_dir, "documents")
@@ -240,7 +250,9 @@ def a28(spark, sf_dir):
 
     def mg_candidates(batches):
         counters: dict[str, int] = {}
+        total = 0
         for pdf in batches:
+            total += len(pdf)
             for w in pdf["word"]:
                 if w in counters:
                     counters[w] += 1
@@ -251,13 +263,29 @@ def a28(spark, sf_dir):
                         counters[k] -= 1
                         if counters[k] == 0:
                             del counters[k]
-        yield pd.DataFrame({"word": list(counters)})
+        # sentinel row carries the partition's token count: the
+        # certification total costs no third corpus scan
+        yield pd.DataFrame({"word": list(counters) + [None],
+                            "batch_total": [0] * len(counters) + [total]})
 
-    cands = (words.mapInPandas(mg_candidates, "word string")
-             .distinct())
-    return (words.join(cands.hint("broadcast"), "word", "left_semi")
-            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "word").limit(20))
+    summary = (words.mapInPandas(mg_candidates,
+                                 "word string, batch_total long")
+               .localCheckpoint(eager=False))  # feeds two consumers
+    cands = (summary.where(F.col("word").isNotNull())
+             .select("word").distinct())
+    total = summary.agg(F.sum("batch_total").alias("n_total"))
+    top = (words.join(cands.hint("broadcast"), "word", "left_semi")
+           .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "word").limit(20))
+    certified = F.when(F.col("n") * (capacity + 1) > F.col("n_total"),
+                       F.lit(True)).otherwise(F.raise_error(
+        "a28_heavy_hitters: a top-20 count is at or under the "
+        "Misra-Gries candidacy threshold N/(capacity+1) — exactness "
+        "not certifiable; raise capacity"))
+    return (top.crossJoin(F.broadcast(total))
+            .where(certified)
+            .select("word", "n")
+            .orderBy(F.desc("n"), "word"))
 
 
 @register("ts07_autocorrelation",

@@ -194,7 +194,9 @@ class _EventsStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
-        self.per_part = int(options.get("rowsPerBatch", 250))
+        # floor at 1: rowsPerBatch is a split width now, and 0 would
+        # divide-by-zero in partitions() instead of the old idle-stream
+        self.per_part = max(1, int(options.get("rowsPerBatch", 250)))
         self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 42))
         self.batch = int(options.get("batch", 65536))

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bd_delete_records_from_external_hive_table_spark import plans
 from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
-from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES, load_table
 
 
 def _loadavg():
@@ -33,6 +33,30 @@ def _loadavg():
         return [round(x, 2) for x in os.getloadavg()]
     except (OSError, AttributeError):
         return None
+
+
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb the one-time costs before any query is timed: JVM +
+    whole-stage-codegen warm, parquet footers for every table, and one
+    trivial mapInPandas so the Python/Arrow worker pool is up. Shared
+    by bench.py and tools/bench_scaling.py — the two must measure under
+    the SAME protocol or their numbers stop being comparable."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(4).mapInPandas(lambda it: it, "id long").count()
+
+
+def time_query(spark, spec, sf_dir: str) -> tuple[float, float]:
+    """(cold, warm) end-to-end seconds for one registry query: first
+    run pays analysis + codegen + execution; second run is the
+    steady-state execution cost that extrapolates to scale."""
+    t0 = time.perf_counter()
+    spec.spark_fn(spark, sf_dir).collect()
+    cold = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    spec.spark_fn(spark, sf_dir).collect()
+    warm = time.perf_counter() - t1
+    return cold, warm
 
 
 def main() -> None:
@@ -47,24 +71,14 @@ def main() -> None:
                             else (os.cpu_count() or 8)),
     )
     try:
-        # Warm-up: JVM + codegen, parquet footers for every table, and one
-        # trivial mapInPandas so the Python/Arrow worker pool is up —
-        # queries are then measured on execution cost, not process spawn.
-        from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES
-        for t in TABLES:
-            load_table(spark, sf_dir, t).count()
-        spark.range(4).mapInPandas(
-            lambda it: it, "id long").count()
+        warmup(spark, sf_dir)
 
         timings: dict[str, float] = {}
         warm: dict[str, float] = {}
         for name, spec in plans.REGISTRY.items():
-            t0 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            t1 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).collect()
-            warm[name] = round(time.perf_counter() - t1, 4)
+            cold_s, warm_s = time_query(spark, spec, sf_dir)
+            timings[name] = round(cold_s, 4)
+            warm[name] = round(warm_s, 4)
 
         total = round(sum(timings.values()), 2)
         # Rounds 1 AND 2 lesson: the driver captures only a ~2,000-char

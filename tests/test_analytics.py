@@ -260,6 +260,16 @@ def test_q15_shape_scans_lineitem_once(spark, sf_dir):
     assert len(scans) == 0, plan          # checkpoint = one materialization
     assert "Window" not in plan, plan     # no global-window scalar
     assert "BroadcastExchange" in plan, plan
+    # the checkpoint hides the lineage, so pin the one-scan property on
+    # the exposed PRE-checkpoint view (a regression here would silently
+    # double the fact scan inside the single materialization)
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave4 import _q16_revenue
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave5 import _a22_by_part
+    for pre in (_q16_revenue(spark, sf_dir), _a22_by_part(spark, sf_dir)):
+        pp = _explain_simple(pre)
+        pre_scans = [l for l in pp.splitlines()
+                     if "FileScan" in l and "lineitem" in l]
+        assert len(pre_scans) == 1, pp
 
 
 def test_registry_rotation_orders_by_check_strength():
@@ -372,10 +382,25 @@ def test_no_registry_query_windows_over_single_partition(spark, sf_dir):
       - w06_distribution_ranks: demo over a <=500-row dimension slice;
       - s04_temperature_mixing: window input is the per-SOURCE
         aggregate (|sources| rows, corpus-count-invariant);
-      - w09_rolling_distinct_users: calendar-day spine (rows = days
-        in the queried range, not events)."""
+      - w09_rolling_distinct_users / ts01_gap_fill /
+        ts03_linear_interpolation: calendar-day spine (rows = days in
+        the queried range, not events)."""
     exempt = {"w06_distribution_ranks", "s04_temperature_mixing",
-              "w09_rolling_distinct_users"}
+              "w09_rolling_distinct_users",
+              # ts01/ts03 window over the generated DATE SPINE (|days|
+              # rows, calendar-bounded — events collapse to daily aggs
+              # BEFORE the spine join); caught only once the sweep
+              # became subtree-accurate, same class as w09
+              "ts01_gap_fill", "ts03_linear_interpolation"}
+
+    def depth(line: str) -> int:
+        # tree depth in Spark's plan text = column of the operator
+        # name (first alphabetic char) past the ":  +- " scaffolding
+        for j, ch in enumerate(line):
+            if ch.isalpha():
+                return j
+        return -1
+
     offenders = []
     for name, spec in plans.REGISTRY.items():
         if name in exempt:
@@ -386,8 +411,17 @@ def test_no_registry_query_windows_over_single_partition(spark, sf_dir):
         for i, line in enumerate(lines):
             if (("Window" in line and "windowspecdefinition" in line)
                     or "WindowGroupLimit" in line):
-                # nearest Exchange below is the one feeding this window
-                for nxt in lines[i + 1:i + 5]:
+                # the feeding Exchange is the first Exchange WITHIN the
+                # window's subtree (strictly deeper indent); leaving the
+                # subtree (indent <= window's) means no exchange feeds
+                # it — an unbounded line-window (the old version only
+                # looked 4 lines down and could miss a long chain or
+                # match a sibling subtree's Exchange)
+                d0 = depth(line)
+                for nxt in lines[i + 1:]:
+                    dn = depth(nxt)
+                    if dn != -1 and dn <= d0:
+                        break  # left this window's input chain
                     if "Exchange" in nxt:
                         if "SinglePartition" in nxt:
                             offenders.append((name, line.strip()[:80]))

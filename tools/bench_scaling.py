@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,12 +44,15 @@ def _top_queries(n: int) -> list[str]:
 def _run_at(sf_dir: str, names: list[str],
             done: dict[str, dict[str, float]] | None = None,
             save=None) -> dict[str, dict[str, float]]:
-    """Time each query (cold + warm) at sf_dir. ``done`` entries are
-    skipped and ``save(out)`` checkpoints after every query, so a run
-    killed by a shell timeout resumes where it left off."""
+    """Time each query (cold + warm) at sf_dir under bench.py's shared
+    measurement protocol (same warmup, same timing loop — the ratios
+    are only meaningful if both tools measure identically). ``done``
+    entries are skipped and ``save(out)`` checkpoints after every
+    query, so a run killed by a shell timeout resumes where it left
+    off."""
+    from bench import time_query, warmup
     from bd_delete_records_from_external_hive_table_spark import plans
     from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
-    from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES, load_table
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = SessionFactory.create(app_name=f"bd-scaling-{sf_dir}",
@@ -58,19 +60,11 @@ def _run_at(sf_dir: str, names: list[str],
                                   shuffle_partitions=int(cpus))
     out: dict[str, dict[str, float]] = dict(done or {})
     try:
-        for t in TABLES:
-            load_table(spark, sf_dir, t).count()
-        spark.range(4).mapInPandas(lambda it: it, "id long").count()
+        warmup(spark, sf_dir)
         for name in names:
             if name in out:
                 continue
-            spec = plans.REGISTRY[name]
-            t0 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).collect()
-            cold = time.perf_counter() - t0
-            t1 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).collect()
-            warm = time.perf_counter() - t1
+            cold, warm = time_query(spark, plans.REGISTRY[name], sf_dir)
             out[name] = {"cold": round(cold, 4), "warm": round(warm, 4)}
             if save is not None:
                 save(out)
@@ -87,10 +81,23 @@ def main(top_n: int = 20, only: str | None = None) -> None:
     the state file (so each half fits a shell timeout); no ``only``
     runs whichever halves the state file is missing, then merges."""
     names = _top_queries(top_n)
+    # Resume cache is only valid for the code that produced it: stale
+    # timings from a pre-fix revision silently merging into
+    # BENCH_DETAIL would report dead plans as current. Fingerprint =
+    # git HEAD; any commit invalidates and the halves re-run.
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+    except Exception:
+        rev = "unknown"
     state: dict = {}
     if os.path.exists(STATE):
         with open(STATE) as f:
             state = json.load(f)
+    if state.get("fingerprint") != rev:
+        state = {"fingerprint": rev}
     load0 = os.getloadavg()[0]
 
     def _complete(key: str) -> bool:
