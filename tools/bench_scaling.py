@@ -73,6 +73,36 @@ def _run_at(sf_dir: str, names: list[str],
     return out
 
 
+def _min_of_3(names: list[str]) -> dict[str, dict[str, float]]:
+    """Noise-robust re-measure for flag confirmation: one session per
+    SF, warmup, then each query 4x taking the min of the last 3."""
+    import time
+
+    from bench import warmup
+    from bd_delete_records_from_external_hive_table_spark import plans
+    from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out: dict[str, dict[str, float]] = {}
+    for key, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        spark = SessionFactory.create(app_name=f"bd-scaling-confirm-{key}",
+                                      master=f"local[{cpus}]",
+                                      shuffle_partitions=int(cpus))
+        out[key] = {}
+        try:
+            warmup(spark, sf_dir)
+            for name in names:
+                times = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    plans.REGISTRY[name].spark_fn(spark, sf_dir).collect()
+                    times.append(time.perf_counter() - t0)
+                out[key][name] = round(min(times[1:]), 4)
+        finally:
+            spark.stop()
+    return out
+
+
 STATE = "/tmp/bench_scaling_state.json"
 
 
@@ -135,6 +165,21 @@ def main(top_n: int = 20, only: str | None = None) -> None:
             "warm_ratio": round(w1 / w0, 2) if w0 else None,
             "superlinear": bool(w0 and w1 / w0 > DATA_FACTOR),
         }
+    # Single-sample warm times on sub-second queries carry GC/compile
+    # noise that can fake a superlinear ratio (a 0.2 s query reading
+    # 2.4 s once). Every flagged query gets a min-of-3 confirmation
+    # pass at both SFs before the flag stands.
+    flagged_names = [n for n, s in scaling.items() if s["superlinear"]]
+    if flagged_names:
+        confirmed = _min_of_3(flagged_names)
+        for name in flagged_names:
+            c0, c1 = confirmed["sf0.1"][name], confirmed["sf1"][name]
+            ratio = round(c1 / c0, 2) if c0 else None
+            scaling[name].update({
+                "confirmed_sf0.1_warm": c0, "confirmed_sf1_warm": c1,
+                "warm_ratio": ratio,
+                "superlinear": bool(c0 and c1 / c0 > DATA_FACTOR),
+            })
     result = {
         "data_factor": DATA_FACTOR,
         "loadavg_start": round(load0, 2),
