@@ -729,14 +729,17 @@ def _trained_bpe(spark, sf_dir, num_merges):
     from ..operators.bpe import train_bpe
 
     key = (sf_dir, num_merges)
-    hit = _BPE_MEMO.get(key)
-    if hit is not None:
-        spark_ref, value = hit
+    # one slot PER LIVE SESSION (dead refs pruned): a single slot would
+    # thrash — two concurrently-live sessions alternating t15/t16 for
+    # the same corpus would evict each other and retrain every call
+    slots = [(r, v) for r, v in _BPE_MEMO.get(key, []) if r() is not None]
+    for spark_ref, value in slots:
         if spark_ref() is spark:
+            _BPE_MEMO[key] = slots
             return value
     docs = load_table(spark, sf_dir, "documents")
     value = train_bpe(docs, num_merges=num_merges)
-    _BPE_MEMO[key] = (weakref.ref(spark), value)
+    _BPE_MEMO[key] = slots + [(weakref.ref(spark), value)]
     return value
 
 

@@ -251,6 +251,7 @@ def a28(spark, sf_dir):
     def mg_candidates(batches):
         counters: dict[str, int] = {}
         total = 0
+        evicted = 0
         for pdf in batches:
             total += len(pdf)
             for w in pdf["word"]:
@@ -259,29 +260,41 @@ def a28(spark, sf_dir):
                 elif len(counters) < capacity:
                     counters[w] = 1
                 else:  # decrement-all: the MG eviction step
+                    evicted = 1
                     for k in list(counters):
                         counters[k] -= 1
                         if counters[k] == 0:
                             del counters[k]
-        # sentinel row carries the partition's token count: the
-        # certification total costs no third corpus scan
+        # sentinel row carries the partition's token count and whether
+        # any eviction happened: the certification inputs cost no
+        # third corpus scan
         yield pd.DataFrame({"word": list(counters) + [None],
-                            "batch_total": [0] * len(counters) + [total]})
+                            "batch_total": [0] * len(counters) + [total],
+                            "evicted": [0] * len(counters) + [evicted]})
 
-    summary = (words.mapInPandas(mg_candidates,
-                                 "word string, batch_total long")
-               .localCheckpoint(eager=False))  # feeds two consumers
+    summary = (words.mapInPandas(
+        mg_candidates, "word string, batch_total long, evicted long")
+        .localCheckpoint(eager=False))  # feeds two consumers
     cands = (summary.where(F.col("word").isNotNull())
              .select("word").distinct())
-    total = summary.agg(F.sum("batch_total").alias("n_total"))
+    total = summary.agg(F.sum("batch_total").alias("n_total"),
+                        F.sum("evicted").alias("n_evicted"))
     top = (words.join(cands.hint("broadcast"), "word", "left_semi")
            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
            .orderBy(F.desc("n"), "word").limit(20))
-    certified = F.when(F.col("n") * (capacity + 1) > F.col("n_total"),
-                       F.lit(True)).otherwise(F.raise_error(
-        "a28_heavy_hitters: a top-20 count is at or under the "
-        "Misra-Gries candidacy threshold N/(capacity+1) — exactness "
-        "not certifiable; raise capacity"))
+    # Two independent exactness certificates: (a) NO partition ever
+    # evicted ⇒ every distinct key is a candidate ⇒ the recount IS the
+    # exact top-20 whatever the counts; (b) the MG share bound
+    # n > N/(capacity+1) per returned row. Raise only when BOTH fail —
+    # (a) alone would previously abort provably-exact small-vocab runs.
+    certified = F.when(
+        (F.col("n_evicted") == 0)
+        | (F.col("n") * (capacity + 1) > F.col("n_total")),
+        F.lit(True)).otherwise(F.raise_error(
+            "a28_heavy_hitters: evictions occurred and a top-20 count "
+            "is at or under the Misra-Gries candidacy threshold "
+            "N/(capacity+1) — exactness not certifiable; raise "
+            "capacity"))
     return (top.crossJoin(F.broadcast(total))
             .where(certified)
             .select("word", "n")

@@ -530,3 +530,26 @@ def test_pagerank_mass_conservation_and_reference(spark, sf_dir):
         assert abs(rank - ref[part]) <= 2e-4, (part, rank, ref[part])
         assert ref[part] >= ref_cut - 2e-4, (part, ref[part], ref_cut)
     assert len(set(got) & {n for n, _ in ref_sorted[:10]}) >= 9
+
+
+def test_bpe_memo_is_per_live_session(spark, sf_dir):
+    """The t15/t16 merge-table memo must hold one slot per LIVE
+    session: a second session training the same corpus must not evict
+    the first session's entry (single-slot thrash), and each session
+    must get a value bound to itself — identity-checked via weakref,
+    so a dead session's slot can never be served."""
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave6 import (
+        _BPE_MEMO, _trained_bpe,
+    )
+
+    m_a1, _ = _trained_bpe(spark, sf_dir, num_merges=4)
+    other = spark.newSession()
+    m_b, _ = _trained_bpe(other, sf_dir, num_merges=4)
+    assert m_a1 == m_b  # same corpus -> same table
+    # both live sessions keep their own slot
+    slots = _BPE_MEMO[(sf_dir, 4)]
+    live = [r() for r, _ in slots]
+    assert spark in live and other in live
+    # session A still hits (no eviction by B's training)
+    m_a2, _ = _trained_bpe(spark, sf_dir, num_merges=4)
+    assert m_a2 == m_a1

@@ -114,12 +114,22 @@ def main(top_n: int = 20, only: str | None = None) -> None:
     # Resume cache is only valid for the code that produced it: stale
     # timings from a pre-fix revision silently merging into
     # BENCH_DETAIL would report dead plans as current. Fingerprint =
-    # git HEAD; any commit invalidates and the halves re-run.
+    # git HEAD + a digest of the UNCOMMITTED diff, so the normal
+    # fix-and-remeasure loop (edit a plan, rerun before committing)
+    # invalidates too — HEAD alone would validate the stale halves.
+    import hashlib
     import subprocess
+
+    def _git(*args):
+        return subprocess.run(["git", *args], cwd=REPO,
+                              capture_output=True, text=True,
+                              timeout=10).stdout
+
     try:
-        rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                             capture_output=True, text=True,
-                             timeout=10).stdout.strip()
+        dirty = hashlib.sha256(
+            (_git("diff", "HEAD") + _git("status", "--porcelain"))
+            .encode()).hexdigest()[:12]
+        rev = _git("rev-parse", "HEAD").strip() + "+" + dirty
     except Exception:
         rev = "unknown"
     state: dict = {}
@@ -153,7 +163,8 @@ def main(top_n: int = 20, only: str | None = None) -> None:
         _half("sf1", SF1)
     if only is not None and not (_complete("sf0.1") and _complete("sf1")):
         print(json.dumps({"partial": only,
-                          "done": {k: len(v) for k, v in state.items()}}))
+                          "done": {k: len(v) for k, v in state.items()
+                                   if isinstance(v, dict)}}))
         return
     r01, r1 = state["sf0.1"], state["sf1"]
     scaling = {}
