@@ -238,6 +238,58 @@ def per_key_quota(events: DataFrame, quota: int = 10,
         GroupStateTimeout.NoTimeout))
 
 
+def last_touch_attribution(events: DataFrame,
+                           purchase_type: str = "purchase") -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of the
+    registered w13 batch query: every ``purchase_type`` event is
+    credited to its user's most recent PRECEDING non-purchase event
+    type. State is ONE string per user (the running channel), so state
+    size is O(|users|) forever — never a buffer of events — and output
+    is append-mode (one row per purchase as it happens), which is what
+    lets the attribution feed a live dashboard instead of a nightly
+    window job.
+
+    Ordering contract: rows are processed in (ts, event_id) order
+    WITHIN each micro-batch (sorted here); across batches the source
+    must deliver each user's events in event-time order (the
+    file-source contract the CDC-sink and dedup tests rely on). Under
+    that contract the emitted channels equal the batch w13 window
+    exactly — test-asserted against the oracle-checked query."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("channel", StringType()),
+    ])
+
+    def attribute(key: tuple, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        channel = state.get[0] if state.exists else None
+        chunks = list(pdfs)
+        if chunks:
+            df = (pd.concat(chunks, ignore_index=True)
+                  .sort_values(["ts", "event_id"]))
+            ev_ids: list[int] = []
+            chans: list[str | None] = []
+            for et, eid in zip(df["event_type"], df["event_id"]):
+                if et == purchase_type:
+                    ev_ids.append(int(eid))
+                    chans.append(channel)
+                else:
+                    channel = et
+            if ev_ids:
+                yield pd.DataFrame({"user_id": [key[0]] * len(ev_ids),
+                                    "event_id": ev_ids,
+                                    "channel": chans})
+        state.update((channel,))
+
+    return (events.select("user_id", "event_id", "ts", "event_type")
+            .groupBy("user_id").applyInPandasWithState(
+                attribute, out_schema, "channel string", "append",
+                GroupStateTimeout.NoTimeout))
+
+
 def interval_join(left: DataFrame, right: DataFrame, *,
                   key: str = "user_id", max_delay: str = "1 hour",
                   watermark: str = "2 hours",

@@ -519,3 +519,29 @@ def test_stream_events_missing_path_raises(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         sw.stream_events(spark, str(tmp_path / "no_such_dir"))
+
+
+def test_last_touch_attribution_stream_equals_batch(spark, sf_dir,
+                                                    events_dir):
+    """The streaming attributor's per-channel purchase counts must
+    equal the oracle-checked w13 batch window exactly: same corpus,
+    one micro-batch (in-order contract trivially satisfied), append
+    output aggregated in the sink. Also pins the per-purchase grain:
+    one output row per purchase event, keyed by event_id."""
+    from bd_delete_records_from_external_hive_table_spark import plans
+
+    stream = sw.last_touch_attribution(sw.stream_events(spark, events_dir))
+    sw.run_to_memory(stream, "attr_t", "append")
+    rows = spark.table("attr_t").collect()
+    n_purchases = (load_table(spark, sf_dir, "events")
+                   .where("event_type = 'purchase'").count())
+    assert len(rows) == n_purchases
+    assert len({r.event_id for r in rows}) == n_purchases
+    got: dict[str, int] = {}
+    for r in rows:
+        ch = r.channel if r.channel is not None else "(none)"
+        got[ch] = got.get(ch, 0) + 1
+    want = {r.channel: r.purchases
+            for r in plans.REGISTRY["w13_last_touch_attribution"]
+            .spark_fn(spark, sf_dir).collect()}
+    assert got == want
