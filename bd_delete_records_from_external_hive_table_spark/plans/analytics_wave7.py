@@ -412,3 +412,130 @@ def e07(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("c"), 4).alias("avg_cos"))
             .orderBy("bucket"))
+
+
+@register("ts08_interval_union",
+          "WITH iv AS (SELECT user_id, "
+          "CAST(date_trunc('second', ts) AS TIMESTAMP) AS s, "
+          "CAST(date_trunc('second', ts) AS TIMESTAMP) "
+          "  + INTERVAL 10 MINUTE AS e "
+          "FROM events), "
+          "ord AS (SELECT user_id, s, e, "
+          "MAX(e) OVER (PARTITION BY user_id ORDER BY s, e "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max "
+          "FROM iv), "
+          "isl AS (SELECT user_id, s, e, "
+          "SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 "
+          "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+          "FROM ord), "
+          "cov AS (SELECT user_id, island, "
+          "date_diff('second', MIN(s), MAX(e)) AS sec "
+          "FROM isl GROUP BY user_id, island) "
+          "SELECT user_id, CAST(SUM(sec) AS BIGINT) AS covered_sec, "
+          "CAST(COUNT(*) AS BIGINT) AS n_islands "
+          "FROM cov GROUP BY user_id "
+          "ORDER BY covered_sec DESC, user_id LIMIT 20")
+def ts08(spark, sf_dir):
+    """Interval-set union (activity coverage): each event opens a
+    10-minute activity interval; overlapping intervals per user merge,
+    and the answer is the user's total covered wall-clock — the
+    sessionless 'time actually active' metric billing and engagement
+    models need. The classic gaps-and-islands sweep: ONE user-key
+    window shuffle serves the running-max-end pass (new island when an
+    interval starts past everything seen) AND the island-id running
+    sum; per-island min/max and the per-user rollup ride the same
+    partitioning. All integer-second arithmetic — no float drift —
+    and the (s, e) sort totally orders ties identically on both
+    engines. Truncation to seconds keeps the nanos-vs-micros testdata
+    encodings equal."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("s"))
+    iv = ev.withColumn("e", F.col("s") + F.expr("INTERVAL 10 MINUTES"))
+    w_prev = (Window.partitionBy("user_id").orderBy("s", "e")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("user_id").orderBy("s", "e")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ord_ = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    isl = ord_.withColumn(
+        "island",
+        F.sum(F.when(F.col("prev_max").isNull()
+                     | (F.col("s") > F.col("prev_max")), 1)
+              .otherwise(0)).over(w_run))
+    cov = (isl.groupBy("user_id", "island")
+           .agg((F.unix_timestamp(F.max("e"))
+                 - F.unix_timestamp(F.min("s"))).alias("sec")))
+    return (cov.groupBy("user_id")
+            .agg(F.sum("sec").cast("bigint").alias("covered_sec"),
+                 F.count(F.lit(1)).alias("n_islands"))
+            .orderBy(F.desc("covered_sec"), "user_id").limit(20))
+
+
+@register("w14_mad_outlier_days",
+          "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+          "AS rev FROM orders GROUP BY d), "
+          "med AS (SELECT t.d, t.rev, MEDIAN(h.rev) AS med "
+          "FROM daily t JOIN daily h "
+          "ON h.d >= t.d - 15 AND h.d < t.d GROUP BY t.d, t.rev), "
+          "dev AS (SELECT m.d, m.rev, m.med, "
+          "MEDIAN(ABS(h.rev - m.med)) AS mad "
+          "FROM med m JOIN daily h "
+          "ON h.d >= m.d - 15 AND h.d < m.d "
+          "GROUP BY m.d, m.rev, m.med) "
+          "SELECT d, ROUND(rev, 2) AS rev, ROUND(med, 3) AS med, "
+          "ROUND(ABS(rev - med), 3) AS abs_dev "
+          "FROM dev WHERE ABS(rev - med) > 2 * mad AND mad > 0 "
+          "ORDER BY d")
+def w14(spark, sf_dir):
+    """Rolling-MAD outlier days: a day is anomalous when its revenue
+    sits more than 5 robust deviations from the trailing-15-day
+    median (2 robust deviations flags notable days on this smooth
+    synthetic series; production would use 3-5) — the rule that
+    survives the outliers themselves
+    (mean/stddev get dragged by the very spike being tested; median
+    and MAD don't). The fact table collapses to |days| rows in one
+    partial-aggregated rollup; the trailing window is a 15-way
+    explode-join of that calendar-bounded series (same shape as
+    ts07), so nothing downstream scales with event volume. Exact
+    percentile on both engines; comparisons on ROUND(2)-stable
+    doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    # daily revenue sums in EXACT decimal, converted to double only
+    # after: float sums accumulate in engine-specific order and a
+    # last-bit difference flips ROUND(.,2) on .xx5 boundaries (caught
+    # by the sf0.001 parity run); decimal addition is order-exact, so
+    # both engines hand the median/MAD math bit-identical inputs
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("rev"))
+             .localCheckpoint(eager=False))
+    t = daily.select(F.col("d"), F.col("rev"),
+                     F.explode(F.sequence(F.lit(1), F.lit(15)))
+                     .alias("lag"))
+    h = daily.select(F.col("d").alias("hd"), F.col("rev").alias("hrev"))
+    # two-stage robust stats: the MAD needs deviations w.r.t. EACH
+    # day's own trailing median, so median lands first and the same
+    # (checkpointed) 15-way lag join replays against it for the MAD
+    med = (t.join(h, h.hd == F.date_sub(t.d, F.col("lag")))
+           .groupBy("d", "rev")
+           .agg(F.expr("percentile(hrev, 0.5)").alias("med")))
+    dev = (t.join(h, h.hd == F.date_sub(t.d, F.col("lag")))
+           .join(med.select(F.col("d").alias("md"), "med"),
+                 F.col("md") == F.col("d"))
+           .groupBy("d", "rev", "med")
+           .agg(F.expr("percentile(abs(hrev - med), 0.5)").alias("mad")))
+    return (dev.where((F.abs(F.col("rev") - F.col("med"))
+                       > 2 * F.col("mad")) & (F.col("mad") > 0))
+            # med/abs_dev round at 3dp, NOT 2: partial (even-count)
+            # trailing windows interpolate the median to exact
+            # half-cents (.975), where Spark's HALF_UP and DuckDB's
+            # rounding disagree — 3dp sits beyond the data's half-cent
+            # granularity so no value can land on a boundary
+            .select("d", F.round("rev", 2).alias("rev"),
+                    F.round("med", 3).alias("med"),
+                    F.round(F.abs(F.col("rev") - F.col("med")), 3)
+                    .alias("abs_dev"))
+            .orderBy("d"))
