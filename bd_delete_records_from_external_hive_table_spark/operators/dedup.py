@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import HASH_PRIME, shingles, stable_hash28, ws_tokens
@@ -36,6 +36,7 @@ __all__ = [
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
     "simhash_banded_near_duplicates", "connected_components",
+    "containment_pairs",
 ]
 
 SIMHASH_BITS = 28
@@ -350,3 +351,56 @@ def simhash_banded_near_duplicates(df: DataFrame, text_col: str = "text",
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric near-dup: subset/partial-copy detection)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_size: int = 3,
+                      threshold: float = 0.8,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Ordered near-dup pairs by shingle CONTAINMENT
+    ``C(a→b) = |S(a) ∩ S(b)| / |S(a)|`` — the asymmetric complement of
+    Jaccard (:func:`ngram_jaccard_pairs`): a short document pasted into a
+    long one scores near 1.0 containment but a low Jaccard, so this is
+    the screen that catches partial copies / quote-inflation, which
+    symmetric dedup provably misses.
+
+    Scale shape: an inverted-index equi-join, never a cross join. Each
+    doc explodes to its DISTINCT shingles; pairs materialize only for
+    docs that actually share a shingle, and the per-pair intersection
+    size is a count aggregate on the join output. ``max_shingle_df``
+    optionally drops shingles appearing in more than that many docs
+    before pairing — boilerplate shingles create the hot buckets that
+    turn this quadratic at corpus scale, and dropping them only
+    UNDERcounts intersections (lossy in a bounded, auditable way; leave
+    ``None`` for exact results).
+
+    Returns ``(a, b, n_shared, size_a, containment)`` for ordered pairs
+    ``a != b`` with containment ≥ ``threshold``.
+    """
+    sh = (df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(
+            shingles(ws_tokens(F.col(text_col)), shingle_size)))
+        .alias("shingle")))
+    if max_shingle_df is not None:
+        w_df = Window.partitionBy("shingle")
+        sh = (sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+              .where(F.col("_df") <= max_shingle_df).drop("_df"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("size"))
+    a = sh.select(F.col("_id").alias("a"), "shingle")
+    b = sh.select(F.col("_id").alias("b"), "shingle")
+    shared = (a.join(b, "shingle").where(F.col("a") != F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared
+            .join(sizes.select(F.col("_id").alias("a"),
+                               F.col("size").alias("size_a")), "a")
+            .select("a", "b", "n_shared", "size_a",
+                    F.round(F.col("n_shared")
+                            / F.col("size_a").cast("double"), 4)
+                    .alias("containment"))
+            .where(F.col("containment") >= threshold))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_of_join", "range_join"]
+__all__ = ["as_of_join", "nearest_join", "range_join"]
 
 
 def as_of_join(left: DataFrame, right: DataFrame, on: str,
@@ -74,6 +74,65 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
             .select(*[F.col(f"_row.{c}").alias(c) for c in left.columns],
                     *[F.col(f"_carr.{c}").alias(f"{c}{suffix}")
                       for c in value_cols]))
+
+
+def nearest_join(left: DataFrame, right: DataFrame, on: str,
+                 left_ts: str = "ts", right_ts: str = "ts") -> DataFrame:
+    """For every left row, the nearest right timestamp for the same key in
+    EITHER direction: backward (``right.ts <= left.ts``, inclusive) and
+    forward (``right.ts > left.ts``, strict), with the nearer of the two
+    selected and backward winning exact-distance ties. The
+    backward/forward split is exhaustive and non-overlapping, so every
+    right row is a candidate exactly once.
+
+    Same union-window shape as :func:`as_of_join` — one shuffle on the
+    key, then a running ``last`` (backward carry) and ``first`` (forward
+    carry) over the SAME sorted union, so both directions cost one sort.
+    Right rows order before left rows at equal ts (``_is_left``
+    ascending): the preceding-frame ``last`` therefore sees equal-ts
+    right rows (inclusive backward) while the following-frame ``first``
+    does not (strict forward) — both bounds fall out of one sort order.
+
+    Returns all left columns plus ``back_ts`` / ``fwd_ts`` (nullable),
+    ``nearest_ts`` and ``side`` ('back' / 'fwd'; NULL when the key has no
+    right rows at all). Timestamps are compared as-is; pass integer
+    epochs for engine-exact tie behavior.
+    """
+    rhs = (right
+           .where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+           .select(F.col(on), F.col(right_ts).alias("_ts"),
+                   F.lit(0).alias("_is_left")))
+    lhs = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_row"))
+    rhs = rhs.withColumn(
+        "_row", F.lit(None).cast(lhs.schema["_row"].dataType))
+
+    order = [F.col("_ts"), F.col("_is_left")]
+    w_back = (Window.partitionBy(on).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(on).orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    right_ts_or_null = F.when(F.col("_is_left") == 0, F.col("_ts"))
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        F.last(right_ts_or_null, ignorenulls=True).over(w_back)
+        .alias("back_ts"),
+        F.first(right_ts_or_null, ignorenulls=True).over(w_fwd)
+        .alias("fwd_ts"))
+
+    back_d = F.col("_ts") - F.col("back_ts")
+    fwd_d = F.col("fwd_ts") - F.col("_ts")
+    take_back = F.col("back_ts").isNotNull() & (
+        F.col("fwd_ts").isNull() | (back_d <= fwd_d))
+    return (carried.where(F.col("_is_left") == 1)
+            .select(*[F.col(f"_row.{c}").alias(c) for c in left.columns],
+                    "back_ts", "fwd_ts",
+                    F.when(take_back, F.col("back_ts"))
+                    .otherwise(F.col("fwd_ts")).alias("nearest_ts"),
+                    F.when(take_back, F.lit("back"))
+                    .when(F.col("fwd_ts").isNotNull(), F.lit("fwd"))
+                    .alias("side")))
 
 
 def range_join(points: DataFrame, intervals: DataFrame,

@@ -32,6 +32,7 @@ from . import analytics_wave4  # noqa: F401
 from . import analytics_wave5  # noqa: F401
 from . import analytics_wave6  # noqa: F401
 from . import analytics_wave7  # noqa: F401
+from . import analytics_wave8  # noqa: F401
 from . import llm_ops  # noqa: F401
 from .registry import REGISTRY, oracle_sql, queries, register  # noqa: F401
 

@@ -114,3 +114,82 @@ def test_range_join_interval_spanning_buckets(spark):
     assert sorted(r.x for r in rows) == [5.0, 15.0, 35.0]
     # no duplicate matches despite the interval exploding into 4 buckets
     assert len(rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# nearest_join (bidirectional as-of)
+# ---------------------------------------------------------------------------
+
+def test_nearest_join_picks_closer_side_and_breaks_ties_backward(spark):
+    from bd_delete_records_from_external_hive_table_spark.operators.temporal import nearest_join
+    left = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200)], "id long, k long") \
+        .selectExpr("id", "k",
+                    "CASE id WHEN 1 THEN 50 WHEN 2 THEN 95 "
+                    "WHEN 3 THEN 10 ELSE 999 END AS t")
+    right = spark.createDataFrame(
+        [(100, 40), (100, 60), (100, 90)], "k long, t long")
+    out = {r.id: r for r in nearest_join(left, right, on="k",
+                                         left_ts="t", right_ts="t")
+           .collect()}
+    # id=1 @50: back=40 (d=10), fwd=60 (d=10) — tie → backward wins
+    assert (out[1].side, out[1].nearest_ts) == ("back", 40)
+    # id=2 @95: back=90 (d=5), fwd none → back
+    assert (out[2].side, out[2].nearest_ts) == ("back", 90)
+    # id=3 @10: nothing before → fwd=40
+    assert (out[3].side, out[3].nearest_ts) == ("fwd", 40)
+    # id=4: key with no right rows at all → NULL side, NULL nearest
+    assert out[4].side is None and out[4].nearest_ts is None
+
+
+def test_nearest_join_equal_ts_counts_backward_not_forward(spark):
+    """A right row AT the left ts is the inclusive-backward match (gap 0);
+    the forward bound is strict, so it must not also serve as fwd."""
+    from bd_delete_records_from_external_hive_table_spark.operators.temporal import nearest_join
+    left = spark.createDataFrame([(1, 7, 100)], "id long, k long, t long") \
+        .select("id", "k", "t")
+    right = spark.createDataFrame([(7, 100), (7, 150)], "k long, t long")
+    row = nearest_join(left, right, on="k",
+                       left_ts="t", right_ts="t").collect()[0]
+    assert row.back_ts == 100 and row.fwd_ts == 150
+    assert row.side == "back" and row.nearest_ts == 100
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (asymmetric shingle containment)
+# ---------------------------------------------------------------------------
+
+def test_containment_is_asymmetric_for_subset_docs(spark):
+    """A doc fully pasted into a longer one scores 1.0 in the subset
+    direction but below threshold the other way — the case symmetric
+    Jaccard misses."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import containment_pairs
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),
+         (2, "a b c d e f g h i j k l m n o p"),
+         (3, "z y x w v")],
+        "doc_id long, text string")
+    rows = {(r.a, r.b): r.containment
+            for r in containment_pairs(docs, threshold=0.8).collect()}
+    # doc1 has 3 shingles, all present in doc2 → C(1→2) = 1.0
+    assert rows[(1, 2)] == 1.0
+    # doc2 has 14 shingles, only 3 shared → C(2→1) ≈ 0.21 < 0.8: absent
+    assert (2, 1) not in rows
+    # unrelated doc never pairs (no shared shingle → no candidate row)
+    assert not any(3 in p for p in rows)
+
+
+def test_containment_max_shingle_df_prunes_hot_shingles(spark):
+    """Capping shingle document frequency drops boilerplate shingles
+    before pairing; intersections only ever UNDERcount."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import containment_pairs
+    # the same boilerplate shingle set in every doc
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate text here") for i in range(5)],
+        "doc_id long, text string")
+    full = containment_pairs(docs, threshold=0.5).collect()
+    assert len(full) == 5 * 4  # every ordered pair, containment 1.0
+    # df cap of 4 < 5 docs removes every shingle → no candidates at all
+    pruned = containment_pairs(docs, threshold=0.5,
+                               max_shingle_df=4).collect()
+    assert pruned == []
