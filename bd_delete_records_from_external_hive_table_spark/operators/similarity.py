@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
+           "brute_force_topk_arrow",
            "hyperplane_bucket", "band_keys_udf", "auto_bits",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
@@ -77,6 +78,71 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(c.crossJoin(F.broadcast(q))
                  .where(F.col("query_id") != F.col("neighbor_id"))
                  .select("query_id", "neighbor_id", sim.alias("sim")), k)
+
+
+def _round_half_up(x: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """HALF_UP rounding (away from zero on .5), matching Spark's
+    ``F.round`` and DuckDB's ``ROUND`` — numpy's ``np.round`` is
+    banker's rounding and would disagree on exact .00005 boundaries."""
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
+                           k: int = 5, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k with the same contract and determinism rules as
+    :func:`brute_force_topk` (rounded-sim desc, id tie-break,
+    self-matches excluded) but Arrow-vectorized: the bounded query
+    panel is collected to a (q × d) numpy matrix carried in the task
+    closure, and each corpus Arrow batch scores against it with ONE
+    matmul, emitting only the batch's per-query top-k.
+
+    Why this exists: the expression-tree scorer's ``zip_with`` +
+    ``aggregate`` lambdas are INTERPRETED (Spark evaluates higher-order
+    functions outside whole-stage codegen) — ~7 µs per pair measured at
+    sf1, which made a 200-query × 20k-corpus sweep take ~27 s. The
+    matmul path is two orders faster per pair and, because each
+    partition pre-prunes to ``batches × q × k`` candidate rows, the
+    final window ranks thousands of rows, never |corpus| × q. Per-batch
+    selection uses the SAME (half-up-rounded sim, id) order as the
+    global window, so pre-pruning can never change the result set.
+
+    The panel must be bounded (it rides the closure): this is the
+    fixed-eval-panel scorer. Corpus-fraction query sets are the LSH/IVF
+    paths' job — a fractional panel is quadratic in N by construction.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank long")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = _round_half_up(mat @ qmat.T)          # (batch, q)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                take = np.lexsort((ids, -col))[:k]
+                take = take[np.isfinite(col[take])]
+                out_q.append(np.full(len(take), qids[j]))
+                out_n.append(ids[take])
+                out_s.append(col[take])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s)})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double")
+    return _topk(scored, k)
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

@@ -553,3 +553,31 @@ def test_bpe_memo_is_per_live_session(spark, sf_dir):
     # session A still hits (no eviction by B's training)
     m_a2, _ = _trained_bpe(spark, sf_dir, num_merges=4)
     assert m_a2 == m_a1
+
+
+def test_brute_force_topk_arrow_equals_expression_scorer(spark):
+    """The Arrow matmul scorer must reproduce the expression scorer's
+    EXACT result set — same neighbors, same ranks, same rounded sims —
+    on a random corpus with a deliberately tie-heavy panel (duplicated
+    vectors force rounded-sim ties that the id tie-break must resolve
+    identically through the per-batch pre-pruning)."""
+    import random as _random
+
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_arrow)
+    rng = _random.Random(7)
+    vecs = []
+    for i in range(120):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs.append((i, v))
+        if i % 7 == 0:            # plant exact duplicates → sim ties
+            vecs.append((1000 + i, list(v)))
+    df = (spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+          .repartition(5))        # force multi-partition pre-pruning
+    queries = df.where("vec_id < 6")
+    expr = [(r.query_id, r.rank, r.neighbor_id, r.sim)
+            for r in brute_force_topk(df, queries, k=4).collect()]
+    arrow = [(r.query_id, r.rank, r.neighbor_id, r.sim)
+             for r in brute_force_topk_arrow(df, queries, k=4).collect()]
+    assert arrow == expr
+    assert len(arrow) == 6 * 4

@@ -193,3 +193,73 @@ def test_containment_max_shingle_df_prunes_hot_shingles(spark):
     pruned = containment_pairs(docs, threshold=0.5,
                                max_shingle_df=4).collect()
     assert pruned == []
+
+
+def test_nearest_join_matches_bruteforce_on_randomized_input(spark):
+    """Randomized cross-check: 300x300 rows over 12 keys with a tiny ts
+    range (forcing equal-ts collisions and exact-distance ties) must
+    match a brute-force per-row oracle exactly."""
+    import random as _random
+
+    from bd_delete_records_from_external_hive_table_spark.operators.temporal import nearest_join
+    rng = _random.Random(20260814)
+    lrows = [(i, rng.randrange(12), rng.randrange(40)) for i in range(300)]
+    rrows = [(rng.randrange(12), rng.randrange(40)) for _ in range(300)]
+    left = spark.createDataFrame(lrows, "id long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, t long")
+
+    expect = {}
+    for i, k, t in lrows:
+        backs = [rt for rk, rt in rrows if rk == k and rt <= t]
+        fwds = [rt for rk, rt in rrows if rk == k and rt > t]
+        back = max(backs) if backs else None
+        fwd = min(fwds) if fwds else None
+        if back is not None and (fwd is None or t - back <= fwd - t):
+            expect[i] = (back, fwd, back, "back")
+        elif fwd is not None:
+            expect[i] = (back, fwd, fwd, "fwd")
+        else:
+            expect[i] = (None, None, None, None)
+
+    out = nearest_join(left, right, on="k",
+                       left_ts="t", right_ts="t").collect()
+    assert len(out) == len(lrows)
+    for r in out:
+        assert (r.back_ts, r.fwd_ts, r.nearest_ts, r.side) == expect[r.id], \
+            (r.id, r.k, r.t)
+
+
+def test_containment_pairs_match_setwise_bruteforce(spark):
+    """Randomized cross-check vs a Python-set oracle: every ordered pair
+    over threshold, with exact n_shared / size_a, and nothing extra."""
+    import random as _random
+
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import containment_pairs
+    rng = _random.Random(42)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(3, 25))))
+            for i in range(40)]
+
+    def sset(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    shingle_sets = {i: sset(t) for i, t in docs}
+    expect = {}
+    for a, sa in shingle_sets.items():
+        if not sa:
+            continue
+        for b, sb in shingle_sets.items():
+            if a == b:
+                continue
+            shared = len(sa & sb)
+            c = round(shared / len(sa), 4)
+            if c >= 0.5:
+                expect[(a, b)] = (shared, len(sa), c)
+
+    got = {(r.a, r.b): (r.n_shared, r.size_a, r.containment)
+           for r in containment_pairs(
+               spark.createDataFrame(docs, "doc_id long, text string"),
+               threshold=0.5).collect()}
+    assert got == expect
