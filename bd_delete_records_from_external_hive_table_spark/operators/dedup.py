@@ -36,7 +36,7 @@ __all__ = [
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
     "simhash_banded_near_duplicates", "connected_components",
-    "containment_pairs",
+    "containment_pairs", "banded_hamming_pairs",
 ]
 
 SIMHASH_BITS = 28
@@ -404,3 +404,59 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                             / F.col("size_a").cast("double"), 4)
                     .alias("containment"))
             .where(F.col("containment") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Generic banded hamming pair search (any integer signature width)
+# ---------------------------------------------------------------------------
+
+def banded_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                         sig_col: str = "sig", bits: int = 64,
+                         max_hamming: int = 6,
+                         chunks: int | None = None) -> DataFrame:
+    """Pairs ``(a, b, hamming)`` with ``popcount(sig_a XOR sig_b) <=
+    max_hamming`` over signatures of any width up to 64 bits — the
+    banding generalization of :func:`simhash_banded_near_duplicates`
+    (fixed 28-bit text simhash) for arbitrary signatures (perceptual
+    image hashes, audio fingerprints).
+
+    Pigeonhole exhaustiveness: with ``chunks >= max_hamming + 1``
+    disjoint bit ranges, any pair within ``max_hamming`` agrees EXACTLY
+    on at least one full chunk, so the (chunk_idx, chunk_key) equi-join
+    finds every qualifying pair — candidate generation is a co-located
+    hash join, never the quadratic cross product, and chunk keys spread
+    load across ``2^(bits/chunks)`` buckets per chunk.
+    """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks < max_hamming + 1:
+        raise ValueError("chunks must exceed max_hamming for exhaustive "
+                         "pigeonhole candidate generation")
+    base, extra = divmod(bits, chunks)
+    starts, pos = [], 0
+    for i in range(chunks):
+        starts.append(pos)
+        pos += base + (1 if i < extra else 0)
+    starts.append(bits)
+
+    def chunk_key(i: int) -> Column:
+        width = starts[i + 1] - starts[i]
+        return (F.shiftright(F.col(sig_col), starts[i])
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
+    banded = sigs.select(
+        F.col(id_col), F.col(sig_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"), chunk_key(i).alias("key"))
+            for i in range(chunks)])).alias("ck")) \
+        .select(id_col, sig_col, "ck.chunk", "ck.key")
+    a = banded.select(F.col(id_col).alias("a"),
+                      F.col(sig_col).alias("ha"), "chunk", "key")
+    b = banded.select(F.col(id_col).alias("b"),
+                      F.col(sig_col).alias("hb"), "chunk", "key")
+    return (a.join(b, ["chunk", "key"]).where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -34,7 +34,8 @@ from pyspark.sql.types import (
 
 __all__ = ["MEDIA_SCHEMA", "synthetic_media", "synthetic_real_media",
            "ingest_binary_dir", "extract_features", "sample_frames",
-           "fake_feature_vector"]
+           "fake_feature_vector", "synthetic_image_corpus",
+           "average_hash_64"]
 
 #: Canonical multimodal row: id, modality tag, opaque payload, metadata.
 MEDIA_SCHEMA = StructType([
@@ -216,3 +217,88 @@ def sample_frames(df: DataFrame, frame_bytes: int = 32,
     return (df.where((F.col("modality") == "video") & (n_frames > 0))
             .select("media_id", F.explode(frame).alias("f"))
             .select("media_id", "f.frame_idx", "f.frame"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup through the binary pipeline)
+# ---------------------------------------------------------------------------
+
+def synthetic_image_corpus(spark: SparkSession, n: int = 60,
+                           dup_every: int = 6) -> DataFrame:
+    """Deterministic 16x16 RGB PPM corpus with PLANTED near-duplicates:
+    base image ``i`` is an md5-derived 8x8 block pattern upsampled 2x
+    (so distinct ids are ~independent 64-bit patterns — expected
+    perceptual-hash hamming ~32), and every ``dup_every``-th id also
+    emits a copy under ``id + 100000`` with <=6 single-pixel nudges —
+    each nudge moves ONE 2x2 block mean, so the copy's average-hash is
+    provably within hamming 6 of its original. Executor-side generation
+    in Arrow batches, no RNG (md5 of the id), no driver materialization.
+    """
+    from .media_codecs import encode_ppm
+
+    def _pixels(i: int) -> np.ndarray:
+        blocks = b"".join(hashlib.md5(b"img-%d-%d" % (i, k)).digest()
+                          for k in range(4))           # 64 block values
+        b8 = np.frombuffer(blocks, dtype=np.uint8).reshape(8, 8)
+        gray = np.kron(b8, np.ones((2, 2), dtype=np.uint8))  # 16x16
+        return np.repeat(gray[:, :, None], 3, axis=2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "payload": [], "meta": []}
+
+            def emit(mid: int, px: np.ndarray, kind: str) -> None:
+                out["media_id"].append(mid)
+                out["modality"].append("image")
+                out["payload"].append(encode_ppm(px))
+                out["meta"].append({"codec": "ppm", "kind": kind})
+
+            for i in pdf["id"]:
+                i = int(i)
+                px = _pixels(i)
+                emit(i, px, "base")
+                if i % dup_every == 0:
+                    noisy = px.copy()
+                    pos = hashlib.md5(b"noise-%d" % i).digest()
+                    for k in range(6):  # <=6 pixels → <=6 blocks touched
+                        y, x = pos[2 * k] % 16, pos[2 * k + 1] % 16
+                        noisy[y, x] = np.clip(
+                            noisy[y, x].astype(np.int16) + 7, 0, 255
+                        ).astype(np.uint8)
+                    emit(i + 100000, noisy, "near_dup")
+            yield pd.DataFrame(out)
+
+    n_parts = max(1, min(8, n // 8))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def average_hash_64(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """aHash: decode PPM → grayscale → 8x8 block means → 64-bit
+    signature (bit k = block k brighter than the image's mean block).
+    The canonical perceptual image fingerprint (robust to small pixel
+    noise, recompression, brightness-preserving edits), computed inside
+    the same Arrow ``mapInPandas`` plumbing as feature extraction: one
+    linear decode pass, 8 bytes out per image — the signature, not the
+    payload, is what shuffles in any downstream pair search."""
+    from .media_codecs import decode_ppm
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_ppm(bytes(payload)).astype(np.float64)
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                by, bx = h // 8, w // 8
+                blocks = gray[:by * 8, :bx * 8] \
+                    .reshape(8, by, 8, bx).mean(axis=(1, 3))
+                bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+                sig = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                # keep the top bit out of the sign: Spark longs are
+                # signed and a negative sig breaks shiftright chunking
+                ids.append(int(mid))
+                sigs.append(sig & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.mapInPandas(hash_batch, f"{id_col} long, sig long")

@@ -24,6 +24,10 @@ split decontamination — pipeline shapes the registry still lacked.
   hardened with the leakage check every eval pipeline needs: train
   docs whose normalized content hash also appears in val are counted
   as leaked (d08's normalization, s05's split — composed).
+- m04 perceptual-hash image near-dup — the multimodal arm of the dedup
+  ladder: decode → 64-bit average-hash → banded hamming pair search
+  (pigeonhole-exhaustive), closing the loop between the binary
+  pipeline (m01-m03) and the LSH dedup machinery (d04/d09).
 
 Reference anchor: widens the declared-query surface admitted by the
 reference's SQL boundary (DeletionCriteria.java:40-63) as waves 1-7 do.
@@ -280,3 +284,24 @@ def s08(spark, sf_dir):
                     F.coalesce("val_n", F.lit(0)).alias("val_n"),
                     F.coalesce("leaked_n", F.lit(0)).alias("leaked_n"))
             .orderBy("source"))
+
+
+@register("m04_image_phash_neardup", None)  # binary decode: no SQL oracle
+def m04(spark, sf_dir):
+    """Perceptual near-dup detection for images — the multimodal rung of
+    the dedup ladder: a PPM corpus with planted noisy copies is decoded
+    and fingerprinted to 64-bit average-hashes inside Arrow
+    ``mapInPandas`` (8 bytes per image leave the scan; payloads never
+    shuffle), then paired by the pigeonhole-banded hamming join
+    (``dedup.banded_hamming_pairs`` — candidates only where a full bit
+    chunk matches, never the cross product). Planted copies differ by
+    <=6 single-pixel nudges ⇒ hamming <=6 by construction; unrelated
+    images are md5-derived patterns at expected hamming ~32. Recall and
+    precision are asserted in tests (rows-only driver check)."""
+    from ..operators import multimodal
+    corpus = multimodal.synthetic_image_corpus(spark, n=60, dup_every=6)
+    sigs = multimodal.average_hash_64(corpus)
+    return (dedup.banded_hamming_pairs(
+        sigs, id_col="media_id", sig_col="sig",
+        bits=63, max_hamming=6, chunks=7)
+        .orderBy("a", "b"))

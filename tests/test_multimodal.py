@@ -160,3 +160,54 @@ def test_ingest_binary_dir_no_glob_tags_unknown(spark, tmp_path):
     [r] = df.collect()
     assert r.modality == "unknown"
     assert bytes(r.payload) == b"\x00\x01\x02"
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + banded hamming pair search
+# ---------------------------------------------------------------------------
+
+def test_image_phash_neardup_exact_recall_and_precision(spark):
+    """Every planted noisy copy pairs with its original (<=6 hamming by
+    construction) and NO cross-image pair appears (md5-derived patterns
+    sit at expected hamming ~32, far above the threshold)."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import banded_hamming_pairs
+    corpus = mm.synthetic_image_corpus(spark, n=48, dup_every=6)
+    sigs = mm.average_hash_64(corpus)
+    pairs = {(r.a, r.b): r.hamming
+             for r in banded_hamming_pairs(
+                 sigs, id_col="media_id", sig_col="sig",
+                 bits=63, max_hamming=6, chunks=7).collect()}
+    planted = {(i, i + 100000) for i in range(0, 48, 6)}
+    assert set(pairs) == planted
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_banded_hamming_pairs_matches_bruteforce_popcount(spark):
+    """Pigeonhole exhaustiveness on random 63-bit signatures: the banded
+    join must find EXACTLY the pairs a brute-force popcount finds."""
+    import random as _random
+
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import banded_hamming_pairs
+    rng = _random.Random(99)
+    base = [rng.getrandbits(63) for _ in range(30)]
+    sigs = list(enumerate(base))
+    # plant close variants: flip 1-6 random bits of earlier signatures
+    for j, s in enumerate(base[:10]):
+        flipped = s
+        for _ in range(rng.randrange(1, 7)):
+            flipped ^= 1 << rng.randrange(63)
+        sigs.append((100 + j, flipped))
+    expect = {}
+    for i, (ai, asig) in enumerate(sigs):
+        for bi, bsig in sigs[i + 1:]:
+            h = bin(asig ^ bsig).count("1")
+            if h <= 6:
+                a, b = min(ai, bi), max(ai, bi)
+                expect[(a, b)] = h
+    df = spark.createDataFrame(sigs, "media_id long, sig long")
+    got = {(r.a, r.b): r.hamming
+           for r in banded_hamming_pairs(
+               df, id_col="media_id", sig_col="sig",
+               bits=63, max_hamming=6, chunks=7).collect()}
+    assert got == expect
+    assert expect  # the planted variants guarantee a non-trivial set
