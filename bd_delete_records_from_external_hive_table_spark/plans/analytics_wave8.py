@@ -28,6 +28,12 @@ split decontamination — pipeline shapes the registry still lacked.
   ladder: decode → 64-bit average-hash → banded hamming pair search
   (pigeonhole-exhaustive), closing the loop between the binary
   pipeline (m01-m03) and the LSH dedup machinery (d04/d09).
+- st07 stream-static enrichment rollup — the batch form of the
+  streaming dimension join (streaming/windows.py:enrich_with_static),
+  with the size-guarded dim() broadcast policy; stream==batch parity
+  is already test-asserted in test_streaming.py.
+- t19 Gopher-style quality rules — repetition / length / word-length /
+  stopword filters per source, all integer-compared, one corpus scan.
 
 Reference anchor: widens the declared-query surface admitted by the
 reference's SQL boundary (DeletionCriteria.java:40-63) as waves 1-7 do.
@@ -41,7 +47,7 @@ from pyspark.sql import functions as F
 from ..functions.text import stable_hash28
 from ..operators import dedup, similarity
 from ..operators.temporal import nearest_join
-from ..sources.tables import load_table
+from ..sources.tables import dim, load_table
 from .llm_ops import (_AUG_NEARDUP, _DUCK_HASH28, _DUCK_SHINGLES3,
                       _DUCK_TOKENS, _aug_neardup_docs)
 from .registry import register
@@ -305,3 +311,127 @@ def m04(spark, sf_dir):
         sigs, id_col="media_id", sig_col="sig",
         bits=63, max_hamming=6, chunks=7)
         .orderBy("a", "b"))
+
+
+@register("st07_stream_static_enrichment",
+          "SELECT c_mktsegment AS segment, event_type, "
+          "CAST(COUNT(*) AS BIGINT) AS n_events, "
+          "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+          "AS total_cents "
+          "FROM events JOIN customer ON user_id = c_custkey "
+          "GROUP BY segment, event_type ORDER BY segment, event_type")
+def st07(spark, sf_dir):
+    """Stream-static enrichment rollup — the batch form of decorating an
+    event stream with a slowly-changing dimension before aggregating
+    (``streaming/windows.py:enrich_with_static``; stream==batch parity
+    is test-asserted in test_streaming.py's
+    ``test_stream_static_enrichment_matches_batch``). The dimension side
+    goes through the size-guarded ``dim()`` hint: customer grows with SF
+    (SF x 150k), so the pin applies only while its on-disk size is
+    provably small and otherwise defers to AQE's runtime decision — the
+    exact policy a stream-static join needs, since the static side is
+    re-read per micro-batch. Revenue rides as integer cents (values are
+    2-decimal by construction), so SUM order can never flip a digit."""
+    ev = _t(spark, sf_dir, "events")
+    cust = dim(_t(spark, sf_dir, "customer")
+               .select(F.col("c_custkey").alias("user_id"),
+                       F.col("c_mktsegment").alias("segment")),
+               sf_dir, "customer")
+    return (ev.join(cust, "user_id")
+            .groupBy("segment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("total_cents"))
+            .orderBy("segment", "event_type"))
+
+
+@register("t19_gopher_quality_rules",
+          "WITH tok AS (SELECT doc_id, source, "
+          "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+          "              w -> w <> '') AS toks "
+          "  FROM documents), "
+          "base AS (SELECT doc_id, source, len(toks) AS n_words, "
+          "  CAST(list_aggregate(list_transform(toks, w -> length(w)), "
+          "       'sum') AS BIGINT) AS n_chars, "
+          "  CAST(list_contains(toks, 'the') OR list_contains(toks, 'a') "
+          "       AS BIGINT) AS has_stop, "
+          "  list_transform(range(1, greatest(len(toks), 1)), "
+          "                 i -> toks[i] || ' ' || toks[i+1]) AS bgs "
+          "  FROM tok), "
+          "bgc AS (SELECT doc_id, COUNT(*) AS c FROM "
+          "  (SELECT doc_id, unnest(bgs) AS b FROM base) "
+          "  GROUP BY doc_id, b), "
+          "rep AS (SELECT doc_id, MAX(c) AS max_bg, "
+          "  CAST(SUM(c) AS BIGINT) AS n_bg FROM bgc GROUP BY doc_id), "
+          "flags AS (SELECT source, "
+          "  CAST(COALESCE(max_bg, 0) * 25 >= n_bg * 2 AS BIGINT) "
+          "    AS f_rep, "
+          "  CAST(n_words < 50 AS BIGINT) AS f_short, "
+          "  CAST(n_chars < 3 * n_words OR n_chars > 10 * n_words "
+          "       AS BIGINT) AS f_wordlen, "
+          "  1 - has_stop AS f_nostop "
+          "  FROM base LEFT JOIN rep USING (doc_id)), "
+          "r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+          "  CAST(SUM(f_rep) AS BIGINT) AS n_repetitive, "
+          "  CAST(SUM(f_short) AS BIGINT) AS n_short, "
+          "  CAST(SUM(f_wordlen) AS BIGINT) AS n_bad_wordlen, "
+          "  CAST(SUM(f_nostop) AS BIGINT) AS n_no_stopword, "
+          "  CAST(SUM(CASE WHEN f_rep = 0 AND f_short = 0 AND "
+          "       f_wordlen = 0 AND f_nostop = 0 THEN 1 ELSE 0 END) "
+          "       AS BIGINT) AS n_clean FROM flags GROUP BY source) "
+          "SELECT * FROM r ORDER BY source")
+def t19(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021, public): per-doc
+    repetition (top bigram >= 8% of bigrams), length (< 50 words), mean
+    word length outside [3, 10], and missing-stopword filters, rolled up
+    per source with a clean-docs count — the rule-based pre-filter every
+    LLM corpus pipeline runs before dedup. Every rule COMPARES integers
+    (cross-multiplied fractions, summed char counts), so engine float
+    formatting can never flip a flag. One corpus scan feeds both the
+    per-doc token stats (computed in-row via higher-order functions —
+    no shuffle) and the bigram mode, which is the only shuffled path:
+    explode to (doc_id, bigram) with map-side partial counts, then a
+    per-doc max. Bigram keys are fine-grained, so a hot source still
+    spreads across the cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                    lambda w: w != "")
+    base = (docs.select(
+        "doc_id", "source", toks.alias("toks"))
+        .select(
+            "doc_id", "source",
+            F.size("toks").alias("n_words"),
+            F.aggregate(F.transform("toks", F.length),
+                        F.lit(0), lambda acc, x: acc + x)
+            .cast("long").alias("n_chars"),
+            (F.array_contains("toks", "the")
+             | F.array_contains("toks", "a"))
+            .cast("long").alias("has_stop"),
+            F.expr("transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                   "i -> concat(toks[i-1], ' ', toks[i]))").alias("bgs"))
+        .localCheckpoint(eager=False))
+    rep = (base.select("doc_id", F.explode("bgs").alias("b"))
+           .groupBy("doc_id", "b").count()
+           .groupBy("doc_id")
+           .agg(F.max("count").alias("max_bg"),
+                F.sum("count").cast("long").alias("n_bg")))
+    flags = (base.join(rep, "doc_id", "left")
+             .select(
+                 "source",
+                 (F.coalesce("max_bg", F.lit(0)) * 25 >= F.col("n_bg") * 2)
+                 .cast("long").alias("f_rep"),
+                 (F.col("n_words") < 50).cast("long").alias("f_short"),
+                 ((F.col("n_chars") < 3 * F.col("n_words"))
+                  | (F.col("n_chars") > 10 * F.col("n_words")))
+                 .cast("long").alias("f_wordlen"),
+                 (1 - F.col("has_stop")).alias("f_nostop")))
+    clean = ((F.col("f_rep") == 0) & (F.col("f_short") == 0)
+             & (F.col("f_wordlen") == 0) & (F.col("f_nostop") == 0))
+    return (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("f_rep").alias("n_repetitive"),
+                 F.sum("f_short").alias("n_short"),
+                 F.sum("f_wordlen").alias("n_bad_wordlen"),
+                 F.sum("f_nostop").alias("n_no_stopword"),
+                 F.sum(clean.cast("long")).alias("n_clean"))
+            .orderBy("source"))
