@@ -106,11 +106,18 @@ def _min_of_3(names: list[str]) -> dict[str, dict[str, float]]:
 STATE = "/tmp/bench_scaling_state.json"
 
 
-def main(top_n: int = 20, only: str | None = None) -> None:
+def main(top_n: int = 20, only: str | None = None,
+         names: list[str] | None = None) -> None:
     """``only`` = "0.1" or "1" runs a single SF and saves its timings to
     the state file (so each half fits a shell timeout); no ``only``
-    runs whichever halves the state file is missing, then merges."""
-    names = _top_queries(top_n)
+    runs whichever halves the state file is missing, then merges.
+    ``names`` (or argv ``names=a,b,c``) measures exactly those queries
+    and MERGES their rows into the existing sf_scaling table — the
+    incremental path for newly registered queries, whose plans cannot
+    change already-measured rows."""
+    merge = names is not None
+    if names is None:
+        names = _top_queries(top_n)
     # Resume cache is only valid for the code that produced it: stale
     # timings from a pre-fix revision silently merging into
     # BENCH_DETAIL would report dead plans as current. Fingerprint =
@@ -200,7 +207,11 @@ def main(top_n: int = 20, only: str | None = None) -> None:
     path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(path) as f:
         detail = json.load(f)
-    detail["sf_scaling"] = result
+    if merge and isinstance(detail.get("sf_scaling"), dict):
+        detail["sf_scaling"]["queries"].update(scaling)
+        detail["sf_scaling"]["loadavg_end"] = result["loadavg_end"]
+    else:
+        detail["sf_scaling"] = result
     with open(path, "w") as f:
         json.dump(detail, f, indent=1)
     flagged = {n: s["warm_ratio"] for n, s in scaling.items()
@@ -212,5 +223,11 @@ def main(top_n: int = 20, only: str | None = None) -> None:
 
 
 if __name__ == "__main__":
-    top = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    main(top, sys.argv[2] if len(sys.argv) > 2 else None)
+    args = sys.argv[1:]
+    names_arg = None
+    for a in list(args):
+        if a.startswith("names="):
+            names_arg = a[len("names="):].split(",")
+            args.remove(a)
+    top = int(args[0]) if args else 20
+    main(top, args[1] if len(args) > 1 else None, names_arg)
