@@ -169,11 +169,15 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                                   shingle_size)).alias("sh"))
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    thr_num = int(round(threshold * 10000))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
     return (cands.join(a, "a").join(b, "b")
+            .select("a", "b", inter.alias("_i"), union.alias("_u"))
+            .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
             .select("a", "b",
-                    F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+                    F.round(F.col("_i").cast("double") / F.col("_u"), 4)
+                    .alias("jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -181,18 +185,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.7) -> DataFrame:
     """Brute-force shingle-Jaccard pairs — the exact baseline the LSH path
     approximates. Quadratic; for oracles/tests and small candidate sets
-    only (the scale path is minhash_near_duplicates)."""
+    only (the scale path is minhash_near_duplicates).
+
+    The threshold is an integer cross-multiply on the raw intersection/
+    union sizes (``inter * 10000 >= union * round(threshold * 10000)``)
+    so membership is rounding-free and matches an external oracle
+    filtering on the same integers; ``jaccard`` is a 4-dp REPORTED
+    value only.
+    """
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(ws_tokens(F.col(text_col)),
                                   shingle_size)).alias("sh"))
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    thr_num = int(round(threshold * 10000))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
     return (a.crossJoin(b).where(F.col("a") < F.col("b"))
+            .select("a", "b", inter.alias("_i"), union.alias("_u"))
+            .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
             .select("a", "b",
-                    F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+                    F.round(F.col("_i").cast("double") / F.col("_u"), 4)
+                    .alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -373,10 +388,18 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     docs that actually share a shingle, and the per-pair intersection
     size is a count aggregate on the join output. ``max_shingle_df``
     optionally drops shingles appearing in more than that many docs
-    before pairing — boilerplate shingles create the hot buckets that
-    turn this quadratic at corpus scale, and dropping them only
-    UNDERcounts intersections (lossy in a bounded, auditable way; leave
-    ``None`` for exact results).
+    from the PAIR JOIN only — boilerplate shingles create the hot
+    buckets that turn this quadratic at corpus scale. The denominator
+    ``size_a`` is always computed from the UNPRUNED shingle set, so
+    pruning can only shrink the intersection (never the denominator):
+    reported containment only UNDERcounts — lossy in a bounded,
+    auditable way; leave ``None`` for exact results.
+
+    The threshold is applied as an integer cross-multiply
+    (``n_shared * 10000 >= size_a * round(threshold * 10000)``), so it
+    is rounding-free and an external oracle filtering on the exact same
+    integers agrees bit-for-bit; the ``containment`` column is a
+    4-dp-rounded REPORTED value only.
 
     Returns ``(a, b, n_shared, size_a, containment)`` for ordered pairs
     ``a != b`` with containment ≥ ``threshold``.
@@ -386,24 +409,28 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         F.explode(F.array_distinct(
             shingles(ws_tokens(F.col(text_col)), shingle_size)))
         .alias("shingle")))
+    # Denominator from the full shingle set — pruning must not inflate
+    # containment by shrinking size_a along with the intersection.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("size"))
     if max_shingle_df is not None:
         w_df = Window.partitionBy("shingle")
         sh = (sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
               .where(F.col("_df") <= max_shingle_df).drop("_df"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("size"))
     a = sh.select(F.col("_id").alias("a"), "shingle")
     b = sh.select(F.col("_id").alias("b"), "shingle")
     shared = (a.join(b, "shingle").where(F.col("a") != F.col("b"))
               .groupBy("a", "b")
               .agg(F.count(F.lit(1)).alias("n_shared")))
+    thr_num = int(round(threshold * 10000))
     return (shared
             .join(sizes.select(F.col("_id").alias("a"),
                                F.col("size").alias("size_a")), "a")
+            .where(F.col("n_shared") * 10000
+                   >= F.col("size_a") * F.lit(thr_num))
             .select("a", "b", "n_shared", "size_a",
                     F.round(F.col("n_shared")
                             / F.col("size_a").cast("double"), 4)
-                    .alias("containment"))
-            .where(F.col("containment") >= threshold))
+                    .alias("containment")))
 
 
 # ---------------------------------------------------------------------------

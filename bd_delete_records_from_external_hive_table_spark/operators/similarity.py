@@ -102,11 +102,19 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
     ``aggregate`` lambdas are INTERPRETED (Spark evaluates higher-order
     functions outside whole-stage codegen) — ~7 µs per pair measured at
     sf1, which made a 200-query × 20k-corpus sweep take ~27 s. The
-    matmul path is two orders faster per pair and, because each
+    vectorized path is two orders faster per pair and, because each
     partition pre-prunes to ``batches × q × k`` candidate rows, the
     final window ranks thousands of rows, never |corpus| × q. Per-batch
     selection uses the SAME (half-up-rounded sim, id) order as the
     global window, so pre-pruning can never change the result set.
+
+    Bit-reproducibility: dot products are accumulated dimension-by-
+    dimension LEFT-TO-RIGHT (``acc += a[:, j] ⊗ b[:, j]``), the exact
+    FP-addition order of the expression scorer's ``aggregate`` fold and
+    DuckDB's ``list_dot_product`` — NOT a BLAS matmul, whose pairwise
+    summation can differ by ~1e-12 and flip a 4-dp rounding boundary.
+    Still fully numpy-vectorized over the (batch × q) pair plane, so
+    the per-pair cost advantage over the interpreted HOF path stands.
 
     The panel must be bounded (it rides the closure): this is the
     fixed-eval-panel scorer. Corpus-fraction query sets are the LSH/IVF
@@ -125,7 +133,12 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = _round_half_up(mat @ qmat.T)          # (batch, q)
+            # left-to-right fold over dimensions (see docstring): same
+            # FP-addition order as the expression scorer / DuckDB fold
+            acc = np.zeros((mat.shape[0], qmat.shape[0]))
+            for j in range(mat.shape[1]):
+                acc += np.multiply.outer(mat[:, j], qmat[:, j])
+            sims = _round_half_up(acc)                   # (batch, q)
             sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):

@@ -135,7 +135,7 @@ def t18(spark, sf_dir):
           "ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4) "
           "AS containment "
           "FROM sh a, sh b WHERE a.doc_id <> b.doc_id AND len(a.s) > 0 "
-          "AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8 "
+          "AND len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 8000 "
           "ORDER BY a, b")
 def d13(spark, sf_dir):
     """Asymmetric containment near-dup pairs ``|S(a)∩S(b)| / |S(a)|`` on
@@ -165,7 +165,8 @@ def d13(spark, sf_dir):
           "CAST(votes AS BIGINT) AS votes FROM r WHERE rn = 1 "
           "ORDER BY query_id")
 def e08(spark, sf_dir):
-    """Leave-one-out kNN label vote: every 25th vector is classified by
+    """Leave-one-out kNN label vote: the first 200 vectors (vec_id <
+    200, matching the oracle's panel) are each classified by
     the majority label of its 10 nearest neighbors (rounded-sim rank,
     vec_id tie-break — n01's deterministic ranking) — the standard
     does-the-neighborhood-predict-the-label embedding eval. The
@@ -351,8 +352,8 @@ def st07(spark, sf_dir):
           "              w -> w <> '') AS toks "
           "  FROM documents), "
           "base AS (SELECT doc_id, source, len(toks) AS n_words, "
-          "  CAST(list_aggregate(list_transform(toks, w -> length(w)), "
-          "       'sum') AS BIGINT) AS n_chars, "
+          "  COALESCE(CAST(list_aggregate(list_transform(toks, "
+          "       w -> length(w)), 'sum') AS BIGINT), 0) AS n_chars, "
           "  CAST(list_contains(toks, 'the') OR list_contains(toks, 'a') "
           "       AS BIGINT) AS has_stop, "
           "  list_transform(range(1, greatest(len(toks), 1)), "
@@ -364,7 +365,7 @@ def st07(spark, sf_dir):
           "rep AS (SELECT doc_id, MAX(c) AS max_bg, "
           "  CAST(SUM(c) AS BIGINT) AS n_bg FROM bgc GROUP BY doc_id), "
           "flags AS (SELECT source, "
-          "  CAST(COALESCE(max_bg, 0) * 25 >= n_bg * 2 AS BIGINT) "
+          "  CAST(COALESCE(max_bg * 25 >= n_bg * 2, FALSE) AS BIGINT) "
           "    AS f_rep, "
           "  CAST(n_words < 50 AS BIGINT) AS f_short, "
           "  CAST(n_chars < 3 * n_words OR n_chars > 10 * n_words "
@@ -407,8 +408,12 @@ def t19(spark, sf_dir):
             (F.array_contains("toks", "the")
              | F.array_contains("toks", "a"))
             .cast("long").alias("has_stop"),
-            F.expr("transform(sequence(1, greatest(size(toks) - 1, 0)), "
-                   "i -> concat(toks[i-1], ' ', toks[i]))").alias("bgs"))
+            F.when(
+                F.size("toks") >= 2,
+                F.expr("transform(sequence(1, size(toks) - 1), "
+                       "i -> concat(toks[i-1], ' ', toks[i]))"))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("bgs"))
         .localCheckpoint(eager=False))
     rep = (base.select("doc_id", F.explode("bgs").alias("b"))
            .groupBy("doc_id", "b").count()
@@ -418,8 +423,10 @@ def t19(spark, sf_dir):
     flags = (base.join(rep, "doc_id", "left")
              .select(
                  "source",
-                 (F.coalesce("max_bg", F.lit(0)) * 25 >= F.col("n_bg") * 2)
-                 .cast("long").alias("f_rep"),
+                 F.coalesce(
+                     (F.col("max_bg") * 25 >= F.col("n_bg") * 2)
+                     .cast("long"),
+                     F.lit(0)).alias("f_rep"),
                  (F.col("n_words") < 50).cast("long").alias("f_short"),
                  ((F.col("n_chars") < 3 * F.col("n_words"))
                   | (F.col("n_chars") > 10 * F.col("n_words")))

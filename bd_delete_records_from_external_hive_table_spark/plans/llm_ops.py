@@ -117,8 +117,8 @@ def _aug_neardup_docs(spark, sf_dir):
           "ROUND(len(list_intersect(a.s, b.s))::DOUBLE / "
           "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1), 4) "
           "AS jaccard FROM sh a, sh b WHERE a.doc_id < b.doc_id "
-          "AND len(list_intersect(a.s, b.s))::DOUBLE / "
-          "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5 "
+          "AND len(list_intersect(a.s, b.s)) * 10000 >= "
+          "GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) * 5000 "
           "ORDER BY a, b")
 def d03(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard near-dup pairs (brute-force baseline

@@ -581,3 +581,31 @@ def test_brute_force_topk_arrow_equals_expression_scorer(spark):
              for r in brute_force_topk_arrow(df, queries, k=4).collect()]
     assert arrow == expr
     assert len(arrow) == 6 * 4
+
+
+def test_t19_gopher_rules_on_zero_and_one_token_docs(spark, tmp_path):
+    """Docs with 0 or 1 alphabetic tokens must not crash the bigram
+    transform under ANSI mode (sequence(1, 0) is descending [1, 0] →
+    INVALID_ARRAY_INDEX pre-fix) and must flag as short, never as
+    repetitive (an empty bigram list has no mode)."""
+    from bd_delete_records_from_external_hive_table_spark.plans.registry import queries
+
+    rows = [
+        (1, "", "en", "empty", 0),                      # 0 tokens
+        (2, "hello", "en", "empty", 5),                 # 1 token
+        (3, "123 456 % !!", "en", "empty", 12),         # 0 alpha tokens
+        (4, ("the quick brown fox jumps over a lazy dog and then "
+             "keeps going with more varied words here"), "en", "ok", 99),
+    ]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(str(tmp_path / "documents.parquet")))
+    out = {r.source: r for r in
+           queries()["t19_gopher_quality_rules"](
+               spark, str(tmp_path)).collect()}
+    e = out["empty"]
+    assert e.n_docs == 3 and e.n_short == 3 and e.n_clean == 0
+    assert e.n_repetitive == 0     # empty bigram list ≠ repetitive
+    ok = out["ok"]
+    assert ok.n_docs == 1 and ok.n_short == 1  # 17 words < 50 → short

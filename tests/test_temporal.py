@@ -195,6 +195,32 @@ def test_containment_max_shingle_df_prunes_hot_shingles(spark):
     assert pruned == []
 
 
+def test_containment_pruning_never_inflates_containment(spark):
+    """size_a must come from the UNPRUNED shingle set: a doc dominated
+    by boilerplate (pruned) shingles plus one rare shared shingle must
+    NOT score containment 1.0 after pruning — pruning shrinks only the
+    intersection, never the denominator."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import containment_pairs
+    boiler = "common boiler plate text here appears in every document"
+    docs = spark.createDataFrame(
+        # docs 0-4 share the boilerplate; after df-pruning, doc 0's ONLY
+        # surviving shingles are the 3 trailing ones, all shared with
+        # doc 5 — the exact shape that inflated containment pre-fix
+        [(0, boiler + " rare shared trigram"),
+         (1, boiler), (2, boiler), (3, boiler), (4, boiler),
+         (5, "zz ww every document rare shared trigram")],
+        "doc_id long, text string")
+    got = {(r.a, r.b): (r.n_shared, r.size_a, r.containment)
+           for r in containment_pairs(docs, threshold=0.8,
+                                      max_shingle_df=3).collect()}
+    # pre-fix this reported (0, 5) with size_a=3 (post-prune) and
+    # containment 1.0; with the unpruned denominator C(0→5) = 3/10 ≪ 0.8
+    assert (0, 5) not in got
+    # and pruning still kills the boilerplate-only quadratic pairs
+    assert not any(a in (1, 2, 3, 4) and b in (1, 2, 3, 4)
+                   for a, b in got)
+
+
 def test_nearest_join_matches_bruteforce_on_randomized_input(spark):
     """Randomized cross-check: 300x300 rows over 12 keys with a tiny ts
     range (forcing equal-ts collisions and exact-distance ties) must
@@ -254,9 +280,9 @@ def test_containment_pairs_match_setwise_bruteforce(spark):
             if a == b:
                 continue
             shared = len(sa & sb)
-            c = round(shared / len(sa), 4)
-            if c >= 0.5:
-                expect[(a, b)] = (shared, len(sa), c)
+            # same integer cross-multiply the operator uses (rounding-free)
+            if shared * 10000 >= len(sa) * 5000:
+                expect[(a, b)] = (shared, len(sa), round(shared / len(sa), 4))
 
     got = {(r.a, r.b): (r.n_shared, r.size_a, r.containment)
            for r in containment_pairs(
