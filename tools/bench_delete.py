@@ -1,0 +1,238 @@
+"""End-to-end DELETE workflow benchmark at sf1 (1M-row partitioned table).
+
+The engine's reason to exist — the reference's C1→C3 copy-on-write delete
+over a partitioned Hive table (DeletionExecutor.java:139-230,
+PartitionHandler.java:34-126) — is exercised by functional tests only at
+toy scale; this tool gives the headline capability a real perf row.
+
+Protocol: build ONE partitioned ORC Hive table from the sf1 events
+derivation (tools/make_sf1.py → 1,000,000 rows across 30 daily
+partitions, ~33k rows each), then run the FULL DeletionJob pipeline
+(identify → backup → dynamic-overwrite rewrite → post-validate) for
+scenarios chosen to hit each execution path once, each scoped to its
+OWN disjoint partition window so no scenario sees another's mutations:
+
+- ``delete_1pct``     7-partition window, criteria matches ~1% of rows
+                      (the routine GDPR-style delete: rewrite dominated
+                      by the retained 99%).
+- ``delete_50pct``    7-partition window, ~50% match (rewrite cost at
+                      its worst useful point: backup + half the data
+                      rewritten).
+- ``empty_partition`` time-window criteria covering one whole day →
+                      matches == total → the metadata-only DROP fast
+                      path (no rewrite batch, no read-back).
+- ``no_match``        7-partition window, criteria matches nothing →
+                      pure identify + validation cost (the floor every
+                      run pays).
+- ``dry_run``         7-partition window, ~1% match, dry_run=True →
+                      the planning/reporting path (identify + counts,
+                      zero writes).
+
+Partition-pruning evidence (the 100 TB argument): for each scenario the
+tool re-derives the handler's own analysis scan and records (a) the
+driver-side prune ratio candidates/total_partitions and (b) whether the
+executed scan carries the partition IN-list in ``PartitionFilters`` —
+i.e. the probe reads ONLY the windowed partitions, so cost scales with
+the window, not the table.
+
+Results merge into BENCH_DETAIL.json under ``delete_bench`` (bench.py
+preserves foreign keys on refresh). Run SOLO, like every bench.
+
+Usage: python tools/make_sf1.py && python tools/bench_delete.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bd_delete_records_from_external_hive_table_spark.config import (  # noqa: E402
+    DeletionCriteria, EngineConfig)
+from bd_delete_records_from_external_hive_table_spark.job import DeletionJob  # noqa: E402
+from bd_delete_records_from_external_hive_table_spark.operators.deletion import (  # noqa: E402
+    PartitionHandler)
+from bd_delete_records_from_external_hive_table_spark.partitions import (  # noqa: E402
+    in_list_predicate)
+from bd_delete_records_from_external_hive_table_spark.session import SessionFactory  # noqa: E402
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+DB = "delete_bench"
+TABLE = "events_sf1"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def build_table(spark) -> tuple[float, int, int]:
+    """Partitioned ORC Hive table from sf1 events: partition_id =
+    yyyyMMdd(ts) — the reference's exact layout (daily STRING
+    partitions, ORC storage, HiveTableDeletionJobIntegrationTest.java
+    fixture shape)."""
+    t0 = time.time()
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.{TABLE}")
+    spark.sql(f"""
+        CREATE TABLE {DB}.{TABLE} (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+    """)
+    ev = load_table(spark, SF1, "events")
+    (ev.select("event_id", "ts", "user_id", "event_type", "value", "props",
+               F.date_format("ts", "yyyyMMdd").alias("partition_id"))
+       .repartition("partition_id")   # one writer wave, one file/partition
+       .write.insertInto(f"{DB}.{TABLE}"))
+    n_rows = spark.table(f"{DB}.{TABLE}").count()
+    n_parts = spark.sql(f"SHOW PARTITIONS {DB}.{TABLE}").count()
+    return round(time.time() - t0, 3), n_rows, n_parts
+
+
+def prune_evidence(spark, cfg: EngineConfig) -> dict:
+    """Replicates PartitionHandler.analyze()'s scan and inspects its
+    plan: at 100 TB the probe must read the windowed partitions only."""
+    handler = PartitionHandler(spark, cfg)
+    total = len(handler.list_partitions())
+    cands = handler.candidate_partitions()
+    pred = cfg.criteria.deletion_column(cfg.null_safe_retention)
+    probe = (spark.table(cfg.qualified_table)
+             .where(in_list_predicate(cfg.partition_column, cands))
+             .groupBy(cfg.partition_column)
+             .agg(F.count(F.lit(1)).alias("total"),
+                  F.count(F.when(pred, 1)).alias("matches")))
+    plan = _explain(probe)
+    pf = [ln.strip() for ln in plan.splitlines()
+          if "PartitionFilters" in ln]
+    return {
+        "total_partitions": total,
+        "candidate_partitions": len(cands),
+        # a single-candidate IN-list folds to an equality filter — both
+        # shapes prove the probe reads only the windowed partitions
+        "partition_filters_in_scan": bool(
+            pf and cfg.partition_column in pf[0]
+            and (" IN " in pf[0] or " = " in pf[0])),
+        "partition_filters": pf[0][:200] if pf else None,
+    }
+
+
+def run_scenario(spark, name: str, cfg: EngineConfig) -> dict:
+    evidence = prune_evidence(spark, cfg)
+    t0 = time.time()
+    outcome = DeletionJob(spark, cfg).run()
+    wall = round(time.time() - t0, 3)
+    if not outcome.success:
+        raise RuntimeError(f"{name} failed: {outcome.error}")
+    r, m = outcome.result, outcome.metrics
+    row = {
+        "wall_s": wall,
+        "deleted": r.deleted,
+        "retained_in_rewrites": r.retained,
+        "partitions_rewritten": len(r.partitions_rewritten),
+        "partitions_dropped": len(r.partitions_dropped),
+        "dry_run": r.dry_run,
+        "backup_created": m.backup_created,
+        "validation_passed": m.validation_passed,
+        **evidence,
+    }
+    print(json.dumps({name: row}), flush=True)
+    return row
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(SF1, "events.parquet")):
+        sys.exit(f"{SF1}/events.parquet missing — run tools/make_sf1.py first")
+    load0 = os.getloadavg()[0]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    base = tempfile.mkdtemp(prefix="delete_bench_")
+    spark = SessionFactory.create(
+        app_name="delete-bench", master=f"local[{cpus}]", hive=True,
+        warehouse_dir=os.path.join(base, "warehouse"),
+        metastore_dir=os.path.join(base, "metastore_db"),
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
+
+    build_s, n_rows, n_parts = build_table(spark)
+    print(json.dumps({"build": {"wall_s": build_s, "rows": n_rows,
+                                "partitions": n_parts}}), flush=True)
+
+    def window(d0: int, d1: int) -> dict:
+        return {"partition_start": datetime(2024, 1, d0),
+                "partition_end": datetime(2024, 1, d1)}
+
+    crit = lambda **kw: DeletionCriteria(time_column="ts", **kw)
+    scenarios = {
+        # ~1% of rows in a 7-day window; full pipeline incl. backup
+        "delete_1pct": EngineConfig(
+            database=DB, table=TABLE,
+            criteria=crit(where_clause="user_id % 100 = 0"),
+            **window(1, 8)),
+        # ~50% of rows in the next 7-day window
+        "delete_50pct": EngineConfig(
+            database=DB, table=TABLE,
+            criteria=crit(where_clause="user_id % 2 = 0"),
+            **window(8, 15)),
+        # whole-day time window empties partition 20240115 → DROP path
+        "empty_partition": EngineConfig(
+            database=DB, table=TABLE,
+            criteria=crit(start_time=datetime(2024, 1, 15),
+                          end_time=datetime(2024, 1, 16)),
+            **window(15, 16)),
+        # nothing matches → identify-only floor
+        "no_match": EngineConfig(
+            database=DB, table=TABLE,
+            criteria=crit(where_clause="user_id < 0"),
+            **window(16, 23)),
+        # planning/reporting path, zero writes
+        "dry_run": EngineConfig(
+            database=DB, table=TABLE,
+            criteria=crit(where_clause="user_id % 100 = 0"),
+            dry_run=True, **window(23, 31)),
+    }
+
+    results = {}
+    for name, cfg in scenarios.items():
+        results[name] = run_scenario(spark, name, cfg)
+
+    # integrity: the table must account for every row (1% of ~233k +
+    # 50% of ~233k + one full day) with untouched windows intact
+    final_rows = spark.table(f"{DB}.{TABLE}").count()
+    expected = n_rows - sum(r["deleted"] for r in results.values()
+                            if not r["dry_run"])
+    section = {
+        "sf": 1,
+        "rows": n_rows,
+        "partitions": n_parts,
+        "build_wall_s": build_s,
+        "final_rows_match": final_rows == expected,
+        "loadavg_start": round(load0, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "scenarios": results,
+    }
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(path) as f:
+        detail = json.load(f)
+    detail["delete_bench"] = section
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"delete_bench": {
+        k: round(v["wall_s"], 2) for k, v in results.items()}
+        | {"final_rows_match": section["final_rows_match"]}}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
