@@ -56,7 +56,7 @@ def synthetic_media(spark: SparkSession, n: int = 64,
     payload_hex = F.substring(
         F.repeat(F.md5(F.col("id").cast("string")), reps),
         1, payload_bytes * 2)
-    return (spark.range(0, n, 1, max(1, min(8, n // 8)))
+    return (spark.range(0, n, 1, max(1, min(32, n // 32)))
             .select(F.col("id").alias("media_id"),
                     F.element_at(
                         F.array(F.lit("image"), F.lit("audio"),
@@ -100,7 +100,7 @@ def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     # per core, and 32 one-row partitions cost 32 Arrow worker round
     # trips PER mapInPandas stage — pure overhead for a small corpus.
     # Real corpora size their partitions by data volume instead.
-    n_parts = max(1, min(8, n // 8))
+    n_parts = max(1, min(32, n // 32))
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
@@ -268,7 +268,7 @@ def synthetic_image_corpus(spark: SparkSession, n: int = 60,
                     emit(i + 100000, noisy, "near_dup")
             yield pd.DataFrame(out)
 
-    n_parts = max(1, min(8, n // 8))
+    n_parts = max(1, min(32, n // 32))
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 

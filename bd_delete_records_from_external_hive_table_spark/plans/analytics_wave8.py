@@ -306,7 +306,9 @@ def m04(spark, sf_dir):
     images are md5-derived patterns at expected hamming ~32. Recall and
     precision are asserted in tests (rows-only driver check)."""
     from ..operators import multimodal
-    corpus = multimodal.synthetic_image_corpus(spark, n=60, dup_every=6)
+    from .llm_ops import media_corpus_n
+    corpus = multimodal.synthetic_image_corpus(
+        spark, n=media_corpus_n(spark, sf_dir), dup_every=6)
     sigs = multimodal.average_hash_64(corpus)
     return (dedup.banded_hamming_pairs(
         sigs, id_col="media_id", sig_col="sig",

@@ -480,6 +480,28 @@ def t06(spark, sf_dir):
 # Multimodal plumbing (deterministic fake decode; see operators/multimodal)
 # ---------------------------------------------------------------------------
 
+# sf_dir/table -> parquet row count. A plain int keyed by path: the
+# testdata parquet never changes within a process, so unlike the BPE
+# memo no per-session slot management is needed.
+_CORPUS_ROWS_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _corpus_rows(spark, sf_dir: str, table: str = "documents") -> int:
+    key = (sf_dir, table)
+    if key not in _CORPUS_ROWS_MEMO:
+        _CORPUS_ROWS_MEMO[key] = load_table(spark, sf_dir, table).count()
+    return _CORPUS_ROWS_MEMO[key]
+
+
+def media_corpus_n(spark, sf_dir: str) -> int:
+    """Synthetic media corpus size ∝ SF: one media item per 8 documents
+    (floor 48 so the smoke SF still exercises every modality and the
+    planted-dup population). Derived from the documents table's actual
+    row count — a parquet-metadata-cheap count, memoized per process —
+    so every m-series bench/scaling row measures work that GROWS with
+    the scale factor instead of a fixed-n corpus that cannot regress."""
+    return max(48, _corpus_rows(spark, sf_dir) // 8)
+
 @register("m01_media_features", None)  # md5-chain decode: no SQL oracle
 def m01(spark, sf_dir):
     """Multimodal feature extraction: synthetic binary corpus →
@@ -487,7 +509,8 @@ def m01(spark, sf_dir):
     feature summary. Exercises the full binary-payload pipeline shape:
     schema, batching, UDF signature."""
     from ..operators import multimodal
-    media = multimodal.synthetic_media(spark, n=64, payload_bytes=256)
+    media = multimodal.synthetic_media(
+        spark, n=media_corpus_n(spark, sf_dir), payload_bytes=256)
     feats = multimodal.extract_features(media, dim=8)
     return (feats.groupBy("modality")
             .agg(F.count(F.lit(1)).alias("n_media"),
@@ -507,7 +530,8 @@ def m03(spark, sf_dir):
     bytes — the genuinely non-stub path; richer codecs plug in as
     callables without touching the Spark plan."""
     from ..operators import multimodal
-    media = multimodal.synthetic_real_media(spark, n=48)
+    media = multimodal.synthetic_real_media(
+        spark, n=media_corpus_n(spark, sf_dir))
     feats = multimodal.extract_features(media, dim=8, decode="real")
     return (feats.groupBy("modality")
             .agg(F.count(F.lit(1)).alias("n_media"),
@@ -521,7 +545,8 @@ def m02(spark, sf_dir):
     """Video frame sampling: payload → fixed-size frames → every 2nd frame,
     exploded one row per frame — all JVM expressions, no Python."""
     from ..operators import multimodal
-    media = multimodal.synthetic_media(spark, n=64, payload_bytes=256)
+    media = multimodal.synthetic_media(
+        spark, n=media_corpus_n(spark, sf_dir), payload_bytes=256)
     frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
     return (frames.groupBy("media_id")
             .agg(F.count(F.lit(1)).alias("n_frames"),
