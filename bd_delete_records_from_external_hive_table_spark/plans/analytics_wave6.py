@@ -634,7 +634,24 @@ def g01(spark, sf_dir):
 # g02: PageRank (fixed-iteration power method)
 # ---------------------------------------------------------------------------
 
-@register("g02_pagerank", None)  # iterative float fixpoint: no SQL oracle
+def _pr_step(k: int) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE: the 5-round
+    power method is a FIXED iteration count, so the oracle needs no
+    recursive CTE at all — chain r0..r5 and read r5."""
+    return (f"r{k} AS (SELECT e.v AS u, "
+            "0.15::DOUBLE + 0.85::DOUBLE * SUM(r.rank / d.outd) AS rank "
+            f"FROM edges e JOIN r{k - 1} r ON e.u = r.u "
+            "JOIN deg d ON d.u = e.u GROUP BY e.v)")
+
+
+@register("g02_pagerank",
+          "WITH e0 AS (" + _G01_EDGES + "), "
+          "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), "
+          "deg AS (SELECT u, COUNT(*) AS outd FROM edges GROUP BY u), "
+          "r0 AS (SELECT u, 1.0::DOUBLE AS rank FROM deg), "
+          + ", ".join(_pr_step(k) for k in range(1, 6)) +
+          " SELECT u, ROUND(rank, 4) AS rank FROM r5 "
+          "ORDER BY rank DESC, u LIMIT 10")
 def g02(spark, sf_dir):
     """PageRank over the (undirected → both-ways) co-purchase graph:
     5 power iterations at damping 0.85 — the canonical iterative graph
@@ -646,7 +663,10 @@ def g02(spark, sf_dir):
     d06/t15. Dangling mass is impossible here (undirected edges give
     every vertex out-degree ≥ 1), so rank mass stays |V| — asserted in
     the test via a numpy power-iteration reference the Spark result
-    must match. Returns the top-10 parts by rank."""
+    must match. The DuckDB oracle UNROLLS the 5 fixed iterations as
+    chained CTEs r0→r5 (no recursive CTE needed for a fixed-depth
+    loop), so the driver hash-checks the rounded top-10 directly.
+    Returns the top-10 parts by rank."""
     und = _copurchase_edges(spark, sf_dir)
     edges = (und.unionAll(und.select(F.col("v").alias("u"),
                                      F.col("u").alias("v")))
