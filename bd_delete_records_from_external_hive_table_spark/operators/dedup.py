@@ -37,6 +37,7 @@ __all__ = [
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
     "simhash_banded_near_duplicates", "connected_components",
     "containment_pairs", "banded_hamming_pairs",
+    "repeated_kgram_doc_stats",
 ]
 
 SIMHASH_BITS = 28
@@ -431,6 +432,65 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_shared")
                             / F.col("size_a").cast("double"), 4)
                     .alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring statistics (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 8,
+                             min_docs: int = 2) -> DataFrame:
+    """Per-document repeated-substring statistics — the bounded k-gram
+    form of exact substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021, public): a k-token window
+    whose text occurs in ``min_docs``-or-more DISTINCT documents marks
+    a cross-document repeated span. Doc-level exact/near dedup
+    (:func:`exact_dedup`, MinHash/SimHash) provably misses these — two
+    long documents sharing one boilerplate paragraph are nowhere near
+    each other in Jaccard space.
+
+    Returns ``(id, n_grams, n_rep_grams)``: the doc's total k-gram
+    positions and how many of them lie on a cross-document-shared gram
+    (within-doc repetition alone never counts — the gram's document
+    frequency, not its occurrence count, crosses ``min_docs``).
+
+    Scale shape — docs never pairwise-join: ONE (gram, doc) partial
+    count (map-side combine does the heavy lifting: each task emits a
+    gram at most once per doc-chunk), a gram-keyed doc-frequency
+    aggregate, and a gram-keyed semi-join back. Every stage is keyed by
+    the gram, whose cardinality grows ~linearly with corpus tokens and
+    whose per-key fan-in is the gram's df — no quadratic anywhere. At
+    100 TB the gram STRING key would ride as ``xxhash64(gram)`` (8
+    bytes, collision-negligible for counting); the string key here
+    keeps the DuckDB oracle exact — a documented, one-line swap.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(toks, k)).alias("gram"))
+    # checkpointed: gd feeds the df filter, the rep rollup AND the
+    # per-doc totals — without it each consumer re-embeds the corpus
+    # scan (the registry-wide ≤2-fact-scans invariant)
+    gd = (grams.groupBy("gram", id_col)
+          .agg(F.count(F.lit(1)).alias("occ"))
+          .localCheckpoint(eager=False))
+    # gd is one row per (gram, doc): counting rows per gram IS the
+    # document frequency
+    shared = (gd.groupBy("gram")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") >= min_docs)
+              .select("gram"))
+    rep = (gd.join(shared, "gram")
+           .groupBy(id_col)
+           .agg(F.sum("occ").cast("long").alias("n_rep_grams")))
+    # a doc's total gram positions = Σ occ over its gd rows — derived
+    # from gd, not a second corpus scan (docs with < k tokens have no
+    # grams, no repeats, and are absent from the inner-joined result
+    # either way)
+    totals = (gd.groupBy(id_col)
+              .agg(F.sum("occ").cast("long").alias("n_grams")))
+    return totals.join(rep, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,11 @@ split decontamination — pipeline shapes the registry still lacked.
   phrase pass, Mikolov et al. 2013, public). Ordering and filtering
   ride on INTEGER counts only; the float PMI is a reported value, so
   engine libm ulp differences can never reorder rows.
+- d14 repeated-substring stats — bounded k-gram exact substring dedup
+  (Lee et al. 2021): cross-document repeated 8-token spans that
+  doc-level exact/near dedup misses; (gram, doc) partial count →
+  gram-df filter → semi-join, never doc×doc
+  (operators/dedup.py:repeated_kgram_doc_stats).
 - d13 shingle-containment pairs — the asymmetric complement of d03's
   Jaccard: catches partial copies (short doc pasted into a long one)
   that symmetric measures provably miss. Inverted-index equi-join,
@@ -148,6 +153,40 @@ def d13(spark, sf_dir):
     return (dedup.containment_pairs(
         _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.8)
         .orderBy("a", "b"))
+
+
+@register("d14_repeated_substring_stats",
+          "WITH tok AS (SELECT doc_id, "
+          "  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') "
+          "  AS ts FROM documents), "
+          "g AS (SELECT doc_id, "
+          "  unnest([array_to_string(ts[i:i+7], ' ') "
+          "          for i in range(1, len(ts) - 6)]) AS gram FROM tok), "
+          "gd AS (SELECT gram, doc_id, CAST(COUNT(*) AS BIGINT) AS occ "
+          "  FROM g GROUP BY gram, doc_id), "
+          "sh AS (SELECT gram FROM gd GROUP BY gram "
+          "  HAVING COUNT(*) >= 2), "
+          "rep AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_rep_grams "
+          "  FROM gd JOIN sh USING (gram) GROUP BY doc_id), "
+          "base AS (SELECT doc_id, CAST(GREATEST(len(ts) - 7, 0) "
+          "  AS BIGINT) AS n_grams FROM tok) "
+          "SELECT b.doc_id, b.n_grams, r.n_rep_grams "
+          "FROM base b JOIN rep r USING (doc_id) "
+          "ORDER BY n_rep_grams DESC, doc_id LIMIT 20")
+def d14(spark, sf_dir):
+    """Cross-document repeated 8-gram spans over the RAW documents table
+    (no planted corpus needed — the synthetic text genuinely repeats
+    ~4% of its 8-grams across docs): the exact-substring rung of the
+    dedup ladder (Lee et al. 2021) that doc-level exact/near dedup
+    (d01/d04) misses by construction. Top-20 docs by repeated-gram
+    positions; all reported columns and the ordering are integers, so
+    no float can flip a row. Plan shape per
+    ``operators/dedup.py:repeated_kgram_doc_stats``: (gram, doc)
+    partial count → gram-df filter → semi-join back — never a doc×doc
+    join."""
+    return (dedup.repeated_kgram_doc_stats(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2)
+        .orderBy(F.desc("n_rep_grams"), "doc_id").limit(20))
 
 
 @register("e08_knn_label_vote",

@@ -609,3 +609,28 @@ def test_t19_gopher_rules_on_zero_and_one_token_docs(spark, tmp_path):
     assert e.n_repetitive == 0     # empty bigram list ≠ repetitive
     ok = out["ok"]
     assert ok.n_docs == 1 and ok.n_short == 1  # 17 words < 50 → short
+
+
+def test_repeated_kgram_stats_cross_doc_only(spark):
+    """Only grams shared across >= min_docs DISTINCT docs count: a doc
+    repeating its own phrase never flags, and occurrence counting is
+    position-exact."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import repeated_kgram_doc_stats
+    shared = "a b c"              # 3-gram planted in docs 1 and 2
+    docs = spark.createDataFrame(
+        [(1, f"{shared} x y z"),              # 4 grams, 1 shared
+         (2, f"p q {shared} r"),              # 4 grams, 1 shared
+         (3, "m n o m n o m n o"),            # self-repetition only
+         (4, "u v")],                         # too short for any 3-gram
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_rep_grams)
+           for r in repeated_kgram_doc_stats(docs, k=3).collect()}
+    assert got[1] == (4, 1) and got[2] == (4, 1)
+    assert 3 not in got        # within-doc repeats never cross min_docs
+    assert 4 not in got        # no grams at all
+    # doc 5 contains the shared gram TWICE -> both positions count
+    docs5 = docs.unionByName(spark.createDataFrame(
+        [(5, f"{shared} w {shared}")], "doc_id long, text string"))
+    got5 = {r.doc_id: (r.n_grams, r.n_rep_grams)
+            for r in repeated_kgram_doc_stats(docs5, k=3).collect()}
+    assert got5[5] == (5, 2)
