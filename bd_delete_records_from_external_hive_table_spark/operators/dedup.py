@@ -460,15 +460,25 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
     gram at most once per doc-chunk), a gram-keyed doc-frequency
     aggregate, and a gram-keyed semi-join back. Every stage is keyed by
     the gram, whose cardinality grows ~linearly with corpus tokens and
-    whose per-key fan-in is the gram's df — no quadratic anywhere. At
-    100 TB the gram STRING key would ride as ``xxhash64(gram)`` (8
-    bytes, collision-negligible for counting); the string key here
-    keeps the DuckDB oracle exact — a documented, one-line swap.
+    whose per-key fan-in is the gram's df — no quadratic anywhere.
+
+    Grams never appear in the OUTPUT, only as grouping keys, so every
+    shuffle rides ``xxhash64(gram)`` (8 bytes) instead of the ~50-byte
+    k-token string — Lee et al.'s own trick. Counting is exact up to a
+    64-bit collision (≤ n²/2⁶⁵ ≈ 1e-8 even at 10⁸ distinct grams per
+    shard), far below any oracle-visible effect.
     """
+    from ..sources.tables import spread
+
     toks = ws_tokens(F.col(text_col))
-    grams = df.select(
+    # gram generation is interpreted-HOF compute (~15 µs/gram measured)
+    # and the corpus may arrive as ONE row group = one scan task;
+    # spread() widens to cluster parallelism only when the scan can't
+    # (metadata check — a no-op on real multi-split inputs)
+    grams = (spread(df).select(
         F.col(id_col),
-        F.explode(shingles(toks, k)).alias("gram"))
+        F.explode(shingles(toks, k)).alias("_g"))
+        .select(F.col(id_col), F.xxhash64("_g").alias("gram")))
     # checkpointed: gd feeds the df filter, the rep rollup AND the
     # per-doc totals — without it each consumer re-embeds the corpus
     # scan (the registry-wide ≤2-fact-scans invariant)

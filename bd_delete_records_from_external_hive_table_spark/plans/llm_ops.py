@@ -25,7 +25,7 @@ from ..functions.text import (
     stable_hash28, token_stats_cols, ws_tokens,
 )
 from ..operators import dedup, similarity
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 # DuckDB SQL fragments mirroring functions/text.py expressions ------------
@@ -1161,7 +1161,10 @@ def t11(spark, sf_dir):
     unbounded ever reaches the driver."""
     docs = load_table(spark, sf_dir, "documents")
     w = ws_tokens(F.lower(F.col("text")))
-    spans = (docs.select("doc_id", w.alias("w"))
+    # span generation is interpreted-HOF compute on a possibly
+    # single-row-group scan — spread() widens it to all cores
+    # (metadata-only check; no-op on real multi-split inputs)
+    spans = (spread(docs).select("doc_id", w.alias("w"))
              .where(F.size("w") >= 4)
              .select("doc_id", F.explode(F.transform(
                  F.sequence(F.lit(1), F.size("w") - 3),

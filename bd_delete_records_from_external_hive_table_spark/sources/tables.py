@@ -21,7 +21,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "dim", "load_table", "register_views"]
+__all__ = ["TABLES", "dim", "load_table", "register_views", "spread"]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -92,6 +92,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
                 # filters so the pushed predicate matches the file type.
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Widen a COMPUTE-BOUND pipeline stage to full cluster parallelism
+    when the scan under it cannot.
+
+    Parquet splits at row-group boundaries, so a small corpus written
+    as one row group yields ONE non-empty scan partition no matter what
+    ``maxPartitionBytes`` says — and every downstream higher-order
+    function (interpreted, ~µs per element: gram generation, per-token
+    folds) then runs single-threaded. Measured on d14 at sf0.1: the
+    8-gram explode alone took 3.7 s in one task (~15 µs/gram × 235k
+    grams on one core).
+
+    The check is METADATA-ONLY (physical-plan partition count — no job
+    runs) and the repartition applies only when the input has fewer
+    partitions than the target, so at real scale — where a 100 TB scan
+    already yields hundreds of thousands of splits — this is a no-op
+    that never re-shuffles the corpus. Use it on inputs whose per-row
+    compute dominates their byte size; it is NOT for general scans.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str,
