@@ -20,7 +20,12 @@ cold/warm timing, checkpointed state for shell-timeout resume); flags
 confirmed min-of-3 before they stand. Merges into BENCH_DETAIL.json
 under ``sf10_scaling``. Run SOLO.
 
-Usage: python tools/bench_scaling_sf10.py [names=a,b,c]
+Heap: run with ``SPARK_GRAFT_DRIVER_MEM=48g`` — the session default
+(8g) OOM'd at sf10 (60M-row lineitem shuffles across 32 in-JVM
+executor threads); the host has 125 GiB, and a real cluster sizes
+executor heap per core anyway.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/bench_scaling_sf10.py [names=a,b,c]
 """
 
 from __future__ import annotations
@@ -132,6 +137,8 @@ def main(names: list[str]) -> None:
         detail = json.load(f)
     if isinstance(detail.get("sf10_scaling"), dict):
         detail["sf10_scaling"]["queries"].update(scaling)
+        # both load fields describe the LATEST measuring run
+        detail["sf10_scaling"]["loadavg_start"] = result["loadavg_start"]
         detail["sf10_scaling"]["loadavg_end"] = result["loadavg_end"]
     else:
         detail["sf10_scaling"] = result
