@@ -207,6 +207,40 @@ def main() -> None:
     for name, cfg in scenarios.items():
         results[name] = run_scenario(spark, name, cfg)
 
+    # --- merge-on-read counterpart (deletion vectors): same ~1% delete
+    # shape as delete_1pct but via tombstones — the write-amplification
+    # comparison: delete cost O(matching rows) vs CoW's partition
+    # rewrite; read pays one broadcast anti join; compact() amortizes
+    # the physical rewrite (reference CoW machinery underneath).
+    from bd_delete_records_from_external_hive_table_spark.operators.deletion_vectors import (
+        MergeOnReadDeleter)
+    mor_cfg = EngineConfig(
+        database=DB, table=TABLE,
+        criteria=crit(where_clause="user_id % 100 = 50"),
+        backup_enabled=False, **window(23, 31))
+    mor = MergeOnReadDeleter(spark, mor_cfg,
+                             dv_path=os.path.join(base, "dv_store"),
+                             key_columns=["event_id"])
+    t0 = time.time()
+    dres = mor.delete()
+    mor_delete_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    visible = mor.read().count()
+    mor_read_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    cres = mor.compact()
+    mor_compact_s = round(time.time() - t0, 3)
+    results["mor_delete_1pct"] = {
+        "wall_s": mor_delete_s, "deleted": dres.keys_written,
+        "read_after_delete_s": mor_read_s, "visible_rows": visible,
+        "compact_s": mor_compact_s,
+        "compact_partitions_rewritten": len(cres.partitions_rewritten),
+        "dry_run": False,
+        "cow_equivalent_wall_s": results["delete_1pct"]["wall_s"],
+    }
+    print(json.dumps({"mor_delete_1pct": results["mor_delete_1pct"]}),
+          flush=True)
+
     # integrity: the table must account for every row (1% of ~233k +
     # 50% of ~233k + one full day) with untouched windows intact
     final_rows = spark.table(f"{DB}.{TABLE}").count()
