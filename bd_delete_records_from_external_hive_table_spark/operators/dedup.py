@@ -455,12 +455,14 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
     (within-doc repetition alone never counts — the gram's document
     frequency, not its occurrence count, crosses ``min_docs``).
 
-    Scale shape — docs never pairwise-join: ONE (gram, doc) partial
-    count (map-side combine does the heavy lifting: each task emits a
-    gram at most once per doc-chunk), a gram-keyed doc-frequency
-    aggregate, and a gram-keyed semi-join back. Every stage is keyed by
-    the gram, whose cardinality grows ~linearly with corpus tokens and
-    whose per-key fan-in is the gram's df — no quadratic anywhere.
+    Scale shape — docs never pairwise-join, and nothing joins at all:
+    ONE (gram, doc) partial count (map-side combine does the heavy
+    lifting), a gram-partitioned window attaches each gram's document
+    frequency to its rows in place, and a single per-doc aggregate
+    computes totals and repeated-positions together. Three shuffles,
+    zero joins, one linear chain. Every stage is keyed by the gram,
+    whose cardinality grows ~linearly with corpus tokens and whose
+    per-key fan-in is the gram's df — no quadratic anywhere.
 
     Grams never appear in the OUTPUT, only as grouping keys, so every
     shuffle rides ``xxhash64(gram)`` (8 bytes) instead of the ~50-byte
@@ -479,28 +481,20 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(shingles(toks, k)).alias("_g"))
         .select(F.col(id_col), F.xxhash64("_g").alias("gram")))
-    # checkpointed: gd feeds the df filter, the rep rollup AND the
-    # per-doc totals — without it each consumer re-embeds the corpus
-    # scan (the registry-wide ≤2-fact-scans invariant)
     gd = (grams.groupBy("gram", id_col)
-          .agg(F.count(F.lit(1)).alias("occ"))
-          .localCheckpoint(eager=False))
-    # gd is one row per (gram, doc): counting rows per gram IS the
-    # document frequency
-    shared = (gd.groupBy("gram")
-              .agg(F.count(F.lit(1)).alias("df"))
-              .where(F.col("df") >= min_docs)
-              .select("gram"))
-    rep = (gd.join(shared, "gram")
-           .groupBy(id_col)
-           .agg(F.sum("occ").cast("long").alias("n_rep_grams")))
-    # a doc's total gram positions = Σ occ over its gd rows — derived
-    # from gd, not a second corpus scan (docs with < k tokens have no
-    # grams, no repeats, and are absent from the inner-joined result
-    # either way)
-    totals = (gd.groupBy(id_col)
-              .agg(F.sum("occ").cast("long").alias("n_grams")))
-    return totals.join(rep, id_col)
+          .agg(F.count(F.lit(1)).alias("occ")))
+    # gd is one row per (gram, doc): its per-gram row count IS the
+    # document frequency — attached in place by an unordered window
+    # (one gram-keyed shuffle; no ordering, so no sort)
+    gdd = gd.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    # a doc's total gram positions = Σ occ; its repeated positions =
+    # Σ occ over grams whose df crosses min_docs — both in ONE agg
+    return (gdd.groupBy(id_col)
+            .agg(F.sum("occ").cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("df") >= min_docs, F.col("occ"))
+                       .otherwise(0)).cast("long").alias("n_rep_grams"))
+            .where(F.col("n_rep_grams") > 0))
 
 
 # ---------------------------------------------------------------------------
