@@ -19,10 +19,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
-    "HASH_PRIME", "BPE_TOKEN_RE",
+    "HASH_PRIME", "BPE_TOKEN_RE", "PII_PATTERNS",
     "stable_hash28", "ws_tokens", "bpe_tokens", "shingles",
     "token_stats_cols", "quality_score_col", "lang_scores",
-    "lang_tokens", "lang_scores_from_tokens",
+    "lang_tokens", "lang_scores_from_tokens", "pii_count_cols",
+    "redact_pii",
     "STOPWORDS",
 ]
 
@@ -130,3 +131,38 @@ def lang_scores(text: Column) -> dict[str, Column]:
     ``lang_tokens`` + ``lang_scores_from_tokens`` with the token array
     in its own projection (see :func:`lang_tokens`)."""
     return lang_scores_from_tokens(lang_tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (corpus-governance pass before training)
+# ---------------------------------------------------------------------------
+
+#: kind -> regex, written in the common Java-regex/RE2 subset (character
+#: classes, bounded repetition, \b) so Spark and DuckDB agree exactly.
+#: Deliberately high-precision shapes — a corpus scrub wants auditable
+#: rules, not a fuzzy NER model, as its first line (the model pass runs
+#: AFTER the cheap regex gate at 100 TB).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — ``regexp_count`` is JVM codegen, one
+    pass per pattern over the row, no Python anywhere."""
+    return {f"n_{kind}": F.regexp_count(text, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with ``<KIND>`` — the write-side scrub.
+    Chained ``regexp_replace`` (one JVM pass per pattern). SSN runs
+    BEFORE phone: the two shapes overlap on the area-prefix and the
+    more specific redaction must win deterministically."""
+    out = text
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

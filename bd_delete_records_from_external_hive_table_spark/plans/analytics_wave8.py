@@ -39,6 +39,10 @@ split decontamination — pipeline shapes the registry still lacked.
   is already test-asserted in test_streaming.py.
 - t19 Gopher-style quality rules — repetition / length / word-length /
   stopword filters per source, all integer-compared, one corpus scan.
+- t20 PII scan + redaction audit (round 5) — regex email/phone/SSN/IPv4
+  counts per source with planted ground truth and a residual-after-
+  redaction column proving the scrub; all JVM regexp codegen
+  (functions/text.py:PII_PATTERNS).
 
 Reference anchor: widens the declared-query surface admitted by the
 reference's SQL boundary (DeletionCriteria.java:40-63) as waves 1-7 do.
@@ -49,7 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import stable_hash28
+from ..functions.text import (PII_PATTERNS, pii_count_cols,
+                              redact_pii, stable_hash28)
 from ..operators import dedup, similarity
 from ..operators.temporal import nearest_join
 from ..sources.tables import dim, load_table
@@ -153,6 +158,107 @@ def d13(spark, sf_dir):
     return (dedup.containment_pairs(
         _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.8)
         .orderBy("a", "b"))
+
+
+_AUG_PII = (
+    "SELECT doc_id, source, text "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' "
+    "   || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.0.7' ELSE '' END "
+    "AS text FROM documents")
+
+
+def _aug_pii_docs(spark, sf_dir):
+    """Documents with deterministically planted PII (every 7th doc an
+    email, 11th a phone, 13th an SSN, 5th an IPv4) — mirrored exactly
+    by the ``_AUG_PII`` SQL fragment, so detection counts are provable
+    at every SF instead of depending on the synthetic text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call 555-867-5309")).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" host 10.0.0.7")).otherwise(""),
+        ).alias("text"))
+
+
+@register("t20_pii_scan",
+          f"WITH aug AS ({_AUG_PII}), "
+          "c AS (SELECT source, "
+          "  len(regexp_extract_all(text, "
+          "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+          "    AS n_email, "
+          "  len(regexp_extract_all(text, "
+          "    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone, "
+          "  len(regexp_extract_all(text, "
+          "    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn, "
+          "  len(regexp_extract_all(text, "
+          "    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+          "    AS n_ipv4, "
+          "  len(regexp_extract_all("
+          "    regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+          "      text, "
+          "      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+          "      '<EMAIL>', 'g'), "
+          "      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
+          "      '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'), "
+          "      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', "
+          "      '<IPV4>', 'g'), "
+          "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+          "    AS n_residual "
+          "  FROM aug) "
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+          "CAST(SUM(n_email) AS BIGINT) AS emails, "
+          "CAST(SUM(n_phone) AS BIGINT) AS phones, "
+          "CAST(SUM(n_ssn) AS BIGINT) AS ssns, "
+          "CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s, "
+          "CAST(SUM(CASE WHEN n_email + n_phone + n_ssn + n_ipv4 > 0 "
+          "  THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
+          "CAST(SUM(n_residual) AS BIGINT) AS residual_after_redact "
+          "FROM c GROUP BY source ORDER BY source")
+def t20(spark, sf_dir):
+    """PII detection + redaction audit — the corpus-governance gate
+    every training pipeline runs before release (GDPR/CCPA scrub):
+    per-source counts of email/phone/SSN/IPv4 matches, docs carrying
+    any PII, and the residual email count AFTER ``redact_pii`` (must be
+    0 — the audit carries its own proof the scrub worked). All
+    detection is ``regexp_count``/``regexp_replace`` — JVM codegen, one
+    corpus scan, map-side partial aggregation; patterns live in the
+    cross-engine Java-regex/RE2 subset
+    (functions/text.py:PII_PATTERNS). PII is deterministically planted
+    (``_aug_pii_docs``) so the expected counts are provable at every
+    SF. All outputs integers — engine-exact."""
+    aug = _aug_pii_docs(spark, sf_dir)
+    counts = pii_count_cols(F.col("text"))
+    c = aug.select(
+        "source",
+        *[v.alias(k) for k, v in counts.items()],
+        F.regexp_count(redact_pii(F.col("text")),
+                       F.lit(PII_PATTERNS["email"])).alias("n_residual"))
+    any_pii = (F.col("n_email") + F.col("n_phone")
+               + F.col("n_ssn") + F.col("n_ipv4") > 0)
+    return (c.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").cast("long").alias("emails"),
+                 F.sum("n_phone").cast("long").alias("phones"),
+                 F.sum("n_ssn").cast("long").alias("ssns"),
+                 F.sum("n_ipv4").cast("long").alias("ipv4s"),
+                 F.sum(any_pii.cast("long")).cast("long")
+                 .alias("docs_with_pii"),
+                 F.sum("n_residual").cast("long")
+                 .alias("residual_after_redact"))
+            .orderBy("source"))
 
 
 @register("d14_repeated_substring_stats",

@@ -634,3 +634,37 @@ def test_repeated_kgram_stats_cross_doc_only(spark):
     got5 = {r.doc_id: (r.n_grams, r.n_rep_grams)
             for r in repeated_kgram_doc_stats(docs5, k=3).collect()}
     assert got5[5] == (5, 2)
+
+
+def test_pii_detection_and_redaction(spark):
+    """Counts are position-exact per kind; redaction removes every
+    match for every kind (not just email) and is idempotent."""
+    from bd_delete_records_from_external_hive_table_spark.functions.text import (
+        PII_PATTERNS, pii_count_cols, redact_pii)
+
+    rows = [
+        (1, "mail a.b-c_d@sub.example.org and x@y.io today"),
+        (2, "call 555-867-5309 or 555-123-4567 x 123-45-6789"),
+        (3, "hosts 10.0.0.7 and 192.168.1.255, version 1.2 is not an ip"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in df.select(
+        "doc_id",
+        *[v.alias(k) for k, v in pii_count_cols(F.col("text")).items()],
+        redact_pii(F.col("text")).alias("red")).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (2, 0)
+    assert (got[2]["n_phone"], got[2]["n_ssn"]) == (2, 1)
+    assert got[3]["n_ipv4"] == 2 and got[3]["n_email"] == 0
+    assert got[4] == {"doc_id": 4, "n_email": 0, "n_phone": 0,
+                      "n_ssn": 0, "n_ipv4": 0,
+                      "red": rows[3][1]}
+    # redacted text carries ZERO residual matches of ANY kind, and
+    # redacting again changes nothing (idempotent)
+    red = df.select(redact_pii(F.col("text")).alias("t"))
+    residual = red.select(
+        *[v.alias(k) for k, v in pii_count_cols(F.col("t")).items()])
+    assert all(sum(r) == 0 for r in residual.collect())
+    twice = red.select(redact_pii(F.col("t")).alias("t2"), "t")
+    assert all(r.t2 == r.t for r in twice.collect())
+    assert "<EMAIL>" in got[1]["red"] and "<SSN>" in got[2]["red"]
