@@ -68,6 +68,10 @@ from bd_delete_records_from_external_hive_table_spark.sources.tables import load
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+#: label for the BENCH_DETAIL section: "1" → delete_bench (the default
+#: sf1 run), anything else → delete_bench_sf<label> (e.g. a 10M-row
+#: sf10 run with SPARK_GRAFT_SF1_DIR=/tmp/sf10 SPARK_GRAFT_DELETE_SF=10)
+SF_LABEL = os.environ.get("SPARK_GRAFT_DELETE_SF", "1")
 DB = "delete_bench"
 TABLE = "events_sf1"
 
@@ -247,7 +251,7 @@ def main() -> None:
     expected = n_rows - sum(r["deleted"] for r in results.values()
                             if not r["dry_run"])
     section = {
-        "sf": 1,
+        "sf": SF_LABEL,
         "rows": n_rows,
         "partitions": n_parts,
         "build_wall_s": build_s,
@@ -256,13 +260,15 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         "scenarios": results,
     }
+    key = ("delete_bench" if SF_LABEL == "1"
+           else f"delete_bench_sf{SF_LABEL}")
     path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(path) as f:
         detail = json.load(f)
-    detail["delete_bench"] = section
+    detail[key] = section
     with open(path, "w") as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps({"delete_bench": {
+    print(json.dumps({key: {
         k: round(v["wall_s"], 2) for k, v in results.items()}
         | {"final_rows_match": section["final_rows_match"]}}), flush=True)
     spark.stop()
