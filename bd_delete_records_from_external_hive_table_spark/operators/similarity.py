@@ -36,7 +36,7 @@ __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
            "embedding_moments", "pca_whitening",
-           "save_ivf_index", "load_ivf_index"]
+           "save_ivf_index", "load_ivf_index", "semantic_dedup"]
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -470,3 +470,57 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
     restored (parquet preserves no order; the bucket id does)."""
     rows = spark.read.parquet(path).orderBy("bucket").collect()
     return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
+                   nlist: int = 16, n_assign: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
+    PRUNING via coarse k-means clustering — the dedup rung between
+    doc-level near-dup (MinHash on surface text) and nothing: two docs
+    saying the same thing in different words share no shingles but sit
+    together in embedding space.
+
+    Pipeline: train the IVF coarse quantizer on a bounded driver sample
+    (:func:`train_ivf_centroids` — reproducible, sample-sized driver
+    cost), assign every vector to its ``n_assign`` nearest centroids
+    (one Arrow matmul per batch, fully distributed), generate candidate
+    pairs ONLY within a (bucket) equi-join — the SemDeDup scale
+    argument: the pair space is Σ|cluster|² instead of N², and cluster
+    sizes are balanced by k-means — then exact-cosine-verify candidates
+    and collapse them to components (min-id survivor per component,
+    :func:`..operators.dedup.connected_components`).
+
+    ``n_assign ≥ 2`` is the boundary-recall knob (a pair straddling two
+    clusters still collides in a shared probe bucket); exact duplicates
+    always share their nearest centroid and are never missed. Returns
+    ``(id, survivor)`` for PRUNED vectors only — the rows a curation
+    pipeline drops, each with the representative it duplicates.
+    """
+    from .dedup import connected_components
+
+    cent = train_ivf_centroids(corpus, nlist=nlist, vec_col=vec_col)
+    assigned = ivf_assign(corpus, cent, n_assign=n_assign,
+                          vec_col=vec_col)
+    a = assigned.select(F.col(id_col).alias("a"), "bucket")
+    b = assigned.select(F.col(id_col).alias("b"), "bucket")
+    cands = (a.join(b, "bucket").where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    va = corpus.select(F.col(id_col).alias("a"),
+                       F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"),
+                       F.col(vec_col).alias("vb"))
+    pairs = (cands.join(va, "a").join(vb, "b")
+             .select("a", "b",
+                     F.round(dot_product(F.col("va"), F.col("vb")), 4)
+                     .alias("cosine"))
+             .where(F.col("cosine") >= threshold))
+    comps = connected_components(pairs)
+    return (comps.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col),
+                    F.col("component").alias("survivor")))

@@ -39,6 +39,10 @@ split decontamination — pipeline shapes the registry still lacked.
   is already test-asserted in test_streaming.py.
 - t19 Gopher-style quality rules — repetition / length / word-length /
   stopword filters per source, all integer-compared, one corpus scan.
+- e09 SemDeDup (round 5, Abbas et al. 2023) — semantic dedup via
+  k-means cluster bucketing: pair space bounded by cluster sizes,
+  exact-cosine verify in probe buckets, component-min survivor;
+  equality vs the exact all-pairs pipeline test-asserted.
 - t20 PII scan + redaction audit (round 5) — regex email/phone/SSN/IPv4
   counts per source with planted ground truth and a residual-after-
   redaction column proving the scrub; all JVM regexp codegen
@@ -436,6 +440,30 @@ def s08(spark, sf_dir):
                     F.coalesce("val_n", F.lit(0)).alias("val_n"),
                     F.coalesce("leaked_n", F.lit(0)).alias("leaked_n"))
             .orderBy("source"))
+
+
+@register("e09_semantic_dedup", None)  # k-means quantizer: no SQL oracle
+def e09(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the planted-duplicate embedding
+    corpus: k-means coarse clusters bound the candidate-pair space to
+    Σ|cluster|² (never N²), exact-cosine verification inside probe
+    buckets only, connected components pick the min-id survivor, and
+    the PRUNED rows (id, survivor) come back — the semantic rung of the
+    dedup ladder, catching same-meaning/different-words duplicates that
+    shingle-based dedup (d03/d04) cannot see. ``n_assign=2`` multiprobe
+    holds boundary recall; planted exact copies always share their
+    nearest centroid, so recall on them is structural, not
+    probabilistic (equality vs the exact all-pairs pipeline is
+    test-asserted in tests/test_llm_ops.py). Rows-only: the trained
+    quantizer has no SQL form (same reason as n03's IVF)."""
+    return (similarity.semantic_dedup(
+        _aug_emb_w8(spark, sf_dir), threshold=0.99, nlist=16, n_assign=2)
+        .orderBy("vec_id"))
+
+
+def _aug_emb_w8(spark, sf_dir):
+    from .llm_ops import _aug_emb
+    return _aug_emb(spark, sf_dir)
 
 
 @register("m04_image_phash_neardup", None)  # binary decode: no SQL oracle

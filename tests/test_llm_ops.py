@@ -197,6 +197,7 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "sa01_bernoulli_sample", "sa02_stratified_sample",
     "a05_approx_count_distinct", "a14_approx_quantile",
     "d04_minhash_lsh_neardup", "n02_ann_lsh_topk", "n03_ann_ivf_topk",
+    "e09_semantic_dedup",
     "m01_media_features", "m02_video_frame_sample",
     "a21_hll_sketch_rollup", "a25_theta_set_algebra",
     "t15_bpe_train", "t16_bpe_compression",
@@ -668,3 +669,28 @@ def test_pii_detection_and_redaction(spark):
     twice = red.select(redact_pii(F.col("t")).alias("t2"), "t")
     assert all(r.t2 == r.t for r in twice.collect())
     assert "<EMAIL>" in got[1]["red"] and "<SSN>" in got[2]["red"]
+
+
+def test_semantic_dedup_equals_exact_pipeline(spark, sf_dir):
+    """SemDeDup's cluster-bucketed pruning must equal the exact
+    all-pairs pipeline (brute-force cosine pairs → components → prune
+    non-survivors) on the planted-duplicate corpus: planted copies are
+    EXACT, so they always share their nearest centroid and recall is
+    structural."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import connected_components
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        embedding_near_duplicates, semantic_dedup)
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_emb
+
+    corpus = _aug_emb(spark, sf_dir)
+    exact_pairs = embedding_near_duplicates(corpus, threshold=0.99,
+                                            bands=0)
+    comps = connected_components(exact_pairs)
+    expect = {(r.node, r.component) for r in comps.collect()
+              if r.node != r.component}
+    got = {(r.vec_id, r.survivor)
+           for r in semantic_dedup(corpus, threshold=0.99).collect()}
+    assert got == expect
+    assert len(got) >= 1          # the planted copies are really pruned
+    # every planted copy (vec_id >= 100000) is pruned to its original
+    assert all(s == v - 100000 for v, s in got if v >= 100000)
