@@ -61,7 +61,13 @@ def _previously_green() -> dict[str, int]:
             if row.get("hash_match") is True:
                 rowed[name] = max(rowed.get(name, 0), rnd)
             elif (row.get("err") == "no_oracle"
-                  and (row.get("spark_rows") or 0) > 0):
+                  and (row.get("spark_rows") or 0) > 0
+                  # a rows-only green certifies only the weaker check:
+                  # if the query has GAINED a DuckDB oracle since, it
+                  # re-queues as never-certified so the driver earns it
+                  # a full value-hash row (e.g. g02 in round 5)
+                  and (name not in REGISTRY
+                       or REGISTRY[name].oracle is None)):
                 rowed[name] = max(rowed.get(name, 0), rnd)
     return rowed
 
