@@ -159,9 +159,10 @@ def pii_count_cols(text: Column) -> dict[str, Column]:
 
 def redact_pii(text: Column) -> Column:
     """Replace every PII match with ``<KIND>`` — the write-side scrub.
-    Chained ``regexp_replace`` (one JVM pass per pattern). SSN runs
-    BEFORE phone: the two shapes overlap on the area-prefix and the
-    more specific redaction must win deterministically."""
+    Chained ``regexp_replace`` (one JVM pass per pattern), in a FIXED
+    order so outputs are deterministic even if patterns are later
+    extended to overlapping shapes (today's four are mutually
+    non-overlapping: 3-2-4 vs 3-3-4 digit groups never co-match)."""
     out = text
     for kind in ("email", "ssn", "phone", "ipv4"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")

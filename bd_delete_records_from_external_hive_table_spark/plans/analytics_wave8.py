@@ -456,14 +456,10 @@ def e09(spark, sf_dir):
     probabilistic (equality vs the exact all-pairs pipeline is
     test-asserted in tests/test_llm_ops.py). Rows-only: the trained
     quantizer has no SQL form (same reason as n03's IVF)."""
-    return (similarity.semantic_dedup(
-        _aug_emb_w8(spark, sf_dir), threshold=0.99, nlist=16, n_assign=2)
-        .orderBy("vec_id"))
-
-
-def _aug_emb_w8(spark, sf_dir):
     from .llm_ops import _aug_emb
-    return _aug_emb(spark, sf_dir)
+    return (similarity.semantic_dedup(
+        _aug_emb(spark, sf_dir), threshold=0.99, nlist=16, n_assign=2)
+        .orderBy("vec_id"))
 
 
 @register("m04_image_phash_neardup", None)  # binary decode: no SQL oracle
