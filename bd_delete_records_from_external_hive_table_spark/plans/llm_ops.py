@@ -106,7 +106,11 @@ def _aug_neardup_docs(spark, sf_dir):
     planted = (docs.where(F.col("doc_id") % 10 == 0)
                .select((F.col("doc_id") + 1000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" zq zq")).alias("text")))
-    return docs.unionByName(planted).localCheckpoint(eager=False)
+    # spread BEFORE the checkpoint: every consumer (d03/d04/d13) runs
+    # interpreted-HOF shingle/minhash transforms over this corpus, and a
+    # single-row-group scan would serialize them onto one task (the
+    # checkpointed RDD keeps whatever parallelism it was built with)
+    return spread(docs.unionByName(planted)).localCheckpoint(eager=False)
 
 
 @register("d03_ngram_jaccard_pairs",
