@@ -2,10 +2,13 @@
 
 Two paths, same contract:
 - **Brute-force top-k** — exact: broadcast the (small) query set, compute
-  the dot product JVM-side (zip_with + aggregate in codegen, doubles folded
-  left-to-right → bit-reproducible), per-query top-k via row_number. The
-  corpus is never shuffled: each scan partition scores its rows against the
-  broadcast queries and only k rows per query survive the window.
+  the dot product JVM-side (zip_with + aggregate; higher-order functions
+  evaluate INTERPRETED outside whole-stage codegen, but the fold is
+  left-to-right → bit-reproducible; the Arrow scorer below reproduces the
+  same FP order two orders of magnitude faster), per-query top-k via
+  row_number. The corpus is never shuffled: each scan partition scores its
+  rows against the broadcast queries and only k rows per query survive the
+  window.
 - **LSH-bucketed ANN** — approximate scale path: random-hyperplane signs
   (Charikar 2002) quantize each vector into per-band bucket ids; queries
   only score candidates sharing a (band, bucket) key (equi-join →
