@@ -36,6 +36,20 @@ REFERENCE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.hive.metastorePartitionPruning": "true",
     "spark.sql.orc.compression.codec": "snappy",
+    # A partition IN-list above this size is sent to the metastore as a
+    # min/max RANGE instead of an N-way OR chain (Spark keeps the exact
+    # IN for its own partition pruning, so semantics are unchanged).
+    # Spark's default (1000) is calibrated for production metastores; a
+    # 720-partition IN measured here drove embedded Derby's SQL parser
+    # into StackOverflowError, and thousands-deep OR trees are a known
+    # hazard on real metastores too — the engine's single-scan analysis
+    # probes EVERY candidate partition in one query, so this threshold
+    # is the knob that keeps that design metastore-safe at any
+    # partition count.
+    "spark.sql.hive.metastorePartitionPruningInSetThreshold": "100",
+    # ...and if a pushed filter still fails, list-then-prune client-side
+    # instead of failing the job (default false = throw).
+    "spark.sql.hive.metastorePartitionPruningFallbackOnException": "true",
 }
 
 #: Engine additions: oracle-comparable timestamps, Arrow, parquet pushdown,

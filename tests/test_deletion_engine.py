@@ -542,3 +542,16 @@ def test_concurrent_writer_divergence_uses_observed_count(spark, table):
         [1, 2, 3, 4, 6, 7, 8, 9, 10, 21, 22, 23, 24, 25]
     assert any("concurrent_modification_detected" in m for m in events), \
         events
+
+
+def test_metastore_safe_partition_in_threshold(spark):
+    """The single-scan analysis probes EVERY candidate partition in one
+    query; above the threshold Spark must send the metastore a min/max
+    range instead of an N-way OR chain (a 720-partition IN drove the
+    embedded Derby metastore into StackOverflowError — caught by
+    tools/bench_delete.py's many-partition probe)."""
+    assert spark.conf.get(
+        "spark.sql.hive.metastorePartitionPruningInSetThreshold") == "100"
+    assert spark.conf.get(
+        "spark.sql.hive.metastorePartitionPruningFallbackOnException") \
+        == "true"

@@ -157,6 +157,52 @@ def run_scenario(spark, name: str, cfg: EngineConfig) -> dict:
     return row
 
 
+def many_partition_probe(spark) -> dict:
+    """The single-scan-analysis claim, measured: the reference probes
+    each candidate partition with its own COUNT(*) Spark job
+    (PartitionHandler.java:102-123 — N partitions ⇒ N jobs); this
+    engine's ``analyze()`` is ONE partition-pruned groupBy however many
+    partitions exist. Build an HOURLY-partitioned copy (~720 partitions
+    at sf1) and count the Spark jobs analyze() actually launches via a
+    job group."""
+    t0 = time.time()
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.events_hourly")
+    spark.sql(f"""
+        CREATE TABLE {DB}.events_hourly (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) PARTITIONED BY (partition_id STRING) STORED AS ORC
+    """)
+    ev = load_table(spark, SF1, "events")
+    (ev.select("event_id", "ts", "user_id", "event_type", "value", "props",
+               F.date_format("ts", "yyyyMMddHH").alias("partition_id"))
+       .repartition("partition_id")
+       .write.insertInto(f"{DB}.events_hourly"))
+    build_s = round(time.time() - t0, 3)
+    cfg = EngineConfig(
+        database=DB, table="events_hourly",
+        criteria=DeletionCriteria(time_column="ts",
+                                  where_clause="user_id % 1000 = 0"),
+        backup_enabled=False, validation_enabled=False)
+    sc = spark.sparkContext
+    sc.setJobGroup("analyze-many", "single-scan partition analysis")
+    t0 = time.time()
+    plan = PartitionHandler(spark, cfg).analyze()
+    analyze_s = round(time.time() - t0, 3)
+    jobs = sc.statusTracker().getJobIdsForGroup("analyze-many")
+    sc.setJobGroup("", "")
+    row = {
+        "build_wall_s": build_s,
+        "partitions": len(plan.candidates),
+        "affected": len(plan.affected),
+        "analyze_wall_s": analyze_s,
+        "analyze_spark_jobs": len(jobs),
+        "reference_equivalent_jobs": len(plan.candidates),
+    }
+    print(json.dumps({"many_partition_probe": row}), flush=True)
+    return row
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(SF1, "events.parquet")):
         sys.exit(f"{SF1}/events.parquet missing — run tools/make_sf1.py first")
@@ -245,6 +291,8 @@ def main() -> None:
     print(json.dumps({"mor_delete_1pct": results["mor_delete_1pct"]}),
           flush=True)
 
+    many = many_partition_probe(spark)
+
     # integrity: the table must account for every row (1% of ~233k +
     # 50% of ~233k + one full day) with untouched windows intact
     final_rows = spark.table(f"{DB}.{TABLE}").count()
@@ -259,6 +307,7 @@ def main() -> None:
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "scenarios": results,
+        "many_partition_probe": many,
     }
     key = ("delete_bench" if SF_LABEL == "1"
            else f"delete_bench_sf{SF_LABEL}")
