@@ -35,8 +35,17 @@ executed scan carries the partition IN-list in ``PartitionFilters`` —
 i.e. the probe reads ONLY the windowed partitions, so cost scales with
 the window, not the table.
 
+A ``many_partition_probe`` section additionally builds an
+HOURLY-partitioned copy (~720 partitions) and counts the Spark jobs
+``analyze()`` launches — the single-scan-analysis claim (reference:
+one COUNT job per partition) measured, and the test that caught the
+metastore IN-list overflow (see session.py's
+``metastorePartitionPruningInSetThreshold``).
+
 Results merge into BENCH_DETAIL.json under ``delete_bench`` (bench.py
-preserves foreign keys on refresh). Run SOLO, like every bench.
+preserves foreign keys on refresh; ``SPARK_GRAFT_DELETE_SF=10`` with
+``SPARK_GRAFT_SF1_DIR=/tmp/sf10`` writes ``delete_bench_sf10``). Run
+SOLO, like every bench.
 
 Usage: python tools/make_sf1.py && python tools/bench_delete.py
 """
