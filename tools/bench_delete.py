@@ -192,7 +192,7 @@ def many_partition_probe(spark) -> dict:
         database=DB, table="events_hourly",
         criteria=DeletionCriteria(time_column="ts",
                                   where_clause="user_id % 1000 = 0"),
-        backup_enabled=False, validation_enabled=False)
+        backup_enabled=False, validation_enabled=True)
     sc = spark.sparkContext
     sc.setJobGroup("analyze-many", "single-scan partition analysis")
     t0 = time.time()
@@ -200,6 +200,16 @@ def many_partition_probe(spark) -> dict:
     analyze_s = round(time.time() - t0, 3)
     jobs = sc.statusTracker().getJobIdsForGroup("analyze-many")
     sc.setJobGroup("", "")
+    # ...and the full multi-batch delete over the same table: ~122
+    # affected partitions / partition_parallelism=10 ⇒ ~13 rewrite
+    # batches — the C2/C3 batching path the 30-partition scenarios
+    # (≤7 affected, single batch) never exercise.
+    t0 = time.time()
+    outcome = DeletionJob(spark, cfg).run()
+    delete_s = round(time.time() - t0, 3)
+    if not outcome.success:
+        raise RuntimeError(f"many-partition delete failed: {outcome.error}")
+    r, m = outcome.result, outcome.metrics
     row = {
         "build_wall_s": build_s,
         "partitions": len(plan.candidates),
@@ -207,6 +217,11 @@ def many_partition_probe(spark) -> dict:
         "analyze_wall_s": analyze_s,
         "analyze_spark_jobs": len(jobs),
         "reference_equivalent_jobs": len(plan.candidates),
+        "delete_wall_s": delete_s,
+        "deleted": r.deleted,
+        "partitions_rewritten": len(r.partitions_rewritten),
+        "rewrite_batches": m.batches_processed,
+        "validation_passed": m.validation_passed,
     }
     print(json.dumps({"many_partition_probe": row}), flush=True)
     return row
