@@ -72,7 +72,8 @@ def _aug_emb(spark, sf_dir):
 @register("d01_exact_dup_groups",
           f"WITH aug AS ({_AUG_DOCS}) "
           "SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, "
-          "MIN(doc_id) AS keeper FROM aug GROUP BY content_hash "
+          "MIN(doc_id) AS keeper FROM aug WHERE text IS NOT NULL "
+          "GROUP BY content_hash "
           "HAVING COUNT(*) > 1 ORDER BY keeper")
 def d01(spark, sf_dir):
     """Exact dedup discovery: hash-groupBy duplicate groups with a
@@ -83,8 +84,9 @@ def d01(spark, sf_dir):
 
 @register("d02_exact_dedup_count",
           f"WITH aug AS ({_AUG_DOCS}) "
-          "SELECT COUNT(*) AS n FROM (SELECT MIN(doc_id) FROM aug "
-          "GROUP BY md5(text))")
+          "SELECT CAST((SELECT COUNT(*) FROM (SELECT MIN(doc_id) "
+          "FROM aug WHERE text IS NOT NULL GROUP BY md5(text))) + "
+          "(SELECT COUNT(*) FROM aug WHERE text IS NULL) AS BIGINT) AS n")
 def d02(spark, sf_dir):
     """Exact dedup execution: surviving-row count == distinct contents."""
     return (dedup.exact_dedup(_aug_docs(spark, sf_dir))
@@ -1322,8 +1324,8 @@ def sa03(spark, sf_dir):
           "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
           "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
           "FROM (SELECT source, n_chars, NTILE(4) OVER ("
-          "  PARTITION BY source ORDER BY n_chars, doc_id) AS quartile "
-          "  FROM documents) "
+          "  PARTITION BY source ORDER BY n_chars NULLS LAST, doc_id) "
+          "  AS quartile FROM documents) "
           "GROUP BY source, quartile ORDER BY source, quartile")
 def s07(spark, sf_dir):
     """Per-source document-length stratification: quartile buckets via
@@ -1333,9 +1335,13 @@ def s07(spark, sf_dir):
     lives). The window partitions by source, so the sort parallelizes
     across sources and no global order is ever imposed; doc_id breaks
     length ties so NTILE bucket edges are deterministic on both
-    engines. Output is |sources| x 4 rows of exact integers."""
+    engines. NULL lengths sort LAST explicitly on both engines (Spark
+    defaults ascending NULLS FIRST, DuckDB NULLS LAST — the edge-case
+    sweep caught the divergence). Output is |sources| x 4 rows of
+    exact integers."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_last(), "doc_id")
     return (docs.select("source", "n_chars",
                         F.ntile(4).over(w).alias("quartile"))
             .groupBy("source", "quartile")
