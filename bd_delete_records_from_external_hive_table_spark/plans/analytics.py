@@ -604,7 +604,8 @@ def f04(spark, sf_dir):
 
 
 @register("f05_json_extract",
-          "SELECT event_type, CAST(SUM(CAST(json_extract(props, '$.k') "
+          "SELECT event_type, CAST(SUM(CAST(json_extract(CASE WHEN "
+          "json_valid(props) THEN props END, '$.k') "
           "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n FROM events "
           "GROUP BY event_type ORDER BY event_type")
 def f05(spark, sf_dir):
@@ -640,7 +641,8 @@ def f06(spark, sf_dir):
 
 
 @register("f08_from_json",
-          "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 "
+          "SELECT CAST(json_extract(CASE WHEN json_valid(props) THEN "
+          "props END, '$.k') AS BIGINT) // 10 "
           "AS k_bucket, COUNT(*) AS n FROM events "
           "GROUP BY k_bucket ORDER BY k_bucket")
 def f08(spark, sf_dir):

@@ -957,9 +957,11 @@ def st05(spark, sf_dir):
 
 @register("f13_variant_json",
           "SELECT event_type, "
-          "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+          "CAST(SUM(CAST(json_extract(CASE WHEN json_valid(props) THEN "
+          "props END, '$.k') AS BIGINT)) AS BIGINT) "
           "AS sum_k, "
-          "CAST(COUNT(json_extract_string(props, '$.tag')) AS BIGINT) "
+          "CAST(COUNT(json_extract_string(CASE WHEN json_valid(props) "
+          "THEN props END, '$.tag')) AS BIGINT) "
           "AS n_tagged FROM events GROUP BY event_type ORDER BY event_type")
 def f13(spark, sf_dir):
     """Semi-structured analytics via Spark 4's VARIANT type: parse_json
@@ -970,7 +972,11 @@ def f13(spark, sf_dir):
     is the difference between one and N string-parse passes. The oracle
     reads the same fields with DuckDB's JSON extraction."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: malformed payloads become NULL variants instead of
+    # failing the job (parse_json throws) — 100 TB event logs always
+    # contain some broken JSON, and the oracle's json_valid guard
+    # mirrors the same tolerance
+    v = F.try_parse_json(F.col("props"))
     return (ev.select("event_type",
                       F.try_variant_get(v, "$.k", "bigint").alias("k"),
                       F.try_variant_get(v, "$.tag", "string").alias("tag"))

@@ -13,7 +13,13 @@ ones in a registry that was 100% green on sf0.01:
 - d01/d02's DuckDB oracles grouped NULL-text rows into a bogus
   md5(NULL) duplicate group where the operators (documented) exclude
   them;
-- s07's NTILE ordered NULL lengths FIRST in Spark and LAST in DuckDB.
+- s07's NTILE ordered NULL lengths FIRST in Spark and LAST in DuckDB;
+- and the edge EVENTS (duplicate timestamps, NULL/empty/malformed-JSON
+  props) caught f05/f08/f13: DuckDB's strict json_extract THREW on a
+  malformed props payload where Spark's get_json_object returns NULL —
+  oracles now carry a json_valid guard, and f13 parses with
+  try_parse_json (plain parse_json fails the job on the first broken
+  payload in a 100 TB log).
 
 Protocol: build this dir, then run the ENTIRE oracle suite against it —
 the oracles recompute on the same augmented parquet, so every query is
@@ -51,10 +57,24 @@ EDGE_DOCS = """
 """
 
 
+#: Edge events: EXACT-duplicate (user_id, ts) pairs (every window
+#: tie-break in the w/ts/st series must resolve identically on both
+#: engines), zero and negative values, NULL props, and a user with a
+#: single event. Deliberately NO NULL ts: event-time is the ingest
+#: contract (sources/io.py quarantines rows that violate the enforced
+#: schema), so a NULL-ts row can never reach these queries.
+EDGE_EVENTS = """
+    (9900001, TIMESTAMP '2024-01-10 12:00:00', 990001, 'view',  0.00, NULL),
+    (9900002, TIMESTAMP '2024-01-10 12:00:00', 990001, 'click', -5.25, 'p'),
+    (9900003, TIMESTAMP '2024-01-10 12:00:00', 990001, 'view',  1.50, 'p'),
+    (9900004, TIMESTAMP '2024-01-10 12:00:01', 990002, 'purchase', 0.01, '')
+"""
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "embeddings"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     con = duckdb.connect()
     con.sql(f"""
@@ -64,6 +84,17 @@ def main() -> None:
           SELECT * FROM (VALUES {EDGE_DOCS})
             v(doc_id, text, lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    # keep ts in the SOURCE file's physical type (nanos long or
+    # timestamp) by letting duckdb unify the union branches
+    con.sql(f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/events.parquet')
+          UNION ALL
+          SELECT event_id, ts, user_id, event_type, value, props
+          FROM (VALUES {EDGE_EVENTS})
+            v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
     n = con.sql(f"SELECT COUNT(*) "
                 f"FROM read_parquet('{DST}/documents.parquet')").fetchone()[0]
