@@ -99,8 +99,11 @@ def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     # bound the partition count: spark.range defaults to one partition
     # per core, and 32 one-row partitions cost 32 Arrow worker round
     # trips PER mapInPandas stage — pure overhead for a small corpus.
-    # Real corpora size their partitions by data volume instead.
-    n_parts = max(1, min(32, n // 32))
+    # ~8 rows per partition keeps the default 48-image corpus spread
+    # over 6 workers (the Python decode is the expensive part worth
+    # parallelizing) while still capping round trips at 32. Real
+    # corpora size their partitions by data volume instead.
+    n_parts = max(1, min(32, n // 8))
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 

