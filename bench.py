@@ -98,6 +98,10 @@ def main() -> None:
             # makes cross-run comparisons diagnosable. Guarded: an
             # unobtainable loadavg must never discard a finished run.
             "loadavg_end": _loadavg(),
+            # bounded-demo-panel queries: their timings are ~constant
+            # work at every SF by design — scaling tables must exclude
+            # or flag these rows (plans.registry.FIXED_INPUT audit)
+            "fixed_input_queries": plans.FIXED_INPUT,
             "queries": timings,
             "warm_queries": warm,
         }

@@ -464,3 +464,24 @@ def test_a26_pair_join_never_broadcasts_baskets(spark, sf_dir):
         if "BroadcastHashJoin [k#" in line or \
                 ("BroadcastHashJoin" in line and "[k2#" in line):
             raise AssertionError(f"pair join broadcast: {line}\n{plan}")
+
+
+def test_fixed_input_audit_referential_integrity():
+    """Every FIXED_INPUT marker must name a real registry query (a typo
+    would silently unmark a fixed-input row from scaling tables), and
+    the audit's known-growing anchors must never be marked: full-corpus
+    dedup (d01/d14), full-table text analysis (t11), and the
+    linear-work fixed-panel scorers (n01, e08) whose cost grows with
+    the corpus side."""
+    from bd_delete_records_from_external_hive_table_spark.plans import FIXED_INPUT, REGISTRY
+
+    unknown = [k for k in FIXED_INPUT if k not in REGISTRY]
+    assert not unknown, f"FIXED_INPUT names not in registry: {unknown}"
+    for growing in ("d01_exact_dup_groups", "d14_repeated_substring_stats",
+                    "t11_boilerplate_ngrams", "n01_ann_bruteforce_topk",
+                    "e08_knn_label_vote", "e01_embedding_neardup",
+                    "e09_semantic_dedup"):
+        assert growing in REGISTRY
+        assert growing not in FIXED_INPUT, (
+            f"{growing} does SF-proportional work; marking it fixed "
+            "would wrongly exclude it from scaling evidence")

@@ -173,6 +173,8 @@ def main(top_n: int = 20, only: str | None = None,
                           "done": {k: len(v) for k, v in state.items()
                                    if isinstance(v, dict)}}))
         return
+    from bd_delete_records_from_external_hive_table_spark.plans import FIXED_INPUT
+
     r01, r1 = state["sf0.1"], state["sf1"]
     scaling = {}
     for name in names:
@@ -183,6 +185,10 @@ def main(top_n: int = 20, only: str | None = None,
             "warm_ratio": round(w1 / w0, 2) if w0 else None,
             "superlinear": bool(w0 and w1 / w0 > DATA_FACTOR),
         }
+        if name in FIXED_INPUT:
+            # bounded demo panel: a flat ratio here measures constant
+            # work, not scale — flagged so nobody reads it as evidence
+            scaling[name]["fixed_input"] = FIXED_INPUT[name]
     # Single-sample warm times on sub-second queries carry GC/compile
     # noise that can fake a superlinear ratio (a 0.2 s query reading
     # 2.4 s once). Every flagged query gets a min-of-3 confirmation

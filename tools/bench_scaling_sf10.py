@@ -106,6 +106,8 @@ def main(names: list[str]) -> None:
 
     _half("sf1", SF1)
     _half("sf10", SF10)
+    from bd_delete_records_from_external_hive_table_spark.plans import FIXED_INPUT
+
     r1, r10 = state["sf1"], state["sf10"]
     scaling = {}
     for name in names:
@@ -116,6 +118,8 @@ def main(names: list[str]) -> None:
             "warm_ratio": round(w10 / w1, 2) if w1 else None,
             "superlinear": bool(w1 and w10 / w1 > DATA_FACTOR),
         }
+        if name in FIXED_INPUT:
+            scaling[name]["fixed_input"] = FIXED_INPUT[name]
     flagged = [n for n, s in scaling.items() if s["superlinear"]]
     if flagged:
         confirmed = _min_of_3(flagged)
