@@ -151,11 +151,52 @@ def d03(spark, sf_dir):
         .orderBy("a", "b"))
 
 
-@register("d04_minhash_lsh_neardup", None)  # LSH banding: no SQL oracle
+# d04's DuckDB oracle replays the ENTIRE MinHash-LSH pipeline, not the
+# exact-Jaccard baseline: the (a, b) permutation constants are the same
+# deterministic Python list on both sides (dedup.minhash_permutations,
+# seed 42), the shingle hash is the shared 28-bit md5, banding is the
+# same 8×4 key split, so candidate sets — including any pair LSH
+# legitimately misses — are engine-identical by construction. (Round-5
+# verdict item 8: rows-only was a choice here, not a necessity.)
+_D04_SIG_ELEMS = ", ".join(
+    f"COALESCE(list_min(list_transform(h, x -> ({a}*x + {b}) % "
+    f"{dedup.HASH_PRIME})), {dedup.HASH_PRIME})"
+    for a, b in dedup.minhash_permutations(32, seed=42))
+_D04_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, concat_ws('_', "
+    + ", ".join(f"sig[{i * 4 + j + 1}]" for j in range(4))
+    + f") AS band_key FROM sig WHERE sig[1] < {dedup.HASH_PRIME}"
+    for i in range(8))
+
+
+@register("d04_minhash_lsh_neardup",
+          f"WITH aug AS ({_AUG_NEARDUP}), "
+          f"sh AS (SELECT doc_id, {_DUCK_SHINGLES3} AS s FROM "
+          f"(SELECT doc_id, {_DUCK_TOKENS} AS ts FROM aug)), "
+          "hs AS (SELECT doc_id, list_transform(s, x -> "
+          + _DUCK_HASH28.format("x") + ") AS h FROM sh), "
+          f"sig AS (SELECT doc_id, [{_D04_SIG_ELEMS}] AS sig FROM hs), "
+          f"banded AS ({_D04_BANDS}), "
+          "cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+          "FROM banded x JOIN banded y ON x.band_idx = y.band_idx "
+          "AND x.band_key = y.band_key AND x.doc_id < y.doc_id) "
+          "SELECT c.a, c.b, "
+          "ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE / "
+          "GREATEST(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) "
+          "AS jaccard "
+          "FROM cands c JOIN sh sa ON sa.doc_id = c.a "
+          "JOIN sh sb ON sb.doc_id = c.b "
+          "WHERE len(list_intersect(sa.s, sb.s)) * 10000 >= "
+          "GREATEST(len(list_distinct(list_concat(sa.s, sb.s))), 1) * 5000 "
+          "ORDER BY a, b")
 def d04(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified at
     0.5 — the scale path: candidate generation is a band-key equi-join,
-    never the cross product. Recall vs d03 asserted in tests."""
+    never the cross product. Recall vs d03 asserted in tests. The oracle
+    replays the identical deterministic pipeline (shared md5-28 shingle
+    hash, shared permutation constants, same banding), so the driver
+    hash-checks the LSH path itself — misses and all — not just the
+    exact baseline."""
     return (dedup.minhash_near_duplicates(
         _aug_neardup_docs(spark, sf_dir),
         num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
