@@ -161,6 +161,50 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
     return _topk(scored, k)
 
 
+def _grouped_pairwise_pairs(keyed: DataFrame, group_cols: list[str],
+                            threshold: float,
+                            with_cosine: bool) -> DataFrame:
+    """Within-group all-pairs cosine threshold filter — the verification
+    stage shared by the banded-LSH and SemDeDup near-dup paths.
+
+    Shape argument (the sf10 sweep's lesson): rows shuffle ONCE on the
+    group key (|corpus| × groups-per-vector rows, each carrying its
+    vector), then each group's |g|² pair plane is scored INSIDE one
+    Arrow group — a numpy fold, never a row explosion — and only
+    surviving pairs leave Python. The join-then-verify alternative
+    materializes the full Σ|g|² candidate set as ROWS (~200M at sf10)
+    and either shuffles it (distinct + vector re-joins: 300 s measured)
+    or scores it with interpreted HOF lambdas (~7 µs/pair: similar);
+    both lose by ~an order of magnitude.
+
+    Bit-reproducibility: dots are accumulated dimension-by-dimension
+    LEFT-TO-RIGHT (``acc += v[:, j] ⊗ v[:, j]``) — the exact FP order
+    of the expression scorer's ``aggregate`` fold and DuckDB's
+    ``list_dot_product`` — so threshold decisions and the 4-dp reported
+    cosine are engine-identical (see brute_force_topk_arrow).
+    """
+    schema = ("a long, b long, cosine double" if with_cosine
+              else "a long, b long")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_gid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_gv"]), dtype=np.float64)
+        acc = np.zeros((len(ids), len(ids)))
+        for j in range(mat.shape[1]):
+            col = mat[:, j]
+            acc += np.multiply.outer(col, col)
+        iu, ju = np.triu_indices(len(ids), 1)
+        dots = acc[iu, ju]
+        keep = dots >= threshold
+        da, db = ids[iu[keep]], ids[ju[keep]]
+        out = {"a": np.minimum(da, db), "b": np.maximum(da, db)}
+        if with_cosine:
+            out["cosine"] = _round_half_up(dots[keep])
+        return pd.DataFrame(out)
+
+    return keyed.groupBy(*group_cols).applyInPandas(score, schema)
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()
@@ -298,18 +342,20 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         n = corpus_count if corpus_count is not None else corpus.count()
         bits = auto_bits(n)
     planes = random_hyperplanes(dim, bands * bits, seed)
-    withb = _banded_keys(corpus, id_col, None, id_col, vec_col,
+    # VERIFY IN BUCKET (see _grouped_pairwise_pairs): each vector ships
+    # to its `bands` buckets once, every (band, key) group scores its
+    # own pair plane inside one Arrow group, and only surviving pairs
+    # (a vanishing fraction at near-dup thresholds) leave Python — the
+    # candidate set is never materialized as rows. A pair colliding in
+    # k bands is scored k times and collapsed by the final distinct —
+    # numpy-fold work, linear in N, in exchange for never shuffling
+    # the ~N·bands·bucket_size candidate space (which measured 300 s
+    # at sf10 in the join-then-verify shape this replaced).
+    keyed = _banded_keys(corpus, "_gid", "_gv", id_col, vec_col,
                          planes, bands, bits)
-    a = withb.select(F.col(id_col).alias("a"), "band", "key")
-    b = withb.select(F.col(id_col).alias("b"), "band", "key")
-    cands = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
-    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    dot = dot_product(F.col("va"), F.col("vb"))
-    return (cands.join(va, "a").join(vb, "b")
-            .where(dot >= F.lit(threshold))
-            .select("a", "b", F.round(dot, 4).alias("cosine")))
+    return (_grouped_pairwise_pairs(keyed, ["band", "key"], threshold,
+                                    with_cosine=True)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -333,13 +379,15 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
     for _ in range(iters):
         # cosine-style assignment: vectors are L2-normalized → max dot
         assign = np.argmax(x @ cent.T, axis=1)
-        for j in range(len(cent)):
-            members = x[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                n = np.linalg.norm(c)
-                if n > 0:
-                    cent[j] = c / n
+        # vectorized per-cluster means (np.add.at scatter): the naive
+        # per-centroid boolean-mask loop is O(nlist × sample) in Python
+        # — quadratic once nlist scales with the corpus (auto_nlist)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=len(cent)).astype(float)
+        norms = np.linalg.norm(sums, axis=1)
+        ok = (counts > 0) & (norms > 0)
+        cent[ok] = sums[ok] / norms[ok, None]
     return cent
 
 
@@ -541,21 +589,19 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
                                sample_size=max(4096, 8 * nlist))
     assigned = ivf_assign(corpus, cent, n_assign=n_assign,
                           vec_col=vec_col)
-    a = assigned.select(F.col(id_col).alias("a"), "bucket")
-    b = assigned.select(F.col(id_col).alias("b"), "bucket")
-    cands = (a.join(b, "bucket").where(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
-    va = corpus.select(F.col(id_col).alias("a"),
-                       F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("b"),
-                       F.col(vec_col).alias("vb"))
-    # membership on the UNROUNDED dot (rounding moves the threshold to
-    # the nearest 4-dp boundary); embedding_near_duplicates decides the
-    # same way, which keeps the equality-vs-exact-pipeline test exact
-    pairs = (cands.join(va, "a").join(vb, "b")
-             .where(dot_product(F.col("va"), F.col("vb"))
-                    >= F.lit(threshold))
-             .select("a", "b"))
+    # VERIFY IN BUCKET (see _grouped_pairwise_pairs — the SemDeDup
+    # paper's own per-cluster-matmul shape): assignment rows are only
+    # N·n_assign and each cluster scores its own Σ|cluster|² pair plane
+    # inside one Arrow group; candidates are never materialized as
+    # rows. Membership is decided on the UNROUNDED dot (rounding moves
+    # the threshold to the nearest 4-dp boundary) in the same
+    # left-to-right fold order as embedding_near_duplicates, which
+    # keeps the equality-vs-exact-pipeline test exact.
+    keyed = assigned.select(F.col(id_col).alias("_gid"),
+                            F.col(vec_col).alias("_gv"), "bucket")
+    pairs = (_grouped_pairwise_pairs(keyed, ["bucket"], threshold,
+                                     with_cosine=False)
+             .distinct())
     comps = connected_components(pairs)
     return (comps.where(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col),
