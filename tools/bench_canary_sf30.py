@@ -38,6 +38,13 @@ DATA_FACTOR = 3.0
 DEFAULT_NAMES = ["u04_except_all", "d14_repeated_substring_stats",
                  "t11_boilerplate_ngrams"]
 
+#: queries whose OUTPUT grows with SF (sf10_scaling `collect_bound`
+#: adjudication): the canary times their computation through a noop
+#: sink, because collecting a 17M-row result to the driver measures
+#: row serialization, not plan shape — at 100 TB such results go to a
+#: sink, never the driver.
+NOOP_SINK = {"u04_except_all"}
+
 
 def _min_warm(names: list[str]) -> dict[str, dict[str, float]]:
     from bench import warmup
@@ -56,8 +63,12 @@ def _min_warm(names: list[str]) -> dict[str, dict[str, float]]:
             for name in names:
                 times = []
                 for _ in range(4):
+                    df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
                     t0 = time.perf_counter()
-                    plans.REGISTRY[name].spark_fn(spark, sf_dir).collect()
+                    if name in NOOP_SINK:
+                        df.write.format("noop").mode("overwrite").save()
+                    else:
+                        df.collect()
                     times.append(time.perf_counter() - t0)
                 out[key][name] = round(min(times[1:]), 4)
         finally:
@@ -79,6 +90,8 @@ def main(names: list[str]) -> None:
             "warm_ratio": round(w30 / w10, 2) if w10 else None,
             "superlinear": bool(w10 and w30 / w10 > DATA_FACTOR),
         }
+        if name in NOOP_SINK:
+            canary[name]["noop_sink"] = True
     result = {
         "data_factor": DATA_FACTOR,
         "loadavg_start": round(load0, 2),

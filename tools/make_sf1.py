@@ -44,7 +44,8 @@ SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
 
 DIM_SHIFT = 1_000_000      # customer/supplier/part/doc/vec keys
-ORD_SHIFT = 10_000_000     # orderkey / event_id
+ORD_SHIFT = 10_000_000     # orderkey / event_id (::BIGINT in templates:
+                           # k*1e7 overflows INT32 at 300 replicas/sf30)
 
 
 def _copy(con, name: str) -> None:
@@ -67,42 +68,42 @@ def main(replicas: int = 10) -> None:
         _copy(con, t)
 
     _replicate(con, "customer", (
-        f"SELECT c_custkey + {{k}} * {DIM_SHIFT} AS c_custkey, c_name, "
+        f"SELECT c_custkey + {{k}} * {DIM_SHIFT}::BIGINT AS c_custkey, c_name, "
         f"c_nationkey, c_acctbal, c_mktsegment "
         f"FROM read_parquet('{SRC}/customer.parquet')"), replicas)
     _replicate(con, "supplier", (
-        f"SELECT s_suppkey + {{k}} * {DIM_SHIFT} AS s_suppkey, s_name, "
+        f"SELECT s_suppkey + {{k}} * {DIM_SHIFT}::BIGINT AS s_suppkey, s_name, "
         f"s_nationkey, s_acctbal "
         f"FROM read_parquet('{SRC}/supplier.parquet')"), replicas)
     _replicate(con, "part", (
-        f"SELECT p_partkey + {{k}} * {DIM_SHIFT} AS p_partkey, p_name, "
+        f"SELECT p_partkey + {{k}} * {DIM_SHIFT}::BIGINT AS p_partkey, p_name, "
         f"p_brand, p_type, p_size, p_retailprice "
         f"FROM read_parquet('{SRC}/part.parquet')"), replicas)
     _replicate(con, "orders", (
-        f"SELECT o_orderkey + {{k}} * {ORD_SHIFT} AS o_orderkey, "
-        f"o_custkey + {{k}} * {DIM_SHIFT} AS o_custkey, o_orderstatus, "
+        f"SELECT o_orderkey + {{k}} * {ORD_SHIFT}::BIGINT AS o_orderkey, "
+        f"o_custkey + {{k}} * {DIM_SHIFT}::BIGINT AS o_custkey, o_orderstatus, "
         f"o_totalprice, o_orderdate, o_orderpriority "
         f"FROM read_parquet('{SRC}/orders.parquet')"), replicas)
     _replicate(con, "lineitem", (
-        f"SELECT l_orderkey + {{k}} * {ORD_SHIFT} AS l_orderkey, "
-        f"l_partkey + {{k}} * {DIM_SHIFT} AS l_partkey, "
-        f"l_suppkey + {{k}} * {DIM_SHIFT} AS l_suppkey, "
+        f"SELECT l_orderkey + {{k}} * {ORD_SHIFT}::BIGINT AS l_orderkey, "
+        f"l_partkey + {{k}} * {DIM_SHIFT}::BIGINT AS l_partkey, "
+        f"l_suppkey + {{k}} * {DIM_SHIFT}::BIGINT AS l_suppkey, "
         f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
         f"l_returnflag, l_linestatus, l_shipdate "
         f"FROM read_parquet('{SRC}/lineitem.parquet')"), replicas)
     _replicate(con, "events", (
-        f"SELECT event_id + {{k}} * {ORD_SHIFT} AS event_id, ts, "
-        f"user_id + {{k}} * {DIM_SHIFT} AS user_id, event_type, value, "
+        f"SELECT event_id + {{k}} * {ORD_SHIFT}::BIGINT AS event_id, ts, "
+        f"user_id + {{k}} * {DIM_SHIFT}::BIGINT AS user_id, event_type, value, "
         f"props FROM read_parquet('{SRC}/events.parquet')"), replicas)
     _replicate(con, "documents", (
-        f"SELECT doc_id + {{k}} * {DIM_SHIFT} AS doc_id, "
+        f"SELECT doc_id + {{k}} * {DIM_SHIFT}::BIGINT AS doc_id, "
         f"CASE WHEN {{k}} = 0 THEN text "
         f"ELSE text || ' rk{{k}}' END AS text, lang, source, "
         f"CASE WHEN {{k}} = 0 THEN n_chars "
         f"ELSE length(text || ' rk{{k}}') END AS n_chars "
         f"FROM read_parquet('{SRC}/documents.parquet')"), replicas)
     _replicate(con, "embeddings", (
-        f"SELECT vec_id + {{k}} * {DIM_SHIFT} AS vec_id, "
+        f"SELECT vec_id + {{k}} * {DIM_SHIFT}::BIGINT AS vec_id, "
         f"CASE WHEN {{k}} = 0 THEN embedding ELSE "
         f"list_concat(embedding[{{k}}+1:], embedding[1:{{k}}]) END "
         f"AS embedding, label "
