@@ -455,14 +455,24 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
     (within-doc repetition alone never counts — the gram's document
     frequency, not its occurrence count, crosses ``min_docs``).
 
-    Scale shape — docs never pairwise-join, and nothing joins at all:
-    ONE (gram, doc) partial count (map-side combine does the heavy
-    lifting), a gram-partitioned window attaches each gram's document
-    frequency to its rows in place, and a single per-doc aggregate
-    computes totals and repeated-positions together. Three shuffles,
-    zero joins, one linear chain. Every stage is keyed by the gram,
-    whose cardinality grows ~linearly with corpus tokens and whose
-    per-key fan-in is the gram's df — no quadratic anywhere.
+    Scale shape — docs never pairwise-join, and at ``min_docs=2`` (the
+    Lee et al. form and the shipped query's contract) nothing sorts
+    either: a df==1 gram lives in exactly ONE document, so a doc's
+    repeated positions are ``total positions − unique-gram positions``
+    — three hash aggregates (map-side combined, sort-free) plus one
+    final join of two doc-keyed aggregates. For ``min_docs > 2`` the
+    complement set ("grams in < min_docs docs") spans multiple docs
+    and the unordered-window form remains the right shape; both paths
+    return identical results (test-asserted).
+
+    sf30-canary postmortem (round 6): the 5.97×-for-3×-data flag was
+    NOT the window — a staged profile showed gram GENERATION alone at
+    5× (the scan claimed 32 splits but only ~#row-groups were
+    non-empty, so the interpreted shingle HOFs ran ~12-wide; see
+    ``spread()``'s size-guarded re-spread, which fixed the ratio to
+    3.15×). The sort-free formulation is kept because it removes a
+    genuine full-input sort from the chain, but the measured win came
+    from the skew fix — both are recorded so neither is over-credited.
 
     Grams never appear in the OUTPUT, only as grouping keys, so every
     shuffle rides ``xxhash64(gram)`` (8 bytes) instead of the ~50-byte
@@ -483,13 +493,28 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), F.xxhash64("_g").alias("gram")))
     gd = (grams.groupBy("gram", id_col)
           .agg(F.count(F.lit(1)).alias("occ")))
-    # gd is one row per (gram, doc): its per-gram row count IS the
-    # document frequency — attached in place by an unordered window
-    # (one gram-keyed shuffle; no ordering, so no sort)
+    totals = gd.groupBy(id_col).agg(
+        F.sum("occ").cast("long").alias("n_grams"))
+    if min_docs == 2:
+        # sort-free: per gram, df + (for df==1 groups) its only doc and
+        # occ — first() is deterministic there, the group has one row
+        per_gram = gd.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.first(id_col).alias("_doc"),
+            F.first("occ").alias("_occ"))
+        uniq = (per_gram.where(F.col("df") == 1)
+                .groupBy(F.col("_doc").alias(id_col))
+                .agg(F.sum("_occ").cast("long").alias("_n_uniq")))
+        return (totals.join(uniq, id_col, "left")
+                .select(id_col, "n_grams",
+                        (F.col("n_grams")
+                         - F.coalesce(F.col("_n_uniq"), F.lit(0)))
+                        .cast("long").alias("n_rep_grams"))
+                .where(F.col("n_rep_grams") > 0))
+    # general threshold: unordered window attaches each gram's df in
+    # place (one gram-keyed shuffle)
     gdd = gd.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-    # a doc's total gram positions = Σ occ; its repeated positions =
-    # Σ occ over grams whose df crosses min_docs — both in ONE agg
     return (gdd.groupBy(id_col)
             .agg(F.sum("occ").cast("long").alias("n_grams"),
                  F.sum(F.when(F.col("df") >= min_docs, F.col("occ"))

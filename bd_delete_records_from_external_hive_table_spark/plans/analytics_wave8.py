@@ -466,6 +466,26 @@ def e09(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+@register("e10_ann_pq_topk", None)  # trained PQ codebooks: no SQL oracle
+def e10(spark, sf_dir):
+    """Product-quantized ANN top-5 (Jégou et al. 2011) — the
+    compressed-domain rung of the ANN ladder: n01 scans raw vectors
+    (exact), n02/n03 prune candidates but still score raw vectors; PQ
+    stores m=8 one-byte codes per vector (64× smaller than d=64 raw)
+    and scores every corpus vector with m table lookups against the
+    query's precomputed (m × 256) LUT — the index shape that keeps a
+    100 TB embedding corpus scannable from memory. Codebooks train on
+    a deterministic driver sample; the encode pass ships only N×8
+    bytes out of the scan; per-batch partial top-k keeps the final
+    rank at batches × q × k rows (the brute_force_topk_arrow
+    protocol). Rows-only: the trained quantizer has no SQL form (same
+    class as n03/e09 — PARITY.md rationale table); recall vs the exact
+    scorer and encode determinism are test-asserted."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, m=8, ksub=256)
+
+
 @register("m04_image_phash_neardup", None)  # binary decode: no SQL oracle
 def m04(spark, sf_dir):
     """Perceptual near-dup detection for images — the multimodal rung of

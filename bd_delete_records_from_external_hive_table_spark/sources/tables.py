@@ -94,6 +94,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+#: inputs whose optimizer-estimated bytes exceed this keep their scan
+#: layout in spread() — re-shuffling them would cost real IO, and at
+#: that size the scan has enough genuine splits anyway.
+_SPREAD_SIZE_CAP = 4 << 30
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Widen a COMPUTE-BOUND pipeline stage to full cluster parallelism
     when the scan under it cannot.
@@ -106,16 +112,29 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     8-gram explode alone took 3.7 s in one task (~15 µs/gram × 235k
     grams on one core).
 
-    The check is METADATA-ONLY (physical-plan partition count — no job
-    runs) and the repartition applies only when the input has fewer
-    partitions than the target, so at real scale — where a 100 TB scan
-    already yields hundreds of thousands of splits — this is a no-op
-    that never re-shuffles the corpus. Use it on inputs whose per-row
-    compute dominates their byte size; it is NOT for general scans.
+    The check is METADATA-ONLY (physical-plan partition count + plan
+    size stats — no job runs). The partition COUNT alone can lie:
+    Spark plans byte-range splits, but parquet rows sit at row-group
+    boundaries, so a modest single file can claim ``target`` splits
+    with only ~#row-groups of them non-empty — the sf30 canary caught
+    d14's gram generation running 12-wide under a 32-claiming scan
+    (5.97× warm for 3× data from that skew alone). So a claimed-wide
+    input is re-spread anyway while it is provably SMALL (footer-stats
+    bytes under ``_SPREAD_SIZE_CAP``): one extra shuffle of a sub-GB
+    corpus is noise next to the per-row HOF compute, while a real
+    at-scale scan (hundreds of thousands of splits, TBs) keeps its
+    layout untouched. Use it on inputs whose per-row compute dominates
+    their byte size; it is NOT for general scans.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:
+            return df
+        if size > _SPREAD_SIZE_CAP:
+            return df
     return df.repartition(target)
 
 
