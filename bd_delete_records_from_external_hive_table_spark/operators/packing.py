@@ -1,0 +1,117 @@
+"""Sequence packing — bin-packing documents into fixed token budgets.
+
+The "sample packing" step of an LLM training pipeline: training
+consumes fixed-length sequences (e.g. 2048 tokens), and feeding one
+short document per sequence wastes the padded remainder, so documents
+are packed greedily into bins of ``max_tokens``. Public recipe:
+first-fit-decreasing (FFD), the classic bin-packing heuristic with the
+11/9·OPT + 6/9 worst-case guarantee (Dósa 2007) — at corpus scale the
+guarantee matters less than determinism and parallelism.
+
+Scale shape: packing is embarrassingly parallel across deterministic
+hash shards — a global optimal packing is NP-hard AND would serialize
+the cluster, while per-shard FFD loses only boundary slack (one
+partially-filled bin per shard, amortized to nothing when shards carry
+thousands of documents). Each shard's documents are packed inside ONE
+Arrow group (ids + token counts only — ~12 bytes per doc; text never
+moves), so the shuffle is metadata-sized regardless of corpus bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "auto_shards"]
+
+#: FFD packs one shard inside one Arrow group: target enough docs per
+#: shard to amortize the per-group overhead, few enough that a group's
+#: (id, tokens) frame stays trivially in memory.
+_TARGET_DOCS_PER_SHARD = 50_000
+
+
+def auto_shards(n_docs: int, target: int = _TARGET_DOCS_PER_SHARD,
+                lo: int = 8) -> int:
+    """Shard count ∝ corpus size: per-shard work stays constant as the
+    corpus grows (the auto_bits/auto_nlist pattern — a pinned shard
+    count would make per-shard packing O(N) and serialize at scale)."""
+    if n_docs <= 0:
+        return lo
+    return max(lo, n_docs // target)
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   shards: int | None = None,
+                   doc_count: int | None = None) -> DataFrame:
+    """(shard, pack_id, n_docs, total_tokens, fill_ratio, oversize,
+    doc_ids) — one row per packed training sequence.
+
+    Within each deterministic shard (``xxhash64(id) % shards``),
+    documents sort by (token count DESC, id) — the FFD order, and a
+    total order, so two runs pack identically — then first-fit into
+    bins of ``max_tokens``. A document longer than the budget gets its
+    own bin flagged ``oversize=true`` (the caller's policy decides:
+    split, truncate, or drop — packing must never silently truncate).
+    ``pack_id`` = shard·2⁴⁰ + per-shard sequence: globally unique,
+    stable across runs.
+
+    Invariants (test-asserted): every doc appears in exactly one pack;
+    Σ total_tokens == Σ input tokens; no non-oversize pack exceeds the
+    budget.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if shards is None:
+        n = doc_count if doc_count is not None else df.count()
+        shards = auto_shards(n)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        toks = pdf[tokens_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, -toks))          # FFD total order
+        bins: list[list[int]] = []                # doc indices per bin
+        remaining: list[int] = []                 # budget left per bin
+        for i in order:
+            t = int(toks[i])
+            if t > max_tokens:
+                bins.append([i])                  # oversize: own bin
+                remaining.append(-1)              # never receives more
+                continue
+            for b, rem in enumerate(remaining):
+                if rem >= t:
+                    bins[b].append(i)
+                    remaining[b] = rem - t
+                    break
+            else:
+                bins.append([i])
+                remaining.append(max_tokens - t)
+        out = {
+            "shard": [], "pack_id": [], "n_docs": [],
+            "total_tokens": [], "fill_ratio": [], "oversize": [],
+            "doc_ids": [],
+        }
+        for seq, members in enumerate(bins):
+            total = int(toks[members].sum())
+            out["shard"].append(shard)
+            out["pack_id"].append((shard << 40) + seq)
+            out["n_docs"].append(len(members))
+            out["total_tokens"].append(total)
+            out["fill_ratio"].append(round(total / max_tokens, 4))
+            out["oversize"].append(total > max_tokens)
+            out["doc_ids"].append(sorted(int(ids[i]) for i in members))
+        return pd.DataFrame(out)
+
+    keyed = df.select(
+        F.col(id_col), F.col(tokens_col),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+        .cast("int").alias("_shard"))
+    return keyed.groupBy("_shard").applyInPandas(
+        pack,
+        "shard int, pack_id long, n_docs int, total_tokens long, "
+        "fill_ratio double, oversize boolean, doc_ids array<long>")

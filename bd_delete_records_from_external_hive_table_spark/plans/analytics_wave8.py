@@ -466,6 +466,36 @@ def e09(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+@register("t21_sequence_packing", None)  # iterative FFD: no SQL oracle
+def t21(spark, sf_dir):
+    """Sample packing for LLM training: documents bin-pack into
+    512-token training sequences via per-shard first-fit-decreasing
+    (operators/packing.py) — the step that turns a filtered corpus into
+    the actual batches a trainer consumes, and the difference between
+    ~50%-padding and ~95%-full sequences at a 54-token median doc.
+    Shards are deterministic hash buckets whose count scales with the
+    corpus (auto_shards — per-shard work constant at any SF), and only
+    (id, token-count) pairs ever shuffle: text bytes never move.
+    Returns the per-shard packing summary (packs, docs, tokens, mean
+    fill, oversize count) — shard-bounded output. Rows-only: FFD is an
+    iterative greedy with running bin state, no SQL form (PARITY.md
+    rationale table); conservation/exactly-once/budget/determinism are
+    test-asserted."""
+    from ..functions.text import ws_tokens
+    from ..operators import packing
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tokens"))
+    packs = packing.pack_sequences(docs, max_tokens=512)
+    return (packs.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_packs"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("total_tokens").cast("long").alias("total_tokens"),
+                 F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+                 F.sum(F.col("oversize").cast("int")).cast("long")
+                 .alias("n_oversize"))
+            .orderBy("shard"))
+
+
 @register("e10_ann_pq_topk", None)  # trained PQ codebooks: no SQL oracle
 def e10(spark, sf_dir):
     """Product-quantized ANN top-5 (Jégou et al. 2011) — the

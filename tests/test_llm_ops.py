@@ -213,6 +213,7 @@ def test_lsh_prunes_pair_space(spark, sf_dir):
     "a05_approx_count_distinct", "a14_approx_quantile",
     # d04 graduated to a full-pipeline DuckDB oracle in round 6
     "n02_ann_lsh_topk", "n03_ann_ivf_topk", "e10_ann_pq_topk",
+    "t21_sequence_packing",
     "e09_semantic_dedup",
     "m01_media_features", "m02_video_frame_sample",
     "a21_hll_sketch_rollup", "a25_theta_set_algebra",
@@ -781,3 +782,54 @@ def test_repeated_kgram_fast_path_equals_window_path(spark, sf_dir):
                .where(SF.col("n_rep_grams") > 0)).collect()}
     assert fast == window
     assert fast, "documents corpus should contain cross-doc repeated grams"
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """FFD packing contract: every doc in exactly one pack, token totals
+    conserved, no non-oversize pack over budget, deterministic across
+    runs, and fill quality far above the one-doc-per-sequence floor."""
+    from bd_delete_records_from_external_hive_table_spark.functions.text import ws_tokens
+    from bd_delete_records_from_external_hive_table_spark.operators.packing import pack_sequences
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(ws_tokens(F.col("text")))
+                    .alias("n_tokens")))
+    input_rows = {r.doc_id: r.n_tokens for r in docs.collect()}
+    packs = pack_sequences(docs, max_tokens=512).collect()
+    seen = [d for p in packs for d in p.doc_ids]
+    assert sorted(seen) == sorted(input_rows)          # exactly once
+    assert sum(p.total_tokens for p in packs) == sum(input_rows.values())
+    for p in packs:
+        assert p.total_tokens == sum(input_rows[d] for d in p.doc_ids)
+        if not p.oversize:
+            assert p.total_tokens <= 512
+        else:
+            assert p.n_docs == 1 and p.total_tokens > 512
+    # determinism: identical pack assignment on a second run
+    again = pack_sequences(docs, max_tokens=512).collect()
+    assert {p.pack_id: tuple(p.doc_ids) for p in packs} == \
+           {p.pack_id: tuple(p.doc_ids) for p in again}
+    # quality: docs are ~54 tokens median, so FFD should fill packs far
+    # beyond the one-doc floor; all but the per-shard tail bins near-full
+    fills = sorted(p.fill_ratio for p in packs if not p.oversize)
+    assert sum(fills) / len(fills) >= 0.6, sum(fills) / len(fills)
+
+
+def test_sequence_packing_oversize_and_auto_shards(spark):
+    from bd_delete_records_from_external_hive_table_spark.operators.packing import (
+        auto_shards, pack_sequences)
+
+    docs = spark.createDataFrame(
+        [(1, 600), (2, 300), (3, 200), (4, 12)],
+        "doc_id long, n_tokens long")
+    packs = pack_sequences(docs, max_tokens=512, shards=1).collect()
+    over = [p for p in packs if p.oversize]
+    assert len(over) == 1 and over[0].doc_ids == [1]   # own flagged bin
+    # 300 + 200 + 12 = 512 fits exactly in ONE bin (FFD order)
+    full = [p for p in packs if not p.oversize]
+    assert len(full) == 1 and full[0].total_tokens == 512
+    assert auto_shards(0) == 8
+    ns = [10 ** e for e in range(3, 10)]
+    ss = [auto_shards(n) for n in ns]
+    assert ss == sorted(ss)                            # monotone in N
+    assert auto_shards(10_000_000) == 200              # N/50k shards
