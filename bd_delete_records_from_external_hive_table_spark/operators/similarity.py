@@ -39,6 +39,7 @@ __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
            "train_pq_codebooks", "pq_encode", "pq_ann_topk",
+           "save_pq_codebooks", "load_pq_codebooks",
            "embedding_moments", "pca_whitening",
            "save_ivf_index", "load_ivf_index", "semantic_dedup"]
 
@@ -657,6 +658,35 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
     restored (parquet preserves no order; the bucket id does)."""
     rows = spark.read.parquet(path).orderBy("bucket").collect()
     return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def save_pq_codebooks(spark, codebooks: np.ndarray, path: str,
+                      mode: str = "error") -> None:
+    """Persist trained PQ codebooks as parquet (subspace, code,
+    centroid) — same train-once/serve-many contract as
+    :func:`save_ivf_index`: tomorrow's encode job loads the codebooks
+    instead of retraining, so stored CODE columns stay join-able (a
+    retrained quantizer would silently re-map every code)."""
+    m, k, _ = codebooks.shape
+    rows = [(j, c, [float(v) for v in codebooks[j, c]])
+            for j in range(m) for c in range(k)]
+    (spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(path))
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Load codebooks saved by :func:`save_pq_codebooks`, (subspace,
+    code) order restored."""
+    rows = (spark.read.parquet(path)
+            .orderBy("subspace", "code").collect())
+    m = rows[-1].subspace + 1
+    k = rows[-1].code + 1
+    d = len(rows[0].centroid)
+    out = np.empty((m, k, d))
+    for r in rows:
+        out[r.subspace, r.code] = r.centroid
+    return out
 
 
 # ---------------------------------------------------------------------------

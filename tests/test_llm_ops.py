@@ -833,3 +833,23 @@ def test_sequence_packing_oversize_and_auto_shards(spark):
     ss = [auto_shards(n) for n in ns]
     assert ss == sorted(ss)                            # monotone in N
     assert auto_shards(10_000_000) == 200              # N/50k shards
+
+
+def test_pq_codebook_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """Stored PQ codebooks reload bit-identically and reproduce the
+    exact same codes — the property that keeps a persisted code column
+    join-able across jobs (a drifted quantizer silently re-maps every
+    stored code)."""
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        load_pq_codebooks, pq_encode, save_pq_codebooks,
+        train_pq_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, ksub=32)
+    save_pq_codebooks(spark, books, str(tmp_path / "pq"))
+    loaded = load_pq_codebooks(spark, str(tmp_path / "pq"))
+    assert loaded.shape == books.shape
+    assert (loaded == books).all()          # bit-identical centroids
+    c1 = {r.vec_id: tuple(r.code) for r in pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: tuple(r.code) for r in pq_encode(emb, loaded).collect()}
+    assert c1 == c2
