@@ -184,13 +184,26 @@ def _grouped_pairwise_pairs(keyed: DataFrame, group_cols: list[str],
     of the expression scorer's ``aggregate`` fold and DuckDB's
     ``list_dot_product`` — so threshold decisions and the 4-dp reported
     cosine are engine-identical (see brute_force_topk_arrow).
+
+    Python-call amortization: ``applyInPandas`` would make ONE Python
+    round trip per GROUP — at sf10 the LSH path has ~65k buckets of
+    ~50 vectors, and the fixed per-group overhead dwarfed the matmuls.
+    Instead the rows are hash-partitioned and sorted by the group key
+    and a ``mapInPandas`` stream scores every complete group inside
+    each Arrow batch, carrying the (possibly split) trailing group into
+    the next batch — one Python call per ~10k-row batch regardless of
+    how many groups it spans, with results identical to the per-group
+    form (groups are contiguous after the sort, so no pair is split).
     """
     schema = ("a long, b long, cosine double" if with_cosine
               else "a long, b long")
+    empty = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+    if with_cosine:
+        empty["cosine"] = np.empty(0, np.float64)
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_gid"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["_gv"]), dtype=np.float64)
+    def score_group(ids: np.ndarray, mat: np.ndarray) -> dict:
+        if len(ids) < 2:
+            return empty
         acc = np.zeros((len(ids), len(ids)))
         for j in range(mat.shape[1]):
             col = mat[:, j]
@@ -202,9 +215,51 @@ def _grouped_pairwise_pairs(keyed: DataFrame, group_cols: list[str],
         out = {"a": np.minimum(da, db), "b": np.maximum(da, db)}
         if with_cosine:
             out["cosine"] = _round_half_up(dots[keep])
-        return pd.DataFrame(out)
+        return out
 
-    return keyed.groupBy(*group_cols).applyInPandas(score, schema)
+    def score_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            keys = pdf[group_cols]
+            # group boundary flags → contiguous group ids (sorted input)
+            new_grp = (keys != keys.shift()).any(axis=1).to_numpy()
+            new_grp[0] = True
+            gid = np.cumsum(new_grp) - 1
+            last = gid[-1]
+            # the trailing group may continue in the next batch — carry
+            carry = pdf.iloc[gid == last].copy()
+            done = pdf.iloc[gid != last]
+            if len(done):
+                parts = []
+                dgid = gid[gid != last]
+                ids_all = done["_gid"].to_numpy(dtype=np.int64)
+                for g in range(last):
+                    m = dgid == g
+                    if m.sum() < 2:
+                        continue
+                    mat = np.array(list(done["_gv"].iloc[m]),
+                                   dtype=np.float64)
+                    parts.append(score_group(ids_all[m], mat))
+                if parts:
+                    yield pd.DataFrame({
+                        k: np.concatenate([p[k] for p in parts])
+                        for k in empty})
+        if carry is not None and len(carry) >= 2:
+            out = score_group(
+                carry["_gid"].to_numpy(dtype=np.int64),
+                np.array(list(carry["_gv"]), dtype=np.float64))
+            yield pd.DataFrame(out)
+
+    shuffle_n = int(keyed.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    return (keyed.repartition(shuffle_n, *group_cols)
+            .sortWithinPartitions(*group_cols)
+            .mapInPandas(score_stream, schema))
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
