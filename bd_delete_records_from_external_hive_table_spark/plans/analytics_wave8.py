@@ -469,7 +469,7 @@ def e09(spark, sf_dir):
 @register("t21_sequence_packing", None)  # iterative FFD: no SQL oracle
 def t21(spark, sf_dir):
     """Sample packing for LLM training: documents bin-pack into
-    512-token training sequences via per-shard first-fit-decreasing
+    512-token training sequences via per-shard best-fit-decreasing
     (operators/packing.py) — the step that turns a filtered corpus into
     the actual batches a trainer consumes, and the difference between
     ~50%-padding and ~95%-full sequences at a 54-token median doc.

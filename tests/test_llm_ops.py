@@ -785,7 +785,7 @@ def test_repeated_kgram_fast_path_equals_window_path(spark, sf_dir):
 
 
 def test_sequence_packing_invariants(spark, sf_dir):
-    """FFD packing contract: every doc in exactly one pack, token totals
+    """BFD packing contract: every doc in exactly one pack, token totals
     conserved, no non-oversize pack over budget, deterministic across
     runs, and fill quality far above the one-doc-per-sequence floor."""
     from bd_delete_records_from_external_hive_table_spark.functions.text import ws_tokens
@@ -809,7 +809,7 @@ def test_sequence_packing_invariants(spark, sf_dir):
     again = pack_sequences(docs, max_tokens=512).collect()
     assert {p.pack_id: tuple(p.doc_ids) for p in packs} == \
            {p.pack_id: tuple(p.doc_ids) for p in again}
-    # quality: docs are ~54 tokens median, so FFD should fill packs far
+    # quality: docs are ~54 tokens median, so BFD should fill packs far
     # beyond the one-doc floor; all but the per-shard tail bins near-full
     fills = sorted(p.fill_ratio for p in packs if not p.oversize)
     assert sum(fills) / len(fills) >= 0.6, sum(fills) / len(fills)
@@ -825,7 +825,7 @@ def test_sequence_packing_oversize_and_auto_shards(spark):
     packs = pack_sequences(docs, max_tokens=512, shards=1).collect()
     over = [p for p in packs if p.oversize]
     assert len(over) == 1 and over[0].doc_ids == [1]   # own flagged bin
-    # 300 + 200 + 12 = 512 fits exactly in ONE bin (FFD order)
+    # 300 + 200 + 12 = 512 fits exactly in ONE bin (BFD order)
     full = [p for p in packs if not p.oversize]
     assert len(full) == 1 and full[0].total_tokens == 512
     assert auto_shards(0) == 8
