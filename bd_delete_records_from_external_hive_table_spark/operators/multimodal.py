@@ -32,10 +32,11 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "synthetic_media", "synthetic_real_media",
-           "ingest_binary_dir", "extract_features", "sample_frames",
-           "fake_feature_vector", "synthetic_image_corpus",
-           "average_hash_64"]
+__all__ = ["MEDIA_SCHEMA", "AUDIO_QA_SCHEMA", "synthetic_media",
+           "synthetic_real_media", "synthetic_audio",
+           "audio_quality_stats", "ingest_binary_dir",
+           "extract_features", "sample_frames", "fake_feature_vector",
+           "synthetic_image_corpus", "average_hash_64"]
 
 #: Canonical multimodal row: id, modality tag, opaque payload, metadata.
 MEDIA_SCHEMA = StructType([
@@ -105,6 +106,105 @@ def synthetic_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     # corpora size their partitions by data volume instead.
     n_parts = max(1, min(32, n // 8))
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_audio(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Audio-only corpus of VALID PCM16 WAV payloads with DETERMINISTIC
+    planted quality defects, for the audio-QA rung of the pipeline
+    (:func:`audio_quality_stats`): every 7th clip is driven past full
+    scale (amp 1.2 → the encoder hard-clips, so the decoded PCM pins at
+    ±32767) and every remaining 11th clip is near-silent (amp 0.004).
+    All other clips are clean 0.5-amplitude sines. The planted
+    populations make the QA report's counts provable at every corpus
+    size — the same planted-ground-truth pattern as t20's PII scan."""
+    from .media_codecs import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "payload": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 7 == 0:
+                    amp, kind = 1.2, "clipped"
+                elif i % 11 == 0:
+                    amp, kind = 0.004, "silent"
+                else:
+                    amp, kind = 0.5, "clean"
+                t = np.arange(160) / 160.0
+                s = (amp * np.sin(2 * np.pi * ((i % 13) + 1) * t)) \
+                    .astype(np.float64)
+                out["media_id"].append(i)
+                out["modality"].append("audio")
+                out["payload"].append(encode_wav(s))
+                out["meta"].append({"codec": "wav", "planted": kind})
+            yield pd.DataFrame(out)
+
+    n_parts = max(1, min(32, n // 8))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+#: per-clip audio QA row emitted by audio_quality_stats.
+AUDIO_QA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("rms", FloatType()),
+    StructField("peak", FloatType()),
+    StructField("clip_frac", FloatType()),
+    StructField("is_clipped", LongType()),
+    StructField("is_silent", LongType()),
+])
+
+
+def audio_quality_stats(media: DataFrame,
+                        clip_level: int = 32767,
+                        silence_rms: float = 0.01) -> DataFrame:
+    """Per-clip audio quality metrics from REAL WAV decode: sample count,
+    RMS loudness, absolute peak (in [0, 1] full-scale units), fraction
+    of samples pinned at the PCM16 clip level, and the derived
+    clipped/silent verdicts — the pre-training QA pass that drops
+    unusable audio before feature extraction.
+
+    Scale shape: mapInPandas decode, one Python call per Arrow batch;
+    only 7 scalar stats per clip leave Python (the payload itself never
+    re-serializes). Clipping is detected in the INTEGER PCM domain
+    (|pcm| == clip_level) — an exact test immune to float round-trips;
+    silence is an RMS floor in full-scale units. Non-audio / undecodable
+    payloads are dropped (audio QA, not format validation — m03 owns
+    decode-error accounting)."""
+    from .media_codecs import decode_wav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_QA_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, _rate = decode_wav(bytes(payload))
+                except Exception:
+                    continue
+                # decode_wav returns float32 = int16 / 32768 — ×32768
+                # reconstructs the original PCM integers EXACTLY (every
+                # int16/32768 is a dyadic rational, representable in
+                # float32), so the clip test runs in the integer domain
+                pcm = np.round(np.asarray(samples, dtype=np.float64)
+                               * 32768.0).astype(np.int64)
+                x = pcm.astype(np.float64) / 32768.0
+                n = int(x.size)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                peak = float(np.max(np.abs(x))) if n else 0.0
+                clip = float(np.mean(np.abs(pcm) >= clip_level)) if n \
+                    else 0.0
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+                out["clip_frac"].append(clip)
+                out["is_clipped"].append(int(clip > 0.0))
+                out["is_silent"].append(int(rms < silence_rms))
+            yield pd.DataFrame(out)
+
+    return (media.where(F.col("modality") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(stats, AUDIO_QA_SCHEMA))
 
 
 #: file-extension -> modality tag for the binaryFile ingest path.

@@ -38,6 +38,7 @@ __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "hyperplane_bucket", "band_keys_udf", "auto_bits", "auto_nlist",
            "lsh_ann_topk", "embedding_near_duplicates",
            "train_ivf_centroids", "ivf_assign", "ivf_ann_topk",
+           "ivf_bucket_stats",
            "train_pq_codebooks", "pq_encode", "pq_ann_topk",
            "save_pq_codebooks", "load_pq_codebooks",
            "embedding_moments", "pca_whitening",
@@ -470,6 +471,44 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, n_assign: int = 1,
     with_buckets = df.withColumn("_probes", nearest(F.col(vec_col)))
     return (with_buckets
             .select(*df.columns, F.explode("_probes").alias(out_col)))
+
+
+def ivf_bucket_stats(corpus: DataFrame, centroids: np.ndarray,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Index-health report for an IVF coarse quantizer: per bucket, the
+    member count and the cosine of members to their own centroid
+    (mean/min, 4 dp). The two failure modes of a vector index are both
+    visible here — BALANCE (one mega-bucket ⇒ probe cost degenerates
+    toward brute force; n01→n03's whole point) and QUANTIZATION quality
+    (low mean member↔centroid cosine ⇒ nprobe misses true neighbors).
+    The FAISS guidance to retrain when imbalance_factor grows is this
+    exact report.
+
+    Scale shape: ONE Arrow pass computes (bucket, sim) per vector —
+    a single matmul against the broadcast (nlist × dim) centroid matrix
+    per batch; only two scalars per row leave Python, and the rollup is
+    a map-side-combined groupBy on nlist keys. The corpus never joins
+    or shuffles full vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("struct<bucket:int, sim:double>")
+    def assign_sim(vecs: pd.Series) -> pd.DataFrame:
+        x = np.asarray(list(vecs), dtype=np.float64)
+        sims = x @ cent.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "bucket": best.astype("int32"),
+            "sim": sims[np.arange(len(x)), best]})
+
+    per_vec = corpus.select(assign_sim(F.col(vec_col)).alias("s"))
+    return (per_vec.groupBy(F.col("s.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("s.sim"), 4).alias("mean_sim"),
+                 F.round(F.min("s.sim"), 4).alias("min_sim"))
+            .orderBy("bucket"))
 
 
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

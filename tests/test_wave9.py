@@ -1,0 +1,202 @@
+"""Round-7 wave-9 operators: fuzzy-dedup survivors, fuzzy
+decontamination, duplication profile, forecast backtest, URL rollup,
+audio QA and IVF index health.
+
+Oracle-checked queries (d15/d16/t22/ts10/f15) are additionally covered
+by the registry-wide parity sweep in test_oracle_parity.py; this module
+asserts the SEMANTIC contracts (survivor rules, planted-defect counts,
+numpy parity) that a value-hash alone doesn't explain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark.functions.text import stable_hash28
+from bd_delete_records_from_external_hive_table_spark.operators import similarity
+from bd_delete_records_from_external_hive_table_spark.operators.multimodal import (
+    audio_quality_stats, synthetic_audio)
+from bd_delete_records_from_external_hive_table_spark.plans import REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# m05 / audio QA: planted-defect ground truth
+# ---------------------------------------------------------------------------
+
+def test_audio_quality_planted_defects(spark):
+    n = 40
+    qa = audio_quality_stats(synthetic_audio(spark, n)).collect()
+    assert len(qa) == n
+    by_id = {r["media_id"]: r for r in qa}
+    for i in range(n):
+        r = by_id[i]
+        assert r["n_samples"] == 160
+        if i % 7 == 0:  # driven past full scale → encoder hard-clips
+            assert r["is_clipped"] == 1 and r["clip_frac"] > 0
+            # encode_wav scales by 32767, decode_wav divides by 32768 →
+            # a pinned sample reads 32767/32768, not exactly 1.0
+            assert r["peak"] == pytest.approx(32767 / 32768, abs=1e-6)
+        elif i % 11 == 0:  # near-silent
+            assert r["is_silent"] == 1
+            assert r["rms"] < 0.01
+        else:  # clean 0.5-amp sine: rms ≈ 0.5/√2, never clipped/silent
+            assert r["is_clipped"] == 0 and r["is_silent"] == 0
+            assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.02)
+            assert r["clip_frac"] == 0.0
+
+
+def test_audio_quality_report_counts(spark, sf_dir):
+    row = REGISTRY["m05_audio_quality_report"].spark_fn(
+        spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    n = r["n_clips"]
+    assert r["clipped_clips"] == sum(1 for i in range(n) if i % 7 == 0)
+    assert r["silent_clips"] == sum(
+        1 for i in range(n) if i % 7 != 0 and i % 11 == 0)
+    assert r["max_peak"] == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# e11 / IVF index health: numpy parity
+# ---------------------------------------------------------------------------
+
+def test_ivf_bucket_stats_numpy_parity(spark, sf_dir):
+    corpus = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+              .select("vec_id", "embedding").limit(300))
+    cent = similarity.train_ivf_centroids(corpus, nlist=8)
+    got = {r["bucket"]: r for r in
+           similarity.ivf_bucket_stats(corpus, cent).collect()}
+
+    x = np.asarray([r["embedding"] for r in corpus.collect()],
+                   dtype=np.float64)
+    sims = x @ cent.astype(np.float64).T
+    best = np.argmax(sims, axis=1)
+    top = sims[np.arange(len(x)), best]
+    for b in np.unique(best):
+        member = top[best == b]
+        assert got[int(b)]["n_vecs"] == int((best == b).sum())
+        assert got[int(b)]["mean_sim"] == pytest.approx(
+            round(float(member.mean()), 4), abs=1e-4)
+        assert got[int(b)]["min_sim"] == pytest.approx(
+            round(float(member.min()), 4), abs=1e-4)
+    assert set(got) == {int(b) for b in np.unique(best)}
+
+
+# ---------------------------------------------------------------------------
+# d15 / fuzzy-dedup survivors: survivor-rule contract
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_dedup_survivor_rule(spark, sf_dir):
+    rows = REGISTRY["d15_fuzzy_dedup_survivors"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows, "panel plants near-dup pairs at every SF"
+    # exactly one survivor per component
+    per_comp: dict[int, list] = {}
+    for r in rows:
+        per_comp.setdefault(r["component"], []).append(r)
+    for comp, members in per_comp.items():
+        assert sum(m["is_survivor"] for m in members) == 1
+        # every member's component is the min doc_id in the cluster
+        assert comp == min(m["doc_id"] for m in members)
+    # survivor is the longest text (tie → min doc_id): planted copies
+    # append ' zq zq' to the base doc, so the copy (doc_id + 1000) wins
+    planted = {r["component"]: r for r in rows
+               if r["doc_id"] >= 1000 and r["is_survivor"] == 1}
+    assert planted, "planted longer copies must win keep-best"
+
+
+# ---------------------------------------------------------------------------
+# d16 / fuzzy decontamination: split-side contract
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_decontamination_sides(spark, sf_dir):
+    rows = REGISTRY["d16_fuzzy_decontamination"].spark_fn(
+        spark, sf_dir).collect()
+    # reported docs are all on the corpus side of the deterministic
+    # split, and every reported match is at/above the 0.5 threshold
+    ids = [r["corpus_doc"] for r in rows]
+    if not ids:
+        pytest.skip("no cross-split near-dup at this SF (hash-dependent)")
+    side = (spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+            .select("doc_id",
+                    (stable_hash28(F.col("doc_id").cast("string")) % 100)
+                    .alias("b")).collect())
+    assert all(r["b"] < 70 for r in side)
+    assert all(r["max_jaccard"] >= 0.5 for r in rows)
+    assert all(r["n_bench_matches"] >= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# t22 / duplication profile: internal-consistency vs d14's per-doc stats
+# ---------------------------------------------------------------------------
+
+def test_duplication_profile_consistency(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.operators import dedup
+
+    prof = {r["source"]: r for r in
+            REGISTRY["t22_duplication_profile"].spark_fn(
+                spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = dedup.repeated_kgram_doc_stats(docs, k=8, min_docs=2) \
+        .join(docs.select("doc_id", "source"), "doc_id") \
+        .groupBy("source").agg(F.sum("n_rep_grams").alias("s")).collect()
+    rep_by_source = {r["source"]: r["s"] for r in rep}
+    for src, row in prof.items():
+        assert row["total_rep_grams"] == rep_by_source.get(src, 0)
+        assert 0.0 <= row["dup_share"] <= 1.0
+        assert row["high_dup_docs"] <= row["gram_docs"]
+
+
+# ---------------------------------------------------------------------------
+# ts10 / seasonal-naive backtest: pandas recompute parity
+# ---------------------------------------------------------------------------
+
+def test_seasonal_backtest_pandas_parity(spark, sf_dir):
+    got = REGISTRY["ts10_seasonal_naive_backtest"].spark_fn(
+        spark, sf_dir).toPandas()
+    assert len(got) > 0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "ts", "value").toPandas()
+    ev["d"] = ev["ts"].dt.floor("D")
+    daily = (ev.groupby(["event_type", "d"])["value"].sum()
+             .round(2).mul(100).round(0).astype("int64").reset_index(
+                 name="total_c"))
+    daily = daily.sort_values(["event_type", "d"])
+    daily["naive"] = daily.groupby("event_type")["total_c"].shift(1)
+    daily["snaive"] = daily.groupby("event_type")["total_c"].shift(7)
+    d = daily.dropna(subset=["snaive"]).copy()
+    d["month"] = d["d"].dt.strftime("%Y-%m")
+    agg = d.groupby(["event_type", "month"]).apply(
+        lambda g: pd.Series({
+            "n_days": len(g),
+            "sae_naive": int(abs(g["total_c"] - g["naive"]).sum()),
+            "sae_snaive": int(abs(g["total_c"] - g["snaive"]).sum())}),
+        include_groups=False).reset_index()
+    m = got.merge(agg, on=["event_type", "month"], suffixes=("", "_pd"))
+    assert len(m) == len(got) == len(agg)
+    assert (m["n_days"] == m["n_days_pd"]).all()
+    assert (m["sae_naive"] == m["sae_naive_pd"]).all()
+    assert (m["sae_snaive"] == m["sae_snaive_pd"]).all()
+
+
+# ---------------------------------------------------------------------------
+# f15 / URL rollup: parse_url semantics spot-check
+# ---------------------------------------------------------------------------
+
+def test_url_rollup_hosts(spark, sf_dir):
+    rows = REGISTRY["f15_url_host_rollup"].spark_fn(
+        spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = {r["source"] for r in docs.select("source").distinct()
+               .collect()}
+    assert {r["host"] for r in rows} == {f"{s}.example.com"
+                                         for s in sources}
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["n_refs"] <= 5
+        assert r["n_paths"] <= r["n_docs"]
