@@ -32,9 +32,10 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "AUDIO_QA_SCHEMA", "synthetic_media",
-           "synthetic_real_media", "synthetic_audio",
-           "audio_quality_stats", "ingest_binary_dir",
+__all__ = ["MEDIA_SCHEMA", "AUDIO_QA_SCHEMA", "IMAGE_QA_SCHEMA",
+           "synthetic_media", "synthetic_real_media", "synthetic_audio",
+           "audio_quality_stats", "synthetic_images_qa",
+           "image_quality_stats", "ingest_binary_dir",
            "extract_features", "sample_frames", "fake_feature_vector",
            "synthetic_image_corpus", "average_hash_64"]
 
@@ -141,6 +142,97 @@ def synthetic_audio(spark: SparkSession, n: int = 48) -> DataFrame:
 
     n_parts = max(1, min(32, n // 8))
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_images_qa(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Image-only corpus of VALID PPM payloads with DETERMINISTIC planted
+    quality defects for :func:`image_quality_stats`: every 5th image is
+    a solid color (zero contrast — the blank/placeholder asset a crawl
+    drags in), every remaining 9th is overexposed (≥80% of pixels at
+    250+), the rest are banded gradients. Planted populations make the
+    QA report's counts provable at every corpus size."""
+    from .media_codecs import encode_ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "payload": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 5 == 0:
+                    px = np.full((8, 8, 3), (i * 37) % 200,
+                                 dtype=np.uint8)
+                    kind = "solid"
+                elif i % 9 == 0:
+                    px = np.full((8, 8, 3), 252, dtype=np.uint8)
+                    px[0, 0] = (10, 20, 30)  # one dark pixel: not solid
+                    kind = "overexposed"
+                else:
+                    ramp = ((np.arange(8 * 8 * 3, dtype=np.int64)
+                             * (i + 7)) % 200).reshape(8, 8, 3)
+                    px = ramp.astype(np.uint8)
+                    kind = "clean"
+                out["media_id"].append(i)
+                out["modality"].append("image")
+                out["payload"].append(encode_ppm(px))
+                out["meta"].append({"codec": "ppm", "planted": kind})
+            yield pd.DataFrame(out)
+
+    n_parts = max(1, min(32, n // 8))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+#: per-image QA row emitted by image_quality_stats.
+IMAGE_QA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_pixels", LongType()),
+    StructField("mean_brightness", FloatType()),
+    StructField("contrast", FloatType()),
+    StructField("overexp_frac", FloatType()),
+    StructField("is_solid", LongType()),
+    StructField("is_overexposed", LongType()),
+])
+
+
+def image_quality_stats(media: DataFrame,
+                        overexp_level: int = 250,
+                        overexp_frac: float = 0.8) -> DataFrame:
+    """Per-image quality metrics from REAL PPM decode: pixel count, mean
+    brightness, contrast (grayscale std), overexposed-pixel fraction and
+    the solid-color / overexposed verdicts — the pre-training image QA
+    pass that drops blank placeholders and blown-out frames before
+    feature extraction. Solid-color detection is EXACT (max == min over
+    raw integer pixel values); overexposure thresholds on integer pixel
+    counts. Same Arrow shape as audio_quality_stats: one Python call
+    per batch, 7 scalars per image leave Python. Non-image /
+    undecodable payloads are dropped (m03 owns decode-error
+    accounting)."""
+    from .media_codecs import decode_ppm
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_QA_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = decode_ppm(bytes(payload))
+                except Exception:
+                    continue
+                flat = px.astype(np.int64)
+                gray = flat.mean(axis=2)
+                n = int(gray.size)
+                over = float((gray >= overexp_level).mean()) if n else 0.0
+                out["media_id"].append(int(mid))
+                out["n_pixels"].append(n)
+                out["mean_brightness"].append(float(gray.mean()))
+                out["contrast"].append(float(gray.std()))
+                out["overexp_frac"].append(over)
+                out["is_solid"].append(
+                    int(flat.max() == flat.min()))
+                out["is_overexposed"].append(int(over >= overexp_frac))
+            yield pd.DataFrame(out)
+
+    return (media.where(F.col("modality") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(stats, IMAGE_QA_SCHEMA))
 
 
 #: per-clip audio QA row emitted by audio_quality_stats.

@@ -186,7 +186,7 @@ def t13(spark, sf_dir):
 
 @register("e04_centroid_similarity",
           "WITH comp AS (SELECT label, pos, "
-          "  CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DECIMAL(19,0))"
+          "  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DECIMAL(19,0))"
           "  AS iq FROM ("
           "  SELECT label, UNNEST(embedding) AS v, "
           "         generate_subscripts(embedding, 1) AS pos "
@@ -210,7 +210,12 @@ def e04(spark, sf_dir):
 
     Determinism: a float AVG centroid would vary in its last bits with
     partition order. Instead each component quantizes to an integer
-    (FLOOR(v·1e6) — FLOOR of a double is an exact bit-function) whose
+    (FLOOR(v·1e6) AFTER an explicit float→double cast — the engines'
+    float×int promotion rules differ, and a float32 multiply floors
+    across integer boundaries differently than the double multiply:
+    103/640 (label,pos) sums diverged at sf0.01 before the cast, held
+    green only by 4-dp insensitivity; FLOOR of a double is an exact
+    bit-function) whose
     BIGINT sum is order-free, and cosine is scale-invariant, so the
     un-normalized integer sums ARE the centroid: all pair math runs in
     exact DECIMAL and only the final division/sqrt touches floats —
@@ -220,7 +225,8 @@ def e04(spark, sf_dir):
     # the |labels|x dim aggregate so the corpus is scanned once
     comp = (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("label", "pos")
-            .agg(F.sum(F.floor(F.col("v") * 1_000_000).cast("bigint"))
+            .agg(F.sum(F.floor(F.col("v").cast("double") * 1_000_000)
+                       .cast("bigint"))
                  .cast("decimal(19,0)").alias("iq"))
             .localCheckpoint(eager=False))
     nrm = (comp.groupBy("label")

@@ -381,6 +381,265 @@ def m05(spark, sf_dir):
         F.round(F.avg("clip_frac"), 4).alias("mean_clip_frac"))
 
 
+@register("t23_bigram_ce_filter",
+          "WITH tok AS (SELECT doc_id, source, "
+          "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+          "  t -> t <> '') AS ts FROM documents), "
+          "uni AS (SELECT unnest(ts) AS w FROM tok), "
+          "ulm AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w), "
+          "v AS (SELECT COUNT(*) AS vsz FROM ulm), "
+          "bg AS (SELECT doc_id, source, "
+          "  unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2 "
+          "  FROM tok WHERE len(ts) >= 2), "
+          "blm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg "
+          "  GROUP BY w1, w2), "
+          "sc AS (SELECT doc_id, source, "
+          "  -ln((c12 + 1.0) / (c1 + vsz)) AS ce "
+          "  FROM bg JOIN blm USING (w1, w2) "
+          "  JOIN ulm ON ulm.w = bg.w1, v), "
+          "pd AS (SELECT doc_id, ANY_VALUE(source) AS source, "
+          "  AVG(ce) AS dce FROM sc GROUP BY doc_id) "
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+          "ROUND(AVG(dce), 4) AS avg_ce "
+          "FROM pd GROUP BY source ORDER BY source")
+def t23(spark, sf_dir):
+    """Bigram-LM cross-entropy per source — t14's CCNet-style LM quality
+    filter upgraded one n-gram order: add-one-smoothed p(w2|w1) trained
+    on the corpus itself, each doc scored as mean −ln p over its bigram
+    positions, rolled up per source (the which-slice-reads-like-noise
+    mixture view; KenLM-filter shape, Wenzek et al. 2020, public).
+    Scale shape: ONE tokenize feeds bigram generation; the bigram LM
+    and unigram LM are dictionary-sized aggregates; the scoring join is
+    dictionary-keyed (stopword-skewed — AQE skew-split territory); the
+    vocab size is a 1-row broadcast. Per-term libm drift is ~1e-15 on
+    O(1-10) values — invisible at the final 4-dp rounding (t14's
+    adjudication). Docs with <2 tokens have no bigram positions and are
+    excluded on BOTH engines by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                  lambda t: t != F.lit(""))
+    tok = (docs.select("doc_id", "source", ts.alias("ts"))
+           .where(F.size("ts") >= 2)
+           .localCheckpoint(eager=False))
+    uni = tok.select(F.explode("ts").alias("w"))
+    ulm = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vsz = ulm.agg(F.count(F.lit(1)).alias("vsz"))
+    bg = tok.select(
+        "doc_id", "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.struct(
+                F.element_at("ts", i).alias("w1"),
+                F.element_at("ts", i + 1).alias("w2")))).alias("b")) \
+        .select("doc_id", "source", "b.w1", "b.w2")
+    blm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ce = -F.log((F.col("c12") + F.lit(1.0))
+                / (F.col("c1") + F.col("vsz")))
+    per_doc = (bg.join(blm, ["w1", "w2"])
+               .join(ulm.withColumnRenamed("w", "w1"), "w1")
+               .crossJoin(F.broadcast(vsz))
+               .groupBy("doc_id")
+               .agg(F.first("source").alias("source"),
+                    F.avg(ce).alias("dce")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("dce"), 4).alias("avg_ce"))
+            .orderBy("source"))
+
+
+_E12_SPLIT = ("CASE WHEN " + _DUCK_HASH28.format("CAST(vec_id AS VARCHAR)")
+              + " % 100 < 50 THEN 'a' ELSE 'b' END")
+
+
+@register("e12_embedding_snapshot_drift",
+          f"WITH sp AS (SELECT vec_id, label, {_E12_SPLIT} AS half, "
+          "  embedding FROM embeddings), "
+          "comp AS (SELECT label, half, pos, "
+          "  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)) "
+          "    AS DECIMAL(19,0)) AS iq FROM ("
+          "  SELECT label, half, UNNEST(embedding) AS v, "
+          "         generate_subscripts(embedding, 1) AS pos "
+          "  FROM sp) x GROUP BY label, half, pos), "
+          "cnt AS (SELECT label, half, CAST(COUNT(*) AS BIGINT) AS n "
+          "  FROM sp GROUP BY label, half), "
+          "j AS (SELECT a.label, a.iq AS ia, b.iq AS ib FROM comp a "
+          "  JOIN comp b ON a.label = b.label AND a.pos = b.pos "
+          "  WHERE a.half = 'a' AND b.half = 'b'), "
+          "d AS (SELECT label, CAST(SUM(ia * ib) AS DOUBLE) AS dot, "
+          "  CAST(SUM(ia * ia) AS DOUBLE) AS na, "
+          "  CAST(SUM(ib * ib) AS DOUBLE) AS nb FROM j GROUP BY label) "
+          "SELECT d.label AS label, ca.n AS n_a, cb.n AS n_b, "
+          "ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS drift_cos "
+          "FROM d JOIN cnt ca ON ca.label = d.label AND ca.half = 'a' "
+          "JOIN cnt cb ON cb.label = d.label AND cb.half = 'b' "
+          "ORDER BY d.label")
+def e12(spark, sf_dir):
+    """Embedding snapshot drift per label: split the corpus into two
+    deterministic hash halves (stand-ins for yesterday's and today's
+    snapshot) and report the cosine between each label's half-A and
+    half-B centroids — the embedding-pipeline regression check (a
+    retrained encoder or a poisoned ingest shows up as drift_cos well
+    below 1 for affected labels; stable pipelines sit ≈1 because both
+    halves sample the same distribution). e04's determinism trick, tightened: each
+    component quantizes to FLOOR(v·1e4) whose integer sums are
+    order-free (float centroid AVGs vary in their last bits with
+    partition order) AND small enough that every downstream integer
+    (iq², dots, norms) stays below 2^53 at certification SFs — the
+    decimal→double conversion is then EXACT on both engines (at 1e6 a
+    >2^53 norm rounded differently in Java vs DuckDB and flipped a
+    4-dp boundary). Pair math runs in exact decimals; floats appear
+    only in the final normalize. Scale shape: ONE posexplode +
+    partial-agg per corpus; everything after operates on
+    |labels|×dim×2 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    half = F.when(
+        stable_hash28(F.col("vec_id").cast("string")) % 100 < 50,
+        "a").otherwise("b")
+    sp = emb.select("label", half.alias("half"), "embedding")
+    comp = (sp.select("label", "half",
+                      F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "half", "pos")
+            .agg(F.sum(F.floor(F.col("v").cast("double") * 10_000).cast("bigint"))
+                 .cast("decimal(19,0)").alias("iq"))
+            .localCheckpoint(eager=False))
+    cnt = sp.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = comp.where(F.col("half") == "a").select(
+        "label", "pos", F.col("iq").alias("ia"))
+    b = comp.where(F.col("half") == "b").select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        F.col("iq").alias("ib"))
+    d = (a.join(b, (F.col("label") == F.col("lb"))
+                & (F.col("pos") == F.col("pb")))
+         .groupBy("label")
+         .agg(F.sum(F.col("ia") * F.col("ib")).cast("double").alias("dot"),
+              F.sum(F.col("ia") * F.col("ia")).cast("double").alias("na"),
+              F.sum(F.col("ib") * F.col("ib")).cast("double").alias("nb")))
+    ca = cnt.where(F.col("half") == "a").select(
+        "label", F.col("n").alias("n_a"))
+    cb = cnt.where(F.col("half") == "b").select(
+        "label", F.col("n").alias("n_b"))
+    return (d.join(F.broadcast(ca), "label")
+            .join(F.broadcast(cb), "label")
+            .select("label", "n_a", "n_b",
+                    F.round(F.col("dot")
+                            / (F.sqrt("na") * F.sqrt("nb")), 4)
+                    .alias("drift_cos"))
+            .orderBy("label"))
+
+
+@register("sa04_weighted_sample",
+          "WITH k AS (SELECT source, n_chars, "
+          "  CASE WHEN " + _DUCK_HASH28.format("CAST(doc_id AS VARCHAR)")
+          + " % 2000 < n_chars THEN 1 ELSE 0 END AS kept "
+          "  FROM documents) "
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+          "CAST(SUM(kept) AS BIGINT) AS n_kept, "
+          "CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars, "
+          "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+          "FROM k GROUP BY source ORDER BY source")
+def sa04(spark, sf_dir):
+    """Deterministic LENGTH-WEIGHTED Bernoulli sample per source:
+    P(keep) ∝ n_chars via an EXACT integer comparison — keep iff
+    hash28(doc_id) mod 2000 < n_chars — the quality/length-weighted
+    corpus downsampling every mixture recipe needs (longer docs carry
+    more training signal per selection), with sa01/sa03's
+    reproducibility guarantees (content-independent hash ⇒ identical
+    sample on every engine, every run, every partitioning — a seeded
+    RNG gives none of these). No float ever enters the membership
+    decision, so the kept set is engine-exact, not just
+    distributionally right. One scan, map-side integer codegen, a
+    |sources|-key rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (stable_hash28(F.col("doc_id").cast("string")) % 2000
+            < F.col("n_chars")).cast("long")
+    return (docs.select("source", "n_chars", kept.alias("kept"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("kept").cast("long").alias("n_kept"),
+                 F.sum(F.col("kept") * F.col("n_chars")).cast("long")
+                 .alias("kept_chars"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("source"))
+
+
+_F16_OCTETS = ("user_id % 223 + 1 AS o1, "
+               "CAST(FLOOR(user_id / 7) AS BIGINT) % 256 AS o2, "
+               "CAST(FLOOR(user_id / 13) AS BIGINT) % 256 AS o3, "
+               "CAST(FLOOR(user_id / 29) AS BIGINT) % 254 + 1 AS o4")
+
+
+@register("f16_ip_classification",
+          f"WITH ip AS (SELECT event_type, {_F16_OCTETS} FROM events), "
+          "c AS (SELECT event_type, "
+          "  ((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS packed, "
+          "  CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) "
+          "       OR (o1 = 192 AND o2 = 168) THEN 'private' "
+          "       WHEN o1 = 127 THEN 'loopback' "
+          "       ELSE 'public' END AS cls FROM ip) "
+          "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+          "CAST(COUNT(*) FILTER (cls = 'private') AS BIGINT) AS n_private, "
+          "CAST(COUNT(*) FILTER (cls = 'loopback') AS BIGINT) "
+          "  AS n_loopback, "
+          "CAST(COUNT(*) FILTER (cls = 'public') AS BIGINT) AS n_public, "
+          "CAST(COUNT(DISTINCT packed) AS BIGINT) AS n_distinct_ips "
+          "FROM c GROUP BY event_type ORDER BY event_type")
+def f16(spark, sf_dir):
+    """IPv4 derivation + RFC-1918 classification per event type — the
+    log-curation pass that separates internal/private traffic from
+    public before a clickstream feeds analytics or training (private
+    and loopback sources are monitoring noise at best, PII risk at
+    worst). IPs derive DETERMINISTICALLY from user_id (the testdata has
+    no IP column), all math is integer (octet extraction via exact
+    floor-division — user_id ≪ 2^53 so the double floor is exact on
+    both engines), classification is integer range checks, and the
+    distinct-IP count rides a packed int64 — one scan, zero floats
+    anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    o1 = F.col("user_id") % 223 + 1
+    o2 = F.floor(F.col("user_id") / 7).cast("bigint") % 256
+    o3 = F.floor(F.col("user_id") / 13).cast("bigint") % 256
+    o4 = F.floor(F.col("user_id") / 29).cast("bigint") % 254 + 1
+    cls = (F.when((o1 == 10) | ((o1 == 172) & o2.between(16, 31))
+                  | ((o1 == 192) & (o2 == 168)), "private")
+           .when(o1 == 127, "loopback").otherwise("public"))
+    packed = ((o1 * 256 + o2) * 256 + o3) * 256 + o4
+    c = ev.select("event_type", packed.alias("packed"),
+                  cls.alias("cls"))
+    return (c.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.col("cls") == "private").cast("long"))
+                 .cast("long").alias("n_private"),
+                 F.sum((F.col("cls") == "loopback").cast("long"))
+                 .cast("long").alias("n_loopback"),
+                 F.sum((F.col("cls") == "public").cast("long"))
+                 .cast("long").alias("n_public"),
+                 F.countDistinct("packed").alias("n_distinct_ips"))
+            .orderBy("event_type"))
+
+
+@register("m06_image_quality_report", None)  # binary decode: no SQL oracle
+def m06(spark, sf_dir):
+    """Image QA report — m05's sibling for the image modality: real PPM
+    decode → per-image brightness / contrast / overexposure in one
+    Arrow pass (operators/multimodal.py:image_quality_stats) → one-row
+    corpus verdict. Every 5th image is a planted solid color (EXACT
+    max==min integer detection — the blank-placeholder asset) and every
+    remaining 9th is overexposed (≥80% of pixels at 250+), so
+    ``solid_images``/``overexposed_images`` are provable counts at
+    every corpus size (test-asserted). Rows-only: binary decode has no
+    SQL form."""
+    from ..operators.multimodal import (image_quality_stats,
+                                        synthetic_images_qa)
+    corpus = synthetic_images_qa(spark, media_corpus_n(spark, sf_dir))
+    qa = image_quality_stats(corpus)
+    return qa.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("is_solid").cast("long").alias("solid_images"),
+        F.sum("is_overexposed").cast("long").alias("overexposed_images"),
+        F.round(F.avg("mean_brightness"), 2).alias("avg_brightness"),
+        F.round(F.avg("contrast"), 2).alias("avg_contrast"))
+
+
 @register("e11_ivf_index_health", None)  # trained quantizer: no SQL oracle
 def e11(spark, sf_dir):
     """IVF index-health report over the SF-proportional embedding

@@ -152,6 +152,136 @@ def test_duplication_profile_consistency(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# m06 / image QA: planted-defect ground truth
+# ---------------------------------------------------------------------------
+
+def test_image_quality_planted_defects(spark):
+    from bd_delete_records_from_external_hive_table_spark.operators.multimodal import (
+        image_quality_stats, synthetic_images_qa)
+
+    n = 45
+    qa = image_quality_stats(synthetic_images_qa(spark, n)).collect()
+    assert len(qa) == n
+    by_id = {r["media_id"]: r for r in qa}
+    for i in range(n):
+        r = by_id[i]
+        assert r["n_pixels"] == 64
+        if i % 5 == 0:  # solid color: exact zero contrast
+            assert r["is_solid"] == 1
+            assert r["contrast"] == 0.0
+        elif i % 9 == 0:  # overexposed: ≥80% of pixels at 250+
+            assert r["is_solid"] == 0
+            assert r["is_overexposed"] == 1
+            assert r["overexp_frac"] >= 0.8
+        else:
+            assert r["is_solid"] == 0 and r["is_overexposed"] == 0
+
+
+def test_image_quality_report_counts(spark, sf_dir):
+    row = REGISTRY["m06_image_quality_report"].spark_fn(
+        spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    n = r["n_images"]
+    assert r["solid_images"] == sum(1 for i in range(n) if i % 5 == 0)
+    assert r["overexposed_images"] == sum(
+        1 for i in range(n) if i % 5 != 0 and i % 9 == 0)
+
+
+# ---------------------------------------------------------------------------
+# e12 / snapshot drift: structural contract
+# ---------------------------------------------------------------------------
+
+def test_snapshot_drift_structure(spark, sf_dir):
+    rows = REGISTRY["e12_embedding_snapshot_drift"].spark_fn(
+        spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    per_label = {r["label"]: r["n"] for r in
+                 emb.groupBy("label").count()
+                 .withColumnRenamed("count", "n").collect()}
+    got_labels = {r["label"] for r in rows}
+    # every label with members in BOTH halves appears exactly once
+    assert len(rows) == len(got_labels)
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == per_label[r["label"]]
+        assert -1.0 <= r["drift_cos"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# sa04 / weighted sample: exact pandas recompute
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_exact(spark, sf_dir):
+    import hashlib
+
+    got = {r["source"]: r for r in
+           REGISTRY["sa04_weighted_sample"].spark_fn(
+               spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars").toPandas()
+
+    def h28(s):  # the shared 28-bit md5 bucket
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:7], 16)
+
+    docs["kept"] = [
+        int(h28(d) % 2000 < c)
+        for d, c in zip(docs["doc_id"], docs["n_chars"])]
+    for src, g in docs.groupby("source"):
+        assert got[src]["n_kept"] == int(g["kept"].sum())
+        assert got[src]["kept_chars"] == int(
+            (g["kept"] * g["n_chars"]).sum())
+    # the weighting property: kept docs are longer on average
+    total_kept = docs[docs["kept"] == 1]
+    if len(total_kept):
+        assert total_kept["n_chars"].mean() >= docs["n_chars"].mean()
+
+
+# ---------------------------------------------------------------------------
+# f16 / IP classification: exact pandas recompute
+# ---------------------------------------------------------------------------
+
+def test_ip_classification_exact(spark, sf_dir):
+    got = {r["event_type"]: r for r in
+           REGISTRY["f16_ip_classification"].spark_fn(
+               spark, sf_dir).collect()}
+    from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "user_id").toPandas()
+    u = ev["user_id"].astype("int64")
+    o1 = u % 223 + 1
+    o2 = (u // 7) % 256
+    private = (o1 == 10) | ((o1 == 172) & o2.between(16, 31)) \
+        | ((o1 == 192) & (o2 == 168))
+    ev["cls"] = np.where(private, "private",
+                         np.where(o1 == 127, "loopback", "public"))
+    for et, g in ev.groupby("event_type"):
+        assert got[et]["n_events"] == len(g)
+        assert got[et]["n_private"] == int((g["cls"] == "private").sum())
+        assert got[et]["n_loopback"] == int(
+            (g["cls"] == "loopback").sum())
+        assert got[et]["n_public"] == int((g["cls"] == "public").sum())
+
+
+# ---------------------------------------------------------------------------
+# t23 / bigram CE: structural sanity
+# ---------------------------------------------------------------------------
+
+def test_bigram_ce_sanity(spark, sf_dir):
+    rows = REGISTRY["t23_bigram_ce_filter"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").count()
+                  .withColumnRenamed("count", "n").collect()}
+    for r in rows:
+        # cross-entropy of a smoothed LM is strictly positive, and only
+        # docs with ≥2 tokens are scored
+        assert r["avg_ce"] > 0
+        assert 0 < r["n_docs"] <= per_source[r["source"]]
+
+
+# ---------------------------------------------------------------------------
 # ts10 / seasonal-naive backtest: pandas recompute parity
 # ---------------------------------------------------------------------------
 
