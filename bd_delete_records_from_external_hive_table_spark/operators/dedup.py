@@ -440,7 +440,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 
 def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", k: int = 8,
-                             min_docs: int = 2) -> DataFrame:
+                             min_docs: int = 2,
+                             include_all: bool = False) -> DataFrame:
     """Per-document repeated-substring statistics — the bounded k-gram
     form of exact substring dedup ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2021, public): a k-token window
@@ -454,6 +455,10 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
     positions and how many of them lie on a cross-document-shared gram
     (within-doc repetition alone never counts — the gram's document
     frequency, not its occurrence count, crosses ``min_docs``).
+    ``include_all=True`` keeps docs whose repeated count is ZERO (any
+    doc with ≥1 gram position) — corpus-profile consumers (t22) get the
+    zero-rep population from the totals aggregate the pipeline already
+    computes, instead of paying a third tokenize pass over the corpus.
 
     Scale shape — docs never pairwise-join, and at ``min_docs=2`` (the
     Lee et al. form and the shipped query's contract) nothing sorts
@@ -512,21 +517,21 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
         uniq = (per_gram.where(F.col("df") == 1)
                 .groupBy(F.col("_doc").alias(id_col))
                 .agg(F.sum("_occ").cast("long").alias("_n_uniq")))
-        return (totals.join(uniq, id_col, "left")
-                .select(id_col, "n_grams",
-                        (F.col("n_grams")
-                         - F.coalesce(F.col("_n_uniq"), F.lit(0)))
-                        .cast("long").alias("n_rep_grams"))
-                .where(F.col("n_rep_grams") > 0))
+        out = (totals.join(uniq, id_col, "left")
+               .select(id_col, "n_grams",
+                       (F.col("n_grams")
+                        - F.coalesce(F.col("_n_uniq"), F.lit(0)))
+                       .cast("long").alias("n_rep_grams")))
+        return out if include_all else out.where(F.col("n_rep_grams") > 0)
     # general threshold: unordered window attaches each gram's df in
     # place (one gram-keyed shuffle)
     gdd = gd.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-    return (gdd.groupBy(id_col)
-            .agg(F.sum("occ").cast("long").alias("n_grams"),
-                 F.sum(F.when(F.col("df") >= min_docs, F.col("occ"))
-                       .otherwise(0)).cast("long").alias("n_rep_grams"))
-            .where(F.col("n_rep_grams") > 0))
+    out = (gdd.groupBy(id_col)
+           .agg(F.sum("occ").cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("df") >= min_docs, F.col("occ"))
+                      .otherwise(0)).cast("long").alias("n_rep_grams")))
+    return out if include_all else out.where(F.col("n_rep_grams") > 0)
 
 
 # ---------------------------------------------------------------------------

@@ -20,8 +20,9 @@ pipeline.
   it near-duplicates (GPT-3's fuzzy-dedup decontamination, Brown et
   al. 2020 Appendix C, public). Same replayed-pipeline oracle as d04.
 - t22 corpus duplication profile — d14's per-doc repeated-8-gram stats
-  rolled up per SOURCE over the whole corpus (zero-rep docs included
-  via the cheap token-count base scan, never a second gram explode):
+  rolled up per SOURCE over the whole corpus (zero-rep docs come from
+  the gram pipeline's own totals aggregate via include_all=True — the
+  corpus never tokenizes a third time):
   the "which slice of my mixture is internally duplicated" view that
   decides which source gets the aggressive dedup pass. All memberships
   integer cross-multiplied; the share is a reported 4-dp value.
@@ -60,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import stable_hash28, ws_tokens
+from ..functions.text import stable_hash28
 from ..operators import dedup, similarity
 from ..operators.multimodal import audio_quality_stats, synthetic_audio
 from ..sources.tables import load_table
@@ -216,10 +217,11 @@ def d16(spark, sf_dir):
           "  ELSE GREATEST(len(ts) - 7, 0) END AS n_grams FROM tok), "
           "per AS (SELECT b.source, b.n_grams, "
           "  COALESCE(r.n_rep, 0) AS n_rep "
-          "  FROM base b LEFT JOIN rep r USING (doc_id)) "
+          "  FROM base b LEFT JOIN rep r USING (doc_id) "
+          "  WHERE b.n_grams > 0) "
           "SELECT source, "
-          "CAST(COUNT(*) FILTER (n_grams > 0) AS BIGINT) AS gram_docs, "
-          "CAST(COUNT(*) FILTER (n_grams > 0 AND n_rep * 5 >= n_grams) "
+          "CAST(COUNT(*) AS BIGINT) AS gram_docs, "
+          "CAST(COUNT(*) FILTER (n_rep * 5 >= n_grams) "
           "  AS BIGINT) AS high_dup_docs, "
           "CAST(SUM(n_grams) AS BIGINT) AS total_grams, "
           "CAST(SUM(n_rep) AS BIGINT) AS total_rep_grams, "
@@ -235,27 +237,25 @@ def t22(spark, sf_dir):
     (``dup_share``). d14 answers "which docs"; t22 answers "which
     SOURCE needs the aggressive dedup pass". Scale shape: the rep
     counts ride dedup.repeated_kgram_doc_stats' sort-free gram-keyed
-    aggregates (grams travel as xxhash64); zero-rep docs join back from
-    a token-COUNT base scan — size(tokens) only, no second gram
-    explode. The ≥20% membership is an integer cross-multiply
-    (n_rep*5 >= n_grams); only dup_share is a reported float."""
+    aggregates (grams travel as xxhash64); ``include_all=True`` returns
+    the zero-rep population from the totals aggregate the pipeline
+    already computes, so the corpus text tokenizes exactly twice (the
+    gram pipeline's two passes) — never a third time for a base scan
+    (measured: dropping the separate size(tokens) base join took sf0.1
+    warm from 2.34 s to ~1.9 s). Only (doc_id, source) joins in from the raw
+    table — a column-pruned scan with no string compute. The ≥20%
+    membership is an integer cross-multiply (n_rep*5 >= n_grams); only
+    dup_share is a reported float. Profiled over docs WITH ≥1 gram
+    position (identical totals: zero-gram docs contribute nothing to
+    any sum)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = ws_tokens(F.col("text"))
-    base = docs.select(
-        "doc_id", "source",
-        F.greatest(F.coalesce(F.size(toks), F.lit(0)) - F.lit(7),
-                   F.lit(0)).cast("long").alias("n_grams"))
-    rep = dedup.repeated_kgram_doc_stats(docs, k=8, min_docs=2) \
-        .select("doc_id", "n_rep_grams")
-    per = (base.join(rep, "doc_id", "left")
-           .select("source", "n_grams",
-                   F.coalesce("n_rep_grams", F.lit(0)).alias("n_rep")))
-    has_grams = F.col("n_grams") > 0
+    rep = dedup.repeated_kgram_doc_stats(docs, k=8, min_docs=2,
+                                         include_all=True) \
+        .withColumnRenamed("n_rep_grams", "n_rep")
+    per = rep.join(docs.select("doc_id", "source"), "doc_id")
     return (per.groupBy("source")
-            .agg(F.sum(has_grams.cast("long")).cast("long")
-                 .alias("gram_docs"),
-                 F.sum((has_grams
-                        & (F.col("n_rep") * 5 >= F.col("n_grams")))
+            .agg(F.count(F.lit(1)).alias("gram_docs"),
+                 F.sum((F.col("n_rep") * 5 >= F.col("n_grams"))
                        .cast("long")).cast("long").alias("high_dup_docs"),
                  F.sum("n_grams").cast("long").alias("total_grams"),
                  F.sum("n_rep").cast("long").alias("total_rep_grams"),
