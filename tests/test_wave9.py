@@ -282,6 +282,65 @@ def test_bigram_ce_sanity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ml01 / quality classifier: numpy parity + recovered rule
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_irls(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.operators.mlfit import (
+        classifier_report, logistic_regression_irls,
+        numpy_reference_irls, standardize_features,
+        text_quality_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = text_quality_features(docs).localCheckpoint()
+    feats, _mu, _sd = standardize_features(raw, dim=5)
+    feats = feats.localCheckpoint()
+    w = logistic_regression_irls(feats, dim=5, iters=6)
+
+    pdf = feats.toPandas()
+    x = np.asarray(list(pdf["features"]), dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    w_ref = numpy_reference_irls(x, y, iters=6)
+    # identical recurrence; drift = partition-order float sums + JVM vs
+    # numpy exp ulps, compounding over 6 Newton steps
+    assert np.allclose(w, w_ref, rtol=1e-4, atol=1e-6), (w, w_ref)
+
+    rep = classifier_report(feats, w).collect()[0]
+    assert rep["tp"] + rep["tn"] + rep["fp"] + rep["fn"] == rep["n_docs"]
+    acc = (rep["tp"] + rep["tn"]) / rep["n_docs"]
+    assert acc >= 0.97, f"classifier failed to recover planted rule: {acc}"
+    assert rep["mean_logloss"] > 0
+
+
+def test_quality_classifier_gd_parity(spark, sf_dir):
+    # the first-order variant stays correct too (10 rounds suffice to
+    # prove the distributed gradient aggregate equals the numpy one)
+    from bd_delete_records_from_external_hive_table_spark.operators.mlfit import (
+        logistic_regression_gd, numpy_reference_gd,
+        standardize_features, text_quality_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = text_quality_features(docs).localCheckpoint()
+    feats, _mu, _sd = standardize_features(raw, dim=5)
+    feats = feats.localCheckpoint()
+    w = logistic_regression_gd(feats, dim=5, lr=1.0, iters=10)
+    pdf = feats.toPandas()
+    x = np.asarray(list(pdf["features"]), dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    w_ref = numpy_reference_gd(x, y, lr=1.0, iters=10)
+    assert np.allclose(w, w_ref, rtol=1e-5, atol=1e-7), (w, w_ref)
+
+
+def test_quality_classifier_report_query(spark, sf_dir):
+    row = REGISTRY["ml01_quality_classifier"].spark_fn(
+        spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] > 0
+    assert r["tp"] + r["tn"] + r["fp"] + r["fn"] == r["n_docs"]
+
+
+# ---------------------------------------------------------------------------
 # ts10 / seasonal-naive backtest: pandas recompute parity
 # ---------------------------------------------------------------------------
 
