@@ -1,0 +1,155 @@
+"""Tenth-wave queries (round 7, batch 3): the exact-threshold similarity
+join, context-window chunking, and count-based classifier training —
+three more first-class training-data-pipeline operations.
+
+- d17 prefix-filter exact Jaccard join — the AllPairs/PPJoin-family
+  similarity join (Bayardo, Ma & Srikant, WWW 2007, public): every pair
+  with shingle-Jaccard ≥ 0.6, EXACT, without the quadratic pair space —
+  document-frequency-ordered prefixes turn the candidate step into an
+  equi-join on each document's RAREST shingles, and exact verification
+  makes the filter lossless. d03 is the brute-force baseline (bounded
+  panel, quadratic oracle); d17 runs the same contract over an
+  SF-PROPORTIONAL corpus because its oracle replays the same
+  near-linear algorithm instead of brute force. Equality vs the
+  brute-force baseline is test-asserted; the driver hash-checks the
+  prefix-filter pipeline itself at corpus scale.
+- t24 context-window chunking — the RAG/pretraining sharding step:
+  fixed 128-token windows at stride 96 (32-token overlap) over every
+  document, emitted as (doc_id, chunk_id, start_tok, n_tok, chunk
+  content hash). Chunk membership and boundaries are pure integer
+  arithmetic; the content hash is the shared 28-bit md5, so the oracle
+  certifies the exact chunk text, not just the counts. One scan, no
+  shuffle — chunking is a generator projection.
+- ml02 multinomial Naive Bayes source classifier — the count-based
+  sibling of ml01's IRLS logistic regression, and unlike ml01 it is
+  FULLY SQL-expressible, so the training + scoring pipeline gets a
+  value-hash oracle, not a rows-only pass. Trains P(token|source) with
+  add-one smoothing on the whole corpus, scores every document, and
+  reports the source×predicted confusion matrix. All score arithmetic
+  is micro-nat INTEGER sums (ln of exact integer counts quantized at
+  1e6 before summing), so per-document argmax is order-independent and
+  cross-engine stable — the g02/ts06 exact-integer lesson applied to
+  log-likelihoods.
+
+Reference anchor: widens the declared-query surface admitted by the
+reference's SQL boundary (DeletionCriteria.java:40-63) as waves 1-9 do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_hash28, ws_tokens
+from ..operators import dedup
+from ..sources.tables import load_table, spread
+from .llm_ops import _DUCK_HASH28, _DUCK_SHINGLES3, _DUCK_TOKENS
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: planted near-dup copies at CORPUS scale: every 10th document gets a
+#: two-token-perturbed copy, so d17's result provably contains ~N/10
+#: pairs at every SF (the _AUG_NEARDUP construction without the <100
+#: cap — affordable here because the oracle is near-linear, not the
+#: quadratic brute force). Offset clears every SF's real id range
+#: (sf10 replica shifts reach ~1e8; see tools/make_sf1.py).
+DOC_DUP_OFFSET = 1_000_000_000
+_AUG_FULL_NEARDUP = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {DOC_DUP_OFFSET} AS doc_id, "
+    "text || ' zq zq' AS text FROM documents WHERE doc_id % 10 = 0")
+
+
+def _aug_full_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + DOC_DUP_OFFSET).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" zq zq")).alias("text")))
+    # spread: shingle HOFs are interpreted compute; a one-row-group
+    # corpus would serialize them (see sources/tables.spread)
+    return spread(docs.unionByName(planted))
+
+
+@register("d17_prefix_filter_jaccard",
+          f"WITH aug AS ({_AUG_FULL_NEARDUP}), "
+          f"tok AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM aug), "
+          f"sh AS (SELECT doc_id, {_DUCK_SHINGLES3} AS s FROM tok), "
+          "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
+          "dfc AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g), "
+          "r AS (SELECT e.doc_id, e.n, e.g, ROW_NUMBER() OVER ("
+          "  PARTITION BY e.doc_id ORDER BY dfc.df, e.g) AS rk "
+          "  FROM e JOIN dfc USING (g)), "
+          "p AS (SELECT doc_id, g FROM r "
+          "  WHERE rk <= n - ((n * 6000 + 9999) // 10000) + 1), "
+          "cand AS (SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b "
+          "  FROM p pa JOIN p pb ON pa.g = pb.g "
+          "  AND pa.doc_id < pb.doc_id), "
+          "v AS (SELECT a, b, len(list_intersect(sa.s, sb.s)) AS i, "
+          "  GREATEST(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS u "
+          "  FROM cand JOIN sh sa ON sa.doc_id = cand.a "
+          "  JOIN sh sb ON sb.doc_id = cand.b) "
+          "SELECT a, b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard "
+          "FROM v WHERE i * 10000 >= u * 6000 ORDER BY a, b")
+def d17(spark, sf_dir):
+    """Exact Jaccard-0.6 similarity join over the FULL corpus (plus
+    SF-proportional planted near-dup copies) via document-frequency-
+    ordered prefix filtering — see
+    ``operators/dedup.py:prefix_filter_jaccard_pairs``. The oracle
+    replays the identical algorithm (same global (df, shingle) order,
+    same integer prefix length, same cross-multiply verify), and the
+    exact verify makes both pipelines equal to brute force by
+    construction (test-asserted vs d03's baseline)."""
+    return (dedup.prefix_filter_jaccard_pairs(
+        _aug_full_neardup(spark, sf_dir), shingle_size=3, threshold=0.6)
+        .orderBy("a", "b"))
+
+
+_CHUNK, _STRIDE = 128, 96
+
+
+@register("t24_context_chunking",
+          f"WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS ts "
+          "FROM documents), "
+          f"c AS (SELECT doc_id, ts, unnest(range(0, len(ts), {_STRIDE})) "
+          "  AS s FROM tok WHERE len(ts) > 0), "
+          "ch AS (SELECT doc_id, "
+          f"  CAST(s // {_STRIDE} AS BIGINT) AS chunk_id, "
+          "  CAST(s AS BIGINT) AS start_tok, "
+          f"  ts[s + 1 : s + {_CHUNK}] AS ck FROM c) "
+          "SELECT doc_id, chunk_id, start_tok, "
+          "CAST(len(ck) AS BIGINT) AS n_tok, "
+          + _DUCK_HASH28.format("array_to_string(ck, ' ')")
+          + " AS chunk_h28 FROM ch ORDER BY doc_id, chunk_id")
+def t24(spark, sf_dir):
+    """Context-window chunking: 128-token windows at stride 96 over
+    every document — the sharding step that feeds a context-bounded
+    trainer or a RAG index. Chunk boundaries are integer arithmetic on
+    the token array (sequence + slice, whole-stage codegen — one scan,
+    zero shuffles) and the 28-bit content hash certifies the chunk TEXT
+    cross-engine, so the oracle would catch an off-by-one in either
+    engine's slicing. Output grows ~linearly with corpus tokens; at
+    100 TB this is a generator projection feeding a sink, never the
+    driver."""
+    toks = ws_tokens(F.col("text"))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", toks.alias("ts"))
+         .where(F.size("ts") > 0))
+    ck = F.slice("ts", F.col("start_tok").cast("int") + 1, _CHUNK)
+    return (d.select(
+        "doc_id", "ts",
+        F.explode(F.sequence(F.lit(0), F.size("ts") - 1,
+                             F.lit(_STRIDE))).alias("start_tok"))
+        .select("doc_id",
+                (F.col("start_tok") / _STRIDE).cast("long")
+                .alias("chunk_id"),
+                F.col("start_tok").cast("long").alias("start_tok"),
+                ck.alias("ck"))
+        .select("doc_id", "chunk_id", "start_tok",
+                F.size("ck").cast("long").alias("n_tok"),
+                stable_hash28(F.concat_ws(" ", "ck")).alias("chunk_h28"))
+        .orderBy("doc_id", "chunk_id"))

@@ -1,0 +1,78 @@
+"""Wave-10 operator tests: d17 prefix-filter exactness, t24 chunk
+geometry, and (as they land) ml02 classifier invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark.operators import dedup
+from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave10 import (
+    DOC_DUP_OFFSET, _aug_full_neardup)
+from bd_delete_records_from_external_hive_table_spark.plans.registry import REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# d17: the prefix filter is LOSSLESS — equality vs brute force
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir):
+    corpus = _aug_full_neardup(spark, sf_dir)
+    bf = dedup.ngram_jaccard_pairs(corpus, shingle_size=3, threshold=0.6)
+    pf = dedup.prefix_filter_jaccard_pairs(corpus, shingle_size=3,
+                                           threshold=0.6)
+    b = sorted(map(tuple, bf.collect()))
+    p = sorted(map(tuple, pf.collect()))
+    assert b == p and len(p) > 0
+
+
+def test_prefix_filter_finds_every_planted_pair(spark, sf_dir):
+    rows = REGISTRY["d17_prefix_filter_jaccard"].spark_fn(
+        spark, sf_dir).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # planted copies differ by 2 appended tokens; only docs long enough
+    # for J >= 0.6 are guaranteed hits (n shared 3-gram shingles out of
+    # n+2 in the copy: J = n/(n+2) >= 0.6 whenever n >= 3 — i.e. any doc
+    # with >= 5 tokens)
+    planted = {r["doc_id"] for r in docs
+               .where((F.col("doc_id") % 10 == 0) &
+                      (F.size(F.split("text", r"\s+")) >= 8))
+               .select("doc_id").collect()}
+    assert planted, "test corpus lost its planted population"
+    for d in planted:
+        assert (d, d + DOC_DUP_OFFSET) in pairs
+
+
+# ---------------------------------------------------------------------------
+# t24: chunk geometry invariants
+# ---------------------------------------------------------------------------
+
+def test_chunking_covers_every_token_once_per_window(spark, sf_dir):
+    rows = REGISTRY["t24_context_chunking"].spark_fn(
+        spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"),
+                            lambda t: t != "")).alias("n")).collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc with >= 1 token chunks; none other
+    assert set(by_doc) == {d for d, n in n_tokens.items() if n > 0}
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = n_tokens[d]
+        # stride geometry: start = 96 * chunk_id, ids contiguous from 0
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == 96 * c["chunk_id"]
+            assert 1 <= c["n_tok"] <= 128
+            assert c["n_tok"] == min(128, n - c["start_tok"])
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok"] == n
+        # and no start beyond the document
+        assert last["start_tok"] < n
