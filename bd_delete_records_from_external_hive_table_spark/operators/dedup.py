@@ -442,7 +442,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", k: int = 8,
                              min_docs: int = 2,
-                             include_all: bool = False) -> DataFrame:
+                             include_all: bool = False,
+                             use_sort_free: bool = False) -> DataFrame:
     """Per-document repeated-substring statistics — the bounded k-gram
     form of exact substring dedup ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2021, public): a k-token window
@@ -461,24 +462,35 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
     zero-rep population from the totals aggregate the pipeline already
     computes, instead of paying a third tokenize pass over the corpus.
 
-    Scale shape — docs never pairwise-join, and at ``min_docs=2`` (the
-    Lee et al. form and the shipped query's contract) nothing sorts
-    either: a df==1 gram lives in exactly ONE document, so a doc's
-    repeated positions are ``total positions − unique-gram positions``
-    — three hash aggregates (map-side combined, sort-free) plus one
-    final join of two doc-keyed aggregates. For ``min_docs > 2`` the
-    complement set ("grams in < min_docs docs") spans multiple docs
-    and the unordered-window form remains the right shape; both paths
-    return identical results (test-asserted).
+    Scale shape — docs never pairwise-join: one gram-generation pass,
+    one (gram, doc) partial count, one gram-keyed window attaching each
+    gram's document frequency in place, one doc-keyed aggregate. The
+    gram window costs a sort of the (gram, doc, occ) frame, but it
+    reads the corpus text exactly ONCE.
+
+    ``use_sort_free=True`` selects the round-6 complement formulation
+    for ``min_docs == 2`` (a df==1 gram lives in exactly one document,
+    so repeated positions = total − unique-gram positions: three
+    hash aggregates + a doc-keyed join, no sort anywhere) — kept as an
+    independently-derived cross-check (parity test-asserted) and for
+    corpora whose gram frame is too wide to sort. It is NOT the default
+    because it recomputes gram generation twice (Catalyst does not
+    reuse the exchange across the totals and uniq consumers), and gram
+    generation — interpreted shingle HOFs over the full text — is the
+    dominant cost: measured round 7 on the t22 rollup (fresh session
+    per variant, first execution after warmup), window vs sort-free is
+    20.1 s vs 36.8 s at sf10 and 57.9 s vs 105.7 s at sf30 — the second
+    text pass costs ~2× what the gram sort costs at both decades.
 
     sf30-canary postmortem (round 6): the 5.97×-for-3×-data flag was
     NOT the window — a staged profile showed gram GENERATION alone at
     5× (the scan claimed 32 splits but only ~#row-groups were
     non-empty, so the interpreted shingle HOFs ran ~12-wide; see
-    ``spread()``'s size-guarded re-spread, which fixed the ratio to
-    3.15×). The sort-free formulation is kept because it removes a
-    genuine full-input sort from the chain, but the measured win came
-    from the skew fix — both are recorded so neither is over-credited.
+    ``spread()``'s size-guarded re-spread, which fixed the ratio).
+    Round 7 re-measured both formulations under the fixed protocol
+    (one session per variant — the shared-session canary had inflated
+    later queries' numbers by ~45%) and the window path won at every
+    scale, so the round-6 default flipped back.
 
     Grams never appear in the OUTPUT, only as grouping keys, so every
     shuffle rides ``xxhash64(gram)`` (8 bytes) instead of the ~50-byte
@@ -497,20 +509,20 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(shingles(toks, k)).alias("_g"))
         .select(F.col(id_col), F.xxhash64("_g").alias("gram")))
-    # gd feeds BOTH downstream aggregates (totals + per-gram df) and
+    # in the sort-free path gd feeds TWO downstream aggregates and
     # Catalyst does not reuse the exchange across them, so gram
-    # generation runs twice. Measured (sf10): a localCheckpoint of the
-    # 24M-row gd costs MORE than the second compute pass (19.4 s vs
-    # 14.9 s warm) — materializing hundreds of millions of rows to
-    # cache is dearer than re-running a map-side pipeline, so the
-    # recompute is kept deliberately.
+    # generation runs twice there; a localCheckpoint of the 24M-row gd
+    # measured WORSE than the recompute (19.4 s vs 14.9 s warm at
+    # sf10), which is why that path recomputes rather than caches. The
+    # default window path has exactly one consumer — no recompute.
     gd = (grams.groupBy("gram", id_col)
           .agg(F.count(F.lit(1)).alias("occ")))
-    totals = gd.groupBy(id_col).agg(
-        F.sum("occ").cast("long").alias("n_grams"))
-    if min_docs == 2:
-        # sort-free: per gram, df + (for df==1 groups) its only doc and
-        # occ — first() is deterministic there, the group has one row
+    if use_sort_free and min_docs == 2:
+        # complement formulation (round-6 default; see docstring): a
+        # df==1 gram lives in exactly ONE document — first() is
+        # deterministic there, the group has one row
+        totals = gd.groupBy(id_col).agg(
+            F.sum("occ").cast("long").alias("n_grams"))
         per_gram = gd.groupBy("gram").agg(
             F.count(F.lit(1)).alias("df"),
             F.first(id_col).alias("_doc"),
@@ -524,8 +536,8 @@ def repeated_kgram_doc_stats(df: DataFrame, text_col: str = "text",
                         - F.coalesce(F.col("_n_uniq"), F.lit(0)))
                        .cast("long").alias("n_rep_grams")))
         return out if include_all else out.where(F.col("n_rep_grams") > 0)
-    # general threshold: unordered window attaches each gram's df in
-    # place (one gram-keyed shuffle)
+    # default: unordered window attaches each gram's df in place (one
+    # gram-keyed shuffle) — the corpus text is read and shingled ONCE
     gdd = gd.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
     out = (gdd.groupBy(id_col)

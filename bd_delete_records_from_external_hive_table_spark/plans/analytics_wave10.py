@@ -153,3 +153,110 @@ def t24(spark, sf_dir):
                 F.size("ck").cast("long").alias("n_tok"),
                 stable_hash28(F.concat_ws(" ", "ck")).alias("chunk_h28"))
         .orderBy("doc_id", "chunk_id"))
+
+
+# ---------------------------------------------------------------------------
+# ml02: multinomial Naive Bayes source classifier (count-based training)
+# ---------------------------------------------------------------------------
+
+#: micro-nat quantization for log-likelihoods: ln of an exact integer,
+#: rounded to an integer number of micro-nats BEFORE summing — so every
+#: per-document score is an order-independent BIGINT sum and argmax can
+#: never flip on float summation order (the g02/ts06/e12 exact-integer
+#: lesson applied to log-space). Cross-engine risk is confined to ln()
+#: itself on identical integer inputs landing within one ulp of a
+#: 0.5-micro-nat boundary (~1e-9 per distinct count; test-swept).
+_QLN = "CAST(ROUND(ln({0}) * 1000000, 0) AS BIGINT)"
+
+
+def _qln(col):
+    return F.round(F.log(col.cast("double")) * 1000000.0, 0).cast("long")
+
+
+@register("ml02_naive_bayes_source",
+          "WITH tok AS (SELECT doc_id, source, "
+          f"  {_DUCK_TOKENS} AS ts FROM documents), "
+          "nd AS (SELECT doc_id, source, CASE WHEN ts IS NULL THEN 0 "
+          "  ELSE len(ts) END AS n_d FROM tok), "
+          "tp AS (SELECT doc_id, source, unnest(ts) AS tok FROM tok), "
+          "ctl AS (SELECT tok, source AS lab, COUNT(*) AS c "
+          "  FROM tp GROUP BY 1, 2), "
+          "tl AS (SELECT lab, SUM(c) AS t FROM ctl GROUP BY 1), "
+          "v AS (SELECT COUNT(DISTINCT tok) AS vn FROM ctl), "
+          "dl AS (SELECT source AS lab, COUNT(*) AS d_l FROM documents "
+          "  GROUP BY 1), "
+          "lc AS (SELECT dl.lab, "
+          + _QLN.format("dl.d_l") + " - "
+          + _QLN.format("(SELECT COUNT(*) FROM documents)")
+          + " AS prior_q, "
+          + _QLN.format(
+              "GREATEST(COALESCE(tl.t, 0) + (SELECT vn FROM v), 1)")
+          + " AS qtv FROM dl LEFT JOIN tl USING (lab)), "
+          "s1 AS (SELECT tp.doc_id, ctl.lab, "
+          "  SUM(" + _QLN.format("ctl.c + 1") + ") AS s1 "
+          "  FROM tp JOIN ctl ON tp.tok = ctl.tok GROUP BY 1, 2), "
+          "grid AS (SELECT nd.doc_id, nd.source, lc.lab, "
+          "  lc.prior_q - nd.n_d * lc.qtv + COALESCE(s1.s1, 0) AS score "
+          "  FROM nd CROSS JOIN lc LEFT JOIN s1 "
+          "  ON s1.doc_id = nd.doc_id AND s1.lab = lc.lab), "
+          "pred AS (SELECT source, lab, ROW_NUMBER() OVER ("
+          "  PARTITION BY doc_id ORDER BY score DESC, lab) AS rn "
+          "  FROM grid) "
+          "SELECT source, lab AS pred_source, "
+          "CAST(COUNT(*) AS BIGINT) AS n_docs FROM pred WHERE rn = 1 "
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+def ml02(spark, sf_dir):
+    """Multinomial Naive Bayes trained to predict a document's SOURCE
+    from its tokens, reported as the source×predicted confusion matrix
+    — the count-based mixture-separability audit (are my corpus slices
+    distinguishable, and which pairs blur?), and the classical
+    quality-classifier trainer that needs no ML library (Manning,
+    Raghavan & Schütze, IIR ch. 13, public). ml01 fits a GLM by
+    iterated aggregates; ml02's training IS one aggregation pass —
+    P(token|source) with add-one smoothing — so unlike ml01 the whole
+    train+score pipeline is SQL-expressible and value-hash oracled.
+
+    Determinism: every score is a BIGINT micro-nat sum (``_QLN``), so
+    per-document argmax is order-independent and cross-engine exact;
+    ties break to the smaller label. Scale shape: token positions
+    explode once (checkpointed — 4 consumers, 1 text scan), the
+    dictionary join inflates positions by at most the #labels that
+    contain the token, and the doc×label grid is a broadcast crossJoin
+    against #labels rows. No collect anywhere; the confusion matrix is
+    #labels² rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", "source",
+                        ws_tokens(F.col("text")).alias("ts"))
+            .localCheckpoint(eager=False))
+    nd = toks.select("doc_id", "source",
+                     F.coalesce(F.size("ts"), F.lit(0)).alias("n_d"))
+    tp = toks.select("doc_id", "source", F.explode("ts").alias("tok"))
+    ctl = (tp.groupBy("tok", F.col("source").alias("lab"))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))
+    tl = ctl.groupBy("lab").agg(F.sum("c").alias("t"))
+    v = ctl.agg(F.countDistinct("tok").alias("vn"))
+    dl = docs.groupBy(F.col("source").alias("lab")) \
+        .agg(F.count(F.lit(1)).alias("d_l"))
+    dtot = docs.agg(F.count(F.lit(1)).alias("d"))
+    lc = (dl.join(tl, "lab", "left")
+          .crossJoin(F.broadcast(v)).crossJoin(F.broadcast(dtot))
+          .select("lab",
+                  (_qln(F.col("d_l")) - _qln(F.col("d"))).alias("prior_q"),
+                  _qln(F.greatest(F.coalesce(F.col("t"), F.lit(0))
+                                  + F.col("vn"), F.lit(1))).alias("qtv")))
+    s1 = (tp.join(ctl.withColumnRenamed("tok", "_tok"),
+                  F.col("tok") == F.col("_tok"))
+          .groupBy("doc_id", "lab")
+          .agg(F.sum(_qln(F.col("c") + 1)).alias("s1")))
+    grid = (nd.crossJoin(F.broadcast(lc))
+            .join(s1, ["doc_id", "lab"], "left")
+            .select("doc_id", "source", "lab",
+                    (F.col("prior_q") - F.col("n_d") * F.col("qtv")
+                     + F.coalesce(F.col("s1"), F.lit(0))).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lab")
+    return (grid.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .groupBy("source", F.col("lab").alias("pred_source"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("source", "pred_source"))

@@ -753,35 +753,25 @@ def test_pq_ann_recall_vs_bruteforce(spark, sf_dir):
     assert hits / total >= 0.2, f"PQ recall {hits}/{total}"
 
 
-def test_repeated_kgram_fast_path_equals_window_path(spark, sf_dir):
+def test_repeated_kgram_sort_free_equals_window_path(spark, sf_dir):
     """The min_docs=2 sort-free complement formulation (n_rep =
-    n_grams − unique-gram positions) must return exactly the general
-    window formulation's result on real data — the rewrite that fixed
-    the sf30 canary's 5.97× sort-spill must not change a single row."""
+    n_grams − unique-gram positions; ``use_sort_free=True``) must
+    return exactly the default window formulation's result on real
+    data — two independently-derived algorithms for the same contract.
+    (Round 7 made the window path the default: one gram-generation
+    pass beats the complement's two at every measured scale; the
+    complement is kept as this cross-check and for unsortably-wide
+    gram frames.)"""
     from bd_delete_records_from_external_hive_table_spark.operators.dedup import repeated_kgram_doc_stats
     docs = load_table(spark, sf_dir, "documents")
-    fast = {tuple(r) for r in
-            repeated_kgram_doc_stats(docs, k=8, min_docs=2).collect()}
-    # min_docs=3 exercises the window branch; equality needs same
-    # threshold, so rebuild the window form at min_docs=2 directly
-    from pyspark.sql import Window
-    from pyspark.sql import functions as SF
-    from bd_delete_records_from_external_hive_table_spark.functions.text import shingles, ws_tokens
-    grams = (docs.select(
-        SF.col("doc_id"),
-        SF.explode(shingles(ws_tokens(SF.col("text")), 8)).alias("_g"))
-        .select("doc_id", SF.xxhash64("_g").alias("gram")))
-    gd = grams.groupBy("gram", "doc_id").agg(SF.count(SF.lit(1)).alias("occ"))
-    gdd = gd.withColumn("df", SF.count(SF.lit(1)).over(
-        Window.partitionBy("gram")))
-    window = {tuple(r) for r in
-              (gdd.groupBy("doc_id")
-               .agg(SF.sum("occ").cast("long").alias("n_grams"),
-                    SF.sum(SF.when(SF.col("df") >= 2, SF.col("occ"))
-                           .otherwise(0)).cast("long").alias("n_rep_grams"))
-               .where(SF.col("n_rep_grams") > 0)).collect()}
-    assert fast == window
-    assert fast, "documents corpus should contain cross-doc repeated grams"
+    for include_all in (False, True):
+        default = {tuple(r) for r in repeated_kgram_doc_stats(
+            docs, k=8, min_docs=2, include_all=include_all).collect()}
+        sort_free = {tuple(r) for r in repeated_kgram_doc_stats(
+            docs, k=8, min_docs=2, include_all=include_all,
+            use_sort_free=True).collect()}
+        assert default == sort_free
+        assert default, "corpus should contain cross-doc repeated grams"
 
 
 def test_sequence_packing_invariants(spark, sf_dir):

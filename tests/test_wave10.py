@@ -76,3 +76,57 @@ def test_chunking_covers_every_token_once_per_window(spark, sf_dir):
         assert last["start_tok"] + last["n_tok"] == n
         # and no start beyond the document
         assert last["start_tok"] < n
+
+
+# ---------------------------------------------------------------------------
+# ml02: independent pure-Python Naive Bayes parity
+# ---------------------------------------------------------------------------
+
+def test_naive_bayes_matches_pure_python(spark, sf_dir):
+    """The ml02 confusion matrix must equal an independently-written
+    single-node NB with the same micro-nat quantization — training
+    counts, add-one smoothing, priors, argmax and tie-break all
+    replayed in plain Python (third log implementation: C libm via
+    math.log, alongside Spark's JVM and DuckDB's std::log)."""
+    import math
+    import re
+
+    got = {(r["source"], r["pred_source"]): r["n_docs"]
+           for r in REGISTRY["ml02_naive_bayes_source"].spark_fn(
+               spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text").collect()
+    # half-UP rounding (Spark/DuckDB ROUND), not Python's half-even;
+    # all ln args here are >= 1 so the value is never negative
+    qln = lambda x: int(math.floor(math.log(x) * 1_000_000 + 0.5))
+    tok = {r["doc_id"]: ([t for t in re.split(r"\s+", r["text"]) if t]
+                         if r["text"] is not None else [])
+           for r in docs}
+    src = {r["doc_id"]: r["source"] for r in docs}
+    labels = sorted({s for s in src.values()})
+    ctl: dict[tuple, int] = {}
+    for d, ts in tok.items():
+        for t in ts:
+            ctl[(t, src[d])] = ctl.get((t, src[d]), 0) + 1
+    t_l = {l: 0 for l in labels}
+    for (t, l), c in ctl.items():
+        t_l[l] += c
+    vn = len({t for t, _ in ctl})
+    d_l = {l: 0 for l in labels}
+    for d in src.values():
+        d_l[d] += 1
+    n = len(src)
+    conf: dict[tuple, int] = {}
+    for d, ts in tok.items():
+        scores = {}
+        for l in labels:
+            s = qln(d_l[l]) - qln(n) - len(ts) * qln(max(t_l[l] + vn, 1))
+            s += sum(qln(ctl.get((t, l), 0) + 1) for t in ts)
+            scores[l] = s
+        pred = min(labels, key=lambda l: (-scores[l], l))
+        conf[(src[d], pred)] = conf.get((src[d], pred), 0) + 1
+    assert got == conf
+    # the mixture should be mostly separable (diagonal dominates)
+    correct = sum(v for (a, b), v in conf.items() if a == b)
+    assert correct / n > 0.5

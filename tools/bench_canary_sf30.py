@@ -54,13 +54,20 @@ def _min_warm(names: list[str]) -> dict[str, dict[str, float]]:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out: dict[str, dict[str, float]] = {}
     for key, sf_dir in (("sf10", SF10), ("sf30", SF30)):
-        spark = SessionFactory.create(app_name=f"bd-canary-{key}",
-                                      master=f"local[{cpus}]",
-                                      shuffle_partitions=int(cpus))
         out[key] = {}
-        try:
-            warmup(spark, sf_dir)
-            for name in names:
+        # ONE SESSION PER QUERY: at multi-GB SFs a heavyweight query's
+        # session residue (shuffle files, old-gen heap, codegen cache)
+        # inflates the NEXT query's wall time — round 7 measured t22 at
+        # 138 s after three sf30 heavyweights in a shared session vs
+        # ~95 s flat in its own (a 45% phantom). Isolation costs one
+        # ~15 s session spin-up per query and makes the point estimate
+        # mean what the table says it means.
+        for name in names:
+            spark = SessionFactory.create(app_name=f"bd-canary-{key}",
+                                          master=f"local[{cpus}]",
+                                          shuffle_partitions=int(cpus))
+            try:
+                warmup(spark, sf_dir)
                 times = []
                 for _ in range(4):
                     df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
@@ -71,8 +78,8 @@ def _min_warm(names: list[str]) -> dict[str, dict[str, float]]:
                         df.collect()
                     times.append(time.perf_counter() - t0)
                 out[key][name] = round(min(times[1:]), 4)
-        finally:
-            spark.stop()
+            finally:
+                spark.stop()
     return out
 
 
