@@ -127,6 +127,10 @@ def test_naive_bayes_matches_pure_python(spark, sf_dir):
         pred = min(labels, key=lambda l: (-scores[l], l))
         conf[(src[d], pred)] = conf.get((src[d], pred), 0) + 1
     assert got == conf
-    # the mixture should be mostly separable (diagonal dominates)
+    # sanity: the classifier must beat the best-prior baseline by a
+    # wide margin (the corpus has ~20 near-uniform sources, so chance
+    # is ~5%; a broken score function collapses to the majority prior)
     correct = sum(v for (a, b), v in conf.items() if a == b)
-    assert correct / n > 0.5
+    majority = max(d_l.values())
+    assert correct > 2 * majority
+    assert sum(conf.values()) == n
