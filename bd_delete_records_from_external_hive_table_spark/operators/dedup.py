@@ -656,11 +656,21 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     prefix_len = (F.col("n")
                   - F.floor((F.col("n") * thr_num + 9999) / 10000)
                   + 1)
-    pref = (tok.join(dfc, "g")
+    # EVERY join below pairs two corpus-growing frames, and the
+    # localCheckpoint upstream makes them Scan ExistingRDD nodes whose
+    # size statistics Catalyst no longer knows — the executed plan at
+    # sf0.1 BROADCAST the 11M-row exploded token frame and the prefix
+    # frame (the SF-invariant-broadcast trap; see the dim()/threshold
+    # policy in PLANS.md). shuffle_hash pins keep each a partitioned
+    # join at any scale WITHOUT sort-merge's full sort of both sides
+    # (measured at sf1: 144 s vs 208-238 s merge vs a broadcast plan
+    # that only survives on a single 128 GB JVM); dfc (the gram→df
+    # dictionary) also grows with the corpus, so it is pinned too.
+    pref = (tok.join(dfc.hint("shuffle_hash"), "g")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
             .select(id_col, "g"))
-    cand = (pref.alias("pa").join(pref.alias("pb"), "g")
+    cand = (pref.alias("pa").join(pref.alias("pb").hint("shuffle_hash"), "g")
             .where(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
             .select(F.col(f"pa.{id_col}").alias("a"),
                     F.col(f"pb.{id_col}").alias("b"))
@@ -669,7 +679,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-    return (cand.join(sa, "a").join(sb, "b")
+    return (cand.join(sa.hint("shuffle_hash"), "a")
+            .join(sb.hint("shuffle_hash"), "b")
             .select("a", "b", inter.alias("_i"), union.alias("_u"))
             .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
             .select("a", "b",

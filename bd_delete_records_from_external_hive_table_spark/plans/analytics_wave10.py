@@ -245,12 +245,18 @@ def ml02(spark, sf_dir):
                   (_qln(F.col("d_l")) - _qln(F.col("d"))).alias("prior_q"),
                   _qln(F.greatest(F.coalesce(F.col("t"), F.lit(0))
                                   + F.col("vn"), F.lit(1))).alias("qtv")))
-    s1 = (tp.join(ctl.withColumnRenamed("tok", "_tok"),
+    # the dictionary (vocab × labels) and the per-(doc, label) score
+    # frame both GROW with the corpus, and the checkpoints upstream
+    # leave Catalyst without size stats (Scan ExistingRDD) — unpinned,
+    # the sf0.1 plan broadcast both (the d17 lesson, same round).
+    # The scalar/label frames (v, dtot, lc) stay broadcast: they are
+    # 1-row / |labels|-row by construction.
+    s1 = (tp.join(ctl.withColumnRenamed("tok", "_tok").hint("merge"),
                   F.col("tok") == F.col("_tok"))
           .groupBy("doc_id", "lab")
           .agg(F.sum(_qln(F.col("c") + 1)).alias("s1")))
     grid = (nd.crossJoin(F.broadcast(lc))
-            .join(s1, ["doc_id", "lab"], "left")
+            .join(s1.hint("merge"), ["doc_id", "lab"], "left")
             .select("doc_id", "source", "lab",
                     (F.col("prior_q") - F.col("n_d") * F.col("qtv")
                      + F.coalesce(F.col("s1"), F.lit(0))).alias("score")))
