@@ -669,9 +669,25 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pref = (tok.join(dfc.hint("shuffle_hash"), "g")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
-            .select(id_col, "g"))
+            .select(id_col, "n", "rk", "g"))
+    # PPJoin's length + positional filters (Xiao, Wang, Lin & Yu,
+    # WWW 2008, public) prune candidate OCCURRENCES before the
+    # distinct, in pure integers. Both are LOSSLESS under
+    # any-occurrence semantics: J(a,b) ≥ t bounds the size ratio
+    # (t·|b| ≤ |a|·10⁴/thr ⇔ length filter), and the FIRST common
+    # prefix gram of a true pair always satisfies the overlap upper
+    # bound 1 + min(|a|−ra, |b|−rb) ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — so a pair
+    # is kept iff at least one shared occurrence passes, and every
+    # true pair has one. Equality vs brute force stays test-asserted.
+    na, nb = F.col("pa.n"), F.col("pb.n")
+    ra, rb = F.col("pa.rk"), F.col("pb.rk")
+    length_ok = ((na * 10000 >= nb * thr_num)
+                 & (nb * 10000 >= na * thr_num))
+    pos_ok = ((F.lit(1) + F.least(na - ra, nb - rb))
+              * (10000 + thr_num) >= (na + nb) * thr_num)
     cand = (pref.alias("pa").join(pref.alias("pb").hint("shuffle_hash"), "g")
-            .where(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            .where((F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+                   & length_ok & pos_ok)
             .select(F.col(f"pa.{id_col}").alias("a"),
                     F.col(f"pb.{id_col}").alias("b"))
             .distinct())
