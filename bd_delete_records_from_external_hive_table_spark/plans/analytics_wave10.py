@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 from ..functions.text import stable_hash28, ws_tokens
 from ..operators import dedup
 from ..sources.tables import load_table, spread
-from .llm_ops import _DUCK_HASH28, _DUCK_SHINGLES3, _DUCK_TOKENS
+from .llm_ops import (_AUG_FULL_NEARDUP, _DUCK_HASH28, _DUCK_SHINGLES3,
+                      _DUCK_TOKENS, _aug_full_neardup)
 from .registry import register
 
 
@@ -51,28 +52,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-#: planted near-dup copies at CORPUS scale: every 10th document gets a
-#: two-token-perturbed copy, so d17's result provably contains ~N/10
-#: pairs at every SF (the _AUG_NEARDUP construction without the <100
-#: cap — affordable here because the oracle is near-linear, not the
-#: quadratic brute force). Offset clears every SF's real id range
-#: (sf10 replica shifts reach ~1e8; see tools/make_sf1.py).
-DOC_DUP_OFFSET = 1_000_000_000
-_AUG_FULL_NEARDUP = (
-    "SELECT doc_id, text FROM documents "
-    f"UNION ALL SELECT doc_id + {DOC_DUP_OFFSET} AS doc_id, "
-    "text || ' zq zq' AS text FROM documents WHERE doc_id % 10 = 0")
-
-
-def _aug_full_neardup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = (docs.where(F.col("doc_id") % 10 == 0)
-               .select((F.col("doc_id") + DOC_DUP_OFFSET).alias("doc_id"),
-                       F.concat(F.col("text"),
-                                F.lit(" zq zq")).alias("text")))
-    # spread: shingle HOFs are interpreted compute; a one-row-group
-    # corpus would serialize them (see sources/tables.spread)
-    return spread(docs.unionByName(planted))
+# the SF-proportional planted-near-dup corpus (shared with d15/d16)
+# lives in llm_ops next to its fixed-panel sibling _AUG_NEARDUP
 
 
 @register("d17_prefix_filter_jaccard",

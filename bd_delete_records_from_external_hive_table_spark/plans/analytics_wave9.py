@@ -65,9 +65,9 @@ from ..functions.text import stable_hash28
 from ..operators import dedup, similarity
 from ..operators.multimodal import audio_quality_stats, synthetic_audio
 from ..sources.tables import load_table
-from .llm_ops import (_AUG_NEARDUP, _D04_BANDS, _D04_SIG_ELEMS,
+from .llm_ops import (_AUG_FULL_NEARDUP, _D04_BANDS, _D04_SIG_ELEMS,
                       _DUCK_HASH28, _DUCK_SHINGLES3, _DUCK_TOKENS,
-                      _aug_neardup_docs, _corpus_rows, media_corpus_n)
+                      _aug_full_neardup, _corpus_rows, media_corpus_n)
 from .registry import register
 
 
@@ -79,10 +79,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # shared oracle fragment: the full MinHash-LSH verified-pair pipeline
 # (d04's chain, reused verbatim so every fuzzy-dedup oracle replays the
 # IDENTICAL deterministic pipeline — same shingle hash, permutations,
-# banding, integer-cross-multiply threshold)
+# banding, integer-cross-multiply threshold) — over the
+# SF-PROPORTIONAL corpus (round 7 ran d15/d16 on the fixed 100-doc
+# panel; the replayed pipeline is near-linear, so the oracle affords
+# the full corpus at the driver's sf0.01 while sf_scaling rows grow)
 # ---------------------------------------------------------------------------
 _LSH_PAIRS_CTES = (
-    f"aug AS ({_AUG_NEARDUP}), "
+    f"aug AS ({_AUG_FULL_NEARDUP}), "
     f"sh AS (SELECT doc_id, {_DUCK_SHINGLES3} AS s FROM "
     f"(SELECT doc_id, {_DUCK_TOKENS} AS ts FROM aug)), "
     "hs AS (SELECT doc_id, list_transform(s, x -> "
@@ -124,14 +127,19 @@ def d15(spark, sf_dir):
     breaks ties — d07's survivor rule lifted from exact to fuzzy
     clusters). Emits the per-document keep/drop verdict for every
     clustered doc — the actionable output a curation pipeline feeds to
-    its filter stage; singletons survive by absence. Scale shape: the
-    pair join is band-key-bucketed (never doc×doc), components converge
-    in O(log diameter) label rounds, and the survivor window partitions
-    by component — cluster-sized groups, no global sort. The oracle
-    replays the identical pipeline (shared permutation constants +
-    recursive-CTE closure), so LSH misses and all are engine-identical
-    by construction."""
-    aug = _aug_neardup_docs(spark, sf_dir)
+    its filter stage; singletons survive by absence. Runs on the
+    SF-PROPORTIONAL planted-near-dup corpus (_aug_full_neardup — the
+    whole documents table plus perturbed copies of every 10th doc), so
+    bench/scaling rows measure the composite on a corpus that actually
+    grows; the replayed oracle is near-linear (banded LSH, not brute
+    force), so the driver's sf0.01 check stays affordable. Scale
+    shape: the pair join is band-key-bucketed (never doc×doc),
+    components converge in O(log diameter) label rounds, and the
+    survivor window partitions by component — cluster-sized groups, no
+    global sort. The oracle replays the identical pipeline (shared
+    permutation constants + recursive-CTE closure), so LSH misses and
+    all are engine-identical by construction."""
+    aug = _aug_full_neardup(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(
         aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
     comps = dedup.connected_components(pairs)
@@ -170,13 +178,14 @@ def d16(spark, sf_dir):
     forever). Corpus docs that near-duplicate any benchmark doc at
     Jaccard ≥ 0.5 are the leakage exact decontamination (s08, t08)
     provably misses — a lightly-edited eval question shares no content
-    hash and few exact 5-grams, but most shingles. Scale shape: ONE
-    LSH pipeline over the union (the split is a projected column, not
-    two pipelines), candidates band-bucketed, cross-split filtering on
-    the verified pairs. The oracle replays the full pipeline with the
-    shared constants, so the reported contamination set is
-    engine-exact."""
-    aug = _aug_neardup_docs(spark, sf_dir)
+    hash and few exact 5-grams, but most shingles. Runs on the
+    SF-PROPORTIONAL corpus (_aug_full_neardup, d15's rationale). Scale
+    shape: ONE LSH pipeline over the union (the split is a projected
+    column, not two pipelines), candidates band-bucketed, cross-split
+    filtering on the verified pairs. The oracle replays the full
+    pipeline with the shared constants, so the reported contamination
+    set is engine-exact."""
+    aug = _aug_full_neardup(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(
         aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
     split = aug.select(
@@ -382,9 +391,9 @@ def m05(spark, sf_dir):
 
 
 @register("t23_bigram_ce_filter",
-          "WITH tok AS (SELECT doc_id, source, "
+          "WITH tok AS (SELECT * FROM (SELECT doc_id, source, "
           "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
-          "  t -> t <> '') AS ts FROM documents), "
+          "  t -> t <> '') AS ts FROM documents) WHERE len(ts) >= 2), "
           "uni AS (SELECT unnest(ts) AS w FROM tok), "
           "ulm AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w), "
           "v AS (SELECT COUNT(*) AS vsz FROM ulm), "
@@ -413,8 +422,13 @@ def t23(spark, sf_dir):
     dictionary-keyed (stopword-skewed — AQE skew-split territory); the
     vocab size is a 1-row broadcast. Per-term libm drift is ~1e-15 on
     O(1-10) values — invisible at the final 4-dp rounding (t14's
-    adjudication). Docs with <2 tokens have no bigram positions and are
-    excluded on BOTH engines by construction."""
+    adjudication). Docs with <2 tokens have no bigram positions; both
+    engines EXPLICITLY drop them before the LM counts too (Spark's
+    ``size(ts) >= 2`` filter precedes ulm/vsz; the oracle's tok CTE
+    carries the same ``len(ts) >= 2``), so the unigram counts and
+    vocab size are trained on the identical population — a 1-token doc
+    would otherwise shift every smoothed denominator on one engine
+    only (the round-7 ADVICE latent divergence)."""
     docs = _t(spark, sf_dir, "documents")
     ts = F.filter(F.split(F.lower("text"), "[^a-z]+"),
                   lambda t: t != F.lit(""))
@@ -657,8 +671,13 @@ def e11(spark, sf_dir):
     n = _corpus_rows(spark, sf_dir, "embeddings")
     corpus = (_t(spark, sf_dir, "embeddings")
               .select("vec_id", "embedding"))
-    nlist = similarity.auto_nlist(n)
-    cent = similarity.train_ivf_centroids(corpus, nlist=nlist)
+    # coarse_nlist == auto_nlist until the flat-k-means cap, then the
+    # √-split level-1 count — the quantizer a hierarchical index
+    # actually trains flat (requesting a flat N/128 k-means at corpus
+    # scale is the capped-sample defect the round-7 verdict flagged)
+    nlist = similarity.coarse_nlist(n)
+    cent = similarity.train_ivf_centroids(corpus, nlist=nlist,
+                                          id_col="vec_id")
     return similarity.ivf_bucket_stats(corpus, cent)
 
 

@@ -130,6 +130,33 @@ def _aug_neardup_docs(spark, sf_dir):
     return spread(docs.unionByName(planted)).localCheckpoint(eager=False)
 
 
+#: planted near-dup copies at CORPUS scale: the _AUG_NEARDUP
+#: construction without the <100 cap — every 10th document of the FULL
+#: table gets a two-token-perturbed copy, so the fuzzy-dedup composites
+#: (d15/d16/d17) run on corpora that actually grow with SF. Affordable
+#: because their oracles replay near-linear pipelines (LSH banding /
+#: df-ordered prefix filtering), never the quadratic brute force.
+#: Offset clears every SF's real id range (sf10 replica shifts reach
+#: ~1e8; see tools/make_sf1.py).
+DOC_DUP_OFFSET = 1_000_000_000
+_AUG_FULL_NEARDUP = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {DOC_DUP_OFFSET} AS doc_id, "
+    "text || ' zq zq' AS text FROM documents WHERE doc_id % 10 = 0")
+
+
+def _aug_full_neardup(spark, sf_dir):
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text"))
+    planted = (docs.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + DOC_DUP_OFFSET).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" zq zq")).alias("text")))
+    # spread: shingle HOFs are interpreted compute; a one-row-group
+    # corpus would serialize them (see sources/tables.spread)
+    return spread(docs.unionByName(planted))
+
+
 @register("d03_ngram_jaccard_pairs",
           f"WITH aug AS ({_AUG_NEARDUP}), sh AS (SELECT doc_id, "
           f"{_DUCK_SHINGLES3} AS s FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts "

@@ -90,10 +90,8 @@ FIXED_INPUT: dict[str, str] = {
     # bounded co-purchase demo graph (g-series docstrings)
     "g01_triangle_count": "bounded demo graph",
     "g02_pagerank": "bounded demo graph",
-    # round-7 fuzzy-dedup composites share the d03/d04 panel (their
-    # replayed-pipeline oracles are bounded by the same all-pairs-ish
-    # closure cost; the operators' scale path is certified by the d04
-    # banding + component machinery they compose)
-    "d15_fuzzy_dedup_survivors": "first-100-docs near-dup panel",
-    "d16_fuzzy_decontamination": "first-100-docs near-dup panel",
+    # (round 8: d15/d16 moved OFF the fixed panel onto the
+    # SF-proportional _aug_full_neardup corpus — their replayed LSH
+    # oracles are near-linear, so the driver's sf0.01 check affords
+    # the full corpus while sf_scaling rows grow)
 }

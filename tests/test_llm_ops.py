@@ -716,6 +716,71 @@ def test_semantic_dedup_equals_exact_pipeline(spark, sf_dir):
                if v >= EMB_DUP_OFFSET)
 
 
+def test_semantic_dedup_two_level_equals_exact(spark, sf_dir):
+    """Forced HIERARCHICAL quantizer (flat_nlist_cap pushed below the
+    cluster count + a tiny refine target so the group-local level-2
+    k-means actually fires) must still equal the exact all-pairs
+    pipeline on the planted corpus: exact copies are identical vectors,
+    identical vectors share every probe at BOTH quantizer levels, so
+    recall on them is structural at any depth — the property that lets
+    semantic_dedup scale past the flat-k-means driver ceiling without
+    changing its answer."""
+    from bd_delete_records_from_external_hive_table_spark.operators.dedup import connected_components
+    from bd_delete_records_from_external_hive_table_spark.operators.similarity import (
+        embedding_near_duplicates, semantic_dedup)
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import _aug_emb
+
+    corpus = _aug_emb(spark, sf_dir)
+    exact_pairs = embedding_near_duplicates(corpus, threshold=0.99,
+                                            bands=0)
+    comps = connected_components(exact_pairs)
+    expect = {(r.node, r.component) for r in comps.collect()
+              if r.node != r.component}
+    got = {(r.vec_id, r.survivor) for r in semantic_dedup(
+        corpus, threshold=0.99, nlist=64, flat_nlist_cap=4,
+        target_cluster_size=8).collect()}
+    assert got == expect
+    assert len(got) >= 1
+
+
+def test_train_ivf_centroids_tracks_nlist(spark):
+    """Effective centroid count must TRACK the requested nlist past the
+    old fixed 4096-vector sample (the round-7 verdict's 524k-vector
+    knee: auto_nlist kept growing while a capped sample silently
+    clamped the quantizer and re-quadratized SemDeDup's in-cluster
+    join). 6000 vectors, nlist=5000: the default sample sizing
+    (39·nlist, whole corpus here) must seed all 5000 centroids."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6000, 8))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    cent = similarity.train_ivf_centroids(df, nlist=5000,
+                                          id_col="vec_id", iters=2)
+    assert cent.shape == (5000, 8)
+
+
+def test_coarse_nlist_bounds_flat_training():
+    """coarse_nlist == auto_nlist up to the flat driver-k-means cap,
+    then the √-split level-1 count — bounded at every corpus size
+    (a flat N/128-centroid request at 1e9+ vectors is untrainable on
+    a driver; the hierarchical split keeps per-level work bounded
+    while total cluster count still tracks N/128)."""
+    cap = 4096
+    assert similarity.coarse_nlist(200_000) == similarity.auto_nlist(200_000)
+    assert similarity.coarse_nlist(cap * 128) == cap       # knee
+    for n in (600_000, 10 ** 7, 10 ** 9, 10 ** 12):
+        c = similarity.coarse_nlist(n)
+        assert c <= cap
+        # past the knee: the √ of the desired total cluster count
+        import numpy as np
+        want = similarity.auto_nlist(n)
+        if want > cap:
+            assert c == min(cap, int(np.ceil(np.sqrt(want))))
+
+
 def test_pq_encode_shape_and_determinism(spark, sf_dir):
     """PQ codes: m entries per vector, every code < ksub, and encoding
     is deterministic (prefix-trained codebooks + seeded init) — the

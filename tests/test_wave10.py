@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bd_delete_records_from_external_hive_table_spark.operators import dedup
-from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave10 import (
+from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import (
     DOC_DUP_OFFSET, _aug_full_neardup)
 from bd_delete_records_from_external_hive_table_spark.plans.registry import REGISTRY
 

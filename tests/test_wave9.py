@@ -103,9 +103,10 @@ def test_fuzzy_dedup_survivor_rule(spark, sf_dir):
         # every member's component is the min doc_id in the cluster
         assert comp == min(m["doc_id"] for m in members)
     # survivor is the longest text (tie → min doc_id): planted copies
-    # append ' zq zq' to the base doc, so the copy (doc_id + 1000) wins
+    # append ' zq zq' to the base doc, so the copy (+DOC_DUP_OFFSET) wins
+    from bd_delete_records_from_external_hive_table_spark.plans.llm_ops import DOC_DUP_OFFSET
     planted = {r["component"]: r for r in rows
-               if r["doc_id"] >= 1000 and r["is_survivor"] == 1}
+               if r["doc_id"] >= DOC_DUP_OFFSET and r["is_survivor"] == 1}
     assert planted, "planted longer copies must win keep-best"
 
 
@@ -279,6 +280,35 @@ def test_bigram_ce_sanity(spark, sf_dir):
         # docs with ≥2 tokens are scored
         assert r["avg_ce"] > 0
         assert 0 < r["n_docs"] <= per_source[r["source"]]
+
+
+def test_bigram_ce_one_token_doc_population(spark, tmp_path):
+    """Round-7 ADVICE regression: a doc with exactly ONE alphabetic
+    token has no bigram positions but WOULD shift the unigram counts
+    and vocab size if either engine trained the LM on it while the
+    other didn't (the generated corpus's 10-token minimum kept this
+    divergence latent). Plant 1-token and 0-token docs and assert the
+    Spark plan and the DuckDB oracle still agree exactly."""
+    import duckdb
+
+    rows = [(0, "web", "the cat sat on the mat"),
+            (1, "web", "zzz"),            # 1 token: no bigrams
+            (2, "lab", "the cat sat the cat"),
+            (3, "lab", "123 !!!")]        # 0 alphabetic tokens
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, source string, text string")
+     .coalesce(1).write.parquet(f"{d}/documents.parquet"))
+    spec = REGISTRY["t23_bigram_ce_filter"]
+    got = {r.source: (r.n_docs, r.avg_ce)
+           for r in spec.spark_fn(spark, d).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = {r[0]: (r[1], r[2]) for r in con.sql(spec.oracle).fetchall()}
+    con.close()
+    assert got == want
+    assert set(got) == {"web", "lab"}     # 1-/0-token docs not scored
+    assert got["web"][0] == 1 and got["lab"][0] == 1
 
 
 # ---------------------------------------------------------------------------
