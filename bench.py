@@ -46,17 +46,20 @@ def warmup(spark, sf_dir: str) -> None:
     spark.range(4).mapInPandas(lambda it: it, "id long").count()
 
 
-def time_query(spark, spec, sf_dir: str) -> tuple[float, float]:
-    """(cold, warm) end-to-end seconds for one registry query: first
-    run pays analysis + codegen + execution; second run is the
-    steady-state execution cost that extrapolates to scale."""
+def time_query(spark, spec, sf_dir: str) -> tuple[float, float, int]:
+    """(cold, warm, rows_out) for one registry query: first run pays
+    analysis + codegen + execution; second run is the steady-state
+    execution cost that extrapolates to scale. rows_out is the result
+    cardinality — scaling tables record it so output-bound queries
+    (result sets growing faster than the input: pair joins, EXCEPT
+    ALL) self-adjudicate instead of reading as superlinear compute."""
     t0 = time.perf_counter()
     spec.spark_fn(spark, sf_dir).collect()
     cold = time.perf_counter() - t0
     t1 = time.perf_counter()
-    spec.spark_fn(spark, sf_dir).collect()
+    rows = spec.spark_fn(spark, sf_dir).collect()
     warm = time.perf_counter() - t1
-    return cold, warm
+    return cold, warm, len(rows)
 
 
 def main() -> None:
@@ -76,7 +79,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         warm: dict[str, float] = {}
         for name, spec in plans.REGISTRY.items():
-            cold_s, warm_s = time_query(spark, spec, sf_dir)
+            cold_s, warm_s, _rows = time_query(spark, spec, sf_dir)
             timings[name] = round(cold_s, 4)
             warm[name] = round(warm_s, 4)
 

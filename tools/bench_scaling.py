@@ -64,8 +64,10 @@ def _run_at(sf_dir: str, names: list[str],
         for name in names:
             if name in out:
                 continue
-            cold, warm = time_query(spark, plans.REGISTRY[name], sf_dir)
-            out[name] = {"cold": round(cold, 4), "warm": round(warm, 4)}
+            cold, warm, rows = time_query(spark, plans.REGISTRY[name],
+                                          sf_dir)
+            out[name] = {"cold": round(cold, 4), "warm": round(warm, 4),
+                         "rows_out": rows}
             if save is not None:
                 save(out)
     finally:
@@ -185,6 +187,26 @@ def main(top_n: int = 20, only: str | None = None,
             "warm_ratio": round(w1 / w0, 2) if w0 else None,
             "superlinear": bool(w0 and w1 / w0 > DATA_FACTOR),
         }
+        # result-cardinality columns: a query whose OUTPUT grows faster
+        # than its input (pair joins, EXCEPT ALL) must not read as
+        # superlinear compute — wall-per-output-row is the honest
+        # metric there (round-7 verdict: d17's 401x pair growth lived
+        # only in a commit message; now it lives in the row)
+        ro0 = r01[name].get("rows_out")
+        ro1 = r1[name].get("rows_out")
+        if ro0 is not None and ro1 is not None:
+            scaling[name]["rows_out_sf0.1"] = ro0
+            scaling[name]["rows_out_sf1"] = ro1
+            if ro0 and ro1 and w0 and w1:
+                rr = ro1 / ro0
+                scaling[name]["rows_out_ratio"] = round(rr, 2)
+                per_row = (w1 / ro1) / (w0 / ro0)
+                scaling[name]["warm_per_row_ratio"] = round(per_row, 2)
+                if (scaling[name]["superlinear"] and rr > DATA_FACTOR
+                        and per_row <= DATA_FACTOR):
+                    # output grew faster than data AND per-output-row
+                    # cost scaled at/below the data factor
+                    scaling[name]["output_bound"] = True
         if name in FIXED_INPUT:
             # bounded demo panel: a flat ratio here measures constant
             # work, not scale — flagged so nobody reads it as evidence

@@ -118,6 +118,22 @@ def main(names: list[str]) -> None:
             "warm_ratio": round(w10 / w1, 2) if w1 else None,
             "superlinear": bool(w1 and w10 / w1 > DATA_FACTOR),
         }
+        # output-cardinality columns (see bench_scaling.py): queries
+        # whose result grows faster than the data self-adjudicate via
+        # wall-per-output-row instead of standing as superlinear flags
+        ro1 = r1[name].get("rows_out")
+        ro10 = r10[name].get("rows_out")
+        if ro1 is not None and ro10 is not None:
+            scaling[name]["rows_out_sf1"] = ro1
+            scaling[name]["rows_out_sf10"] = ro10
+            if ro1 and ro10 and w1 and w10:
+                rr = ro10 / ro1
+                scaling[name]["rows_out_ratio"] = round(rr, 2)
+                per_row = (w10 / ro10) / (w1 / ro1)
+                scaling[name]["warm_per_row_ratio"] = round(per_row, 2)
+                if (scaling[name]["superlinear"] and rr > DATA_FACTOR
+                        and per_row <= DATA_FACTOR):
+                    scaling[name]["output_bound"] = True
         if name in FIXED_INPUT:
             scaling[name]["fixed_input"] = FIXED_INPUT[name]
     flagged = [n for n, s in scaling.items() if s["superlinear"]]
