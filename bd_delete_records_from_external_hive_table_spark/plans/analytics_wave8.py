@@ -455,6 +455,12 @@ def e09(spark, sf_dir):
     the corpus size (similarity.auto_nlist: N/128 clusters), so the
     in-cluster pair join stays ~N·128 as the corpus grows — a pinned
     nlist would be N²/nlist, the quadratic the round-5 verdict flagged.
+    The trainer honors that count at every N: the sample scales with
+    nlist (39·nlist, round-8 fix for the 524k-vector knee where a
+    fixed 4096-vector sample silently capped the quantizer), and past
+    the flat driver-k-means cap the quantizer goes two-level (√nlist
+    coarse + per-cluster local refinement inside the Arrow stream) —
+    no driver blowup, no silent cap, cluster sizes still ~128.
     ``n_assign=2`` multiprobe holds boundary recall; planted exact
     copies always share their nearest centroid, so recall on them is
     structural, not probabilistic (equality vs the exact all-pairs

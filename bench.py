@@ -46,13 +46,30 @@ def warmup(spark, sf_dir: str) -> None:
     spark.range(4).mapInPandas(lambda it: it, "id long").count()
 
 
-def time_query(spark, spec, sf_dir: str) -> tuple[float, float, int]:
+def time_query(spark, spec, sf_dir: str,
+               noop_sink: bool = False) -> tuple[float, float, int]:
     """(cold, warm, rows_out) for one registry query: first run pays
     analysis + codegen + execution; second run is the steady-state
     execution cost that extrapolates to scale. rows_out is the result
     cardinality — scaling tables record it so output-bound queries
     (result sets growing faster than the input: pair joins, EXCEPT
-    ALL) self-adjudicate instead of reading as superlinear compute."""
+    ALL) self-adjudicate instead of reading as superlinear compute.
+
+    ``noop_sink`` times execution through ``write.format("noop")``
+    instead of ``collect()`` — for queries whose result at large SF is
+    millions of rows, where collect() measures driver-side row
+    serialization, not plan shape (at 100 TB such results go to a
+    sink, never the driver); rows_out then comes from one count()."""
+    if noop_sink:
+        t0 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        cold = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        warm = time.perf_counter() - t1
+        return cold, warm, spec.spark_fn(spark, sf_dir).count()
     t0 = time.perf_counter()
     spec.spark_fn(spark, sf_dir).collect()
     cold = time.perf_counter() - t0

@@ -70,14 +70,22 @@ def _min_warm(names: list[str]) -> dict[str, dict[str, float]]:
                 warmup(spark, sf_dir)
                 times = []
                 for _ in range(4):
-                    df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
+                    # spark_fn INSIDE the window: queries with eager
+                    # phases (quantizer training, component iteration
+                    # actions) do most of their work during plan
+                    # construction — timing collect() alone measured
+                    # e09 at 0.42 s where the full pipeline costs ~20 s
                     t0 = time.perf_counter()
+                    df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
                     if name in NOOP_SINK:
                         df.write.format("noop").mode("overwrite").save()
                     else:
                         df.collect()
                     times.append(time.perf_counter() - t0)
-                out[key][name] = round(min(times[1:]), 4)
+                rows = plans.REGISTRY[name].spark_fn(spark,
+                                                     sf_dir).count()
+                out[key][name] = {"warm_min3": round(min(times[1:]), 4),
+                                  "rows_out": rows}
             finally:
                 spark.stop()
     return out
@@ -91,12 +99,25 @@ def main(names: list[str]) -> None:
     timed = _min_warm(names)
     canary = {}
     for name in names:
-        w10, w30 = timed["sf10"][name], timed["sf30"][name]
+        w10 = timed["sf10"][name]["warm_min3"]
+        w30 = timed["sf30"][name]["warm_min3"]
+        ro10 = timed["sf10"][name]["rows_out"]
+        ro30 = timed["sf30"][name]["rows_out"]
         canary[name] = {
             "sf10_warm_min3": w10, "sf30_warm_min3": w30,
             "warm_ratio": round(w30 / w10, 2) if w10 else None,
             "superlinear": bool(w10 and w30 / w10 > DATA_FACTOR),
+            "rows_out_sf10": ro10, "rows_out_sf30": ro30,
         }
+        if ro10 and ro30 and w10 and w30:
+            rr = ro30 / ro10
+            canary[name]["rows_out_ratio"] = round(rr, 2)
+            per_row = (w30 / ro30) / (w10 / ro10)
+            canary[name]["warm_per_row_ratio"] = round(per_row, 2)
+            if rr > DATA_FACTOR and per_row <= DATA_FACTOR:
+                # wall ratio measures result size, not plan shape
+                canary[name]["output_bound"] = True
+                canary[name]["superlinear"] = False
         if name in NOOP_SINK:
             canary[name]["noop_sink"] = True
     result = {

@@ -36,7 +36,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench_scaling import _run_at  # noqa: E402  (tools/ sibling import)
+from bench_scaling import OUTPUT_HEAVY, _run_at  # noqa: E402  (tools/ sibling import)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
@@ -73,8 +73,15 @@ def _min_of_3(names: list[str]) -> dict[str, dict[str, float]]:
             for name in names:
                 times = []
                 for _ in range(4):
+                    # spark_fn INSIDE the window (eager training /
+                    # component-iteration phases run at plan build;
+                    # see bench_canary_sf30.py)
                     t0 = time.perf_counter()
-                    plans.REGISTRY[name].spark_fn(spark, sf_dir).collect()
+                    df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
+                    if name in OUTPUT_HEAVY:
+                        df.write.format("noop").mode("overwrite").save()
+                    else:
+                        df.collect()
                     times.append(time.perf_counter() - t0)
                 out[key][name] = round(min(times[1:]), 4)
         finally:
@@ -121,6 +128,8 @@ def main(names: list[str]) -> None:
         # output-cardinality columns (see bench_scaling.py): queries
         # whose result grows faster than the data self-adjudicate via
         # wall-per-output-row instead of standing as superlinear flags
+        if r1[name].get("noop_sink"):
+            scaling[name]["noop_sink"] = True
         ro1 = r1[name].get("rows_out")
         ro10 = r10[name].get("rows_out")
         if ro1 is not None and ro10 is not None:
@@ -131,9 +140,12 @@ def main(names: list[str]) -> None:
                 scaling[name]["rows_out_ratio"] = round(rr, 2)
                 per_row = (w10 / ro10) / (w1 / ro1)
                 scaling[name]["warm_per_row_ratio"] = round(per_row, 2)
-                if (scaling[name]["superlinear"] and rr > DATA_FACTOR
-                        and per_row <= DATA_FACTOR):
+                if rr > DATA_FACTOR and per_row <= DATA_FACTOR:
+                    # wall ratio measures result size, not plan shape
+                    # (see bench_scaling.py) — superlinear means
+                    # superlinear COMPUTE
                     scaling[name]["output_bound"] = True
+                    scaling[name]["superlinear"] = False
         if name in FIXED_INPUT:
             scaling[name]["fixed_input"] = FIXED_INPUT[name]
     flagged = [n for n, s in scaling.items() if s["superlinear"]]
