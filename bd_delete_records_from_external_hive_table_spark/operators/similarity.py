@@ -43,6 +43,7 @@ __all__ = ["dot_product", "cosine_similarity", "brute_force_topk",
            "train_pq_codebooks", "pq_encode", "pq_ann_topk",
            "save_pq_codebooks", "load_pq_codebooks",
            "embedding_moments", "pca_whitening",
+           "kmeans_fit_distributed", "numpy_reference_kmeans",
            "save_ivf_index", "load_ivf_index", "semantic_dedup"]
 
 
@@ -900,6 +901,129 @@ def pca_whitening(df: DataFrame, vec_col: str = "embedding",
         return pd.Series(list((X - mu) @ w_mat))
 
     return df.withColumn(vec_col, whiten(F.col(vec_col))), mu, w_mat
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means: whole-corpus training as aggregates
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the distributed k-means update: vector
+#: components are quantized to integer units of 2^-40 before the
+#: per-cluster sum, making the reduction EXACT integer arithmetic —
+#: bit-identical under any partitioning, task order, or AQE re-plan
+#: (floating-point partial sums would drift with arrival order; ml02's
+#: BIGINT micro-nat argmax is the same trick one rank down). Headroom:
+#: |component| <= 1 on L2-normalized vectors, so a 10k-row Arrow batch
+#: sums to <= 1e4 * 2^40 ~ 1.1e16 per element — 800x under int64.
+_KMEANS_QUANT = 1 << 40
+
+
+def kmeans_fit_distributed(corpus: DataFrame, nlist: int,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           iters: int = 10,
+                           dim: int | None = None) -> np.ndarray:
+    """Spherical k-means trained on the WHOLE corpus — Lloyd's where
+    each iteration is one Arrow assignment pass plus ONE map-side-
+    combined integer aggregate, the unsupervised sibling of ml01's
+    IRLS-as-aggregates.
+
+    Contrast with :func:`train_ivf_centroids` (the FAISS recipe: train
+    on a bounded driver sample): sample-trained centroids are cheap
+    and usually enough for coarse BUCKETING, but their quality is
+    bounded by the sample — this trainer sees every vector, so it is
+    the one to use when centroids ARE the product (clustering reports,
+    per-cluster curricula, mixture weighting), not just an index.
+
+    Scale shape per iteration: centroids broadcast in the task closure
+    (nlist x dim doubles); each Arrow batch computes assignments with
+    one blocked matmul and emits ONE partial row per touched cluster —
+    (cluster, int64 component sums, count) — so the shuffle is
+    ~partitions x nlist metadata rows, never the corpus; a posexplode
+    + groupBy reduces them map-side-combined and nlist x dim longs
+    reach the driver. Quantized integer sums make the result
+    BIT-DETERMINISTIC regardless of partitioning (test-asserted:
+    repartitioned corpus -> identical centroids; numpy parity on the
+    same quantization).
+
+    Init is the id-hash-spread prefix (same rule as
+    train_ivf_centroids's sample: the nlist rows with the smallest
+    xxhash64(id), in hash order) — content-deterministic, no RNG.
+    Empty clusters keep their previous centroid (standard Lloyd's)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    init_rows = (corpus
+                 .select(F.col(vec_col).alias("_v"),
+                         F.xxhash64(F.col(id_col)).alias("_h"))
+                 .orderBy("_h").limit(nlist).collect())
+    cent = np.asarray([r["_v"] for r in init_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1)
+    cent = cent / np.where(norms > 0, norms, 1.0)[:, None]
+    k = len(cent)   # < nlist only when the corpus itself is smaller
+
+    partial_schema = ("cluster int, qsums array<long>, n long")
+
+    for _ in range(iters):
+        c = cent  # rebind for the closure (cent reassigned below)
+
+        def partials(batches, _c=c):
+            for pdf in batches:
+                x = _vec_matrix(pdf.iloc[:, 0], _c.shape[1])
+                if not len(x):
+                    continue
+                assign = _chunked_argmax_dot(x, _c)
+                q = np.rint(x * _KMEANS_QUANT).astype(np.int64)
+                sums = np.zeros((len(_c), _c.shape[1]), dtype=np.int64)
+                np.add.at(sums, assign, q)
+                counts = np.bincount(assign, minlength=len(_c))
+                touched = np.flatnonzero(counts)
+                yield pd.DataFrame({
+                    "cluster": touched.astype("int32"),
+                    "qsums": [sums[t] for t in touched],
+                    "n": counts[touched].astype("int64")})
+
+        agg = (corpus.select(vec_col).mapInPandas(partials,
+                                                  partial_schema)
+               .select("cluster", "n",
+                       F.posexplode("qsums").alias("pos", "qv"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("qv").alias("qsum"),
+                    # n repeats across the dim positions of one partial
+                    # row; counting it once per cluster needs pos=0 only
+                    F.sum(F.when(F.col("pos") == 0, F.col("n"))
+                          .otherwise(F.lit(0))).alias("n"))
+               .collect())
+        sums = np.zeros((k, cent.shape[1]), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"], r["pos"]] = r["qsum"] / _KMEANS_QUANT
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["n"]
+        vnorm = np.linalg.norm(sums, axis=1)
+        ok = (counts > 0) & (vnorm > 0)
+        new = cent.copy()
+        new[ok] = sums[ok] / vnorm[ok, None]
+        cent = new
+    return cent
+
+
+def numpy_reference_kmeans(x: np.ndarray, init: np.ndarray,
+                           iters: int = 10) -> np.ndarray:
+    """Single-node reference of :func:`kmeans_fit_distributed`'s exact
+    arithmetic (same quantization, same spherical update) for parity
+    tests — independent of Spark, one numpy array in, centroids out."""
+    cent = init.copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        q = np.rint(x * _KMEANS_QUANT).astype(np.int64)
+        sums = np.zeros((len(cent), cent.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, q)
+        counts = np.bincount(assign, minlength=len(cent))
+        fs = sums / _KMEANS_QUANT
+        vnorm = np.linalg.norm(fs, axis=1)
+        ok = (counts > 0) & (vnorm > 0)
+        cent[ok] = fs[ok] / vnorm[ok, None]
+    return cent
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,174 @@
+"""Eleventh-wave queries (round 8): whole-corpus distributed k-means
+training, stratified quota sampling, and exact-integer TF-IDF keyword
+extraction.
+
+- ml03 distributed k-means — the unsupervised member of the
+  training-as-aggregates family (ml01 IRLS, ml02 NB): Lloyd's where
+  every iteration is one Arrow assignment pass plus ONE map-side-
+  combined INTEGER aggregate (vector components quantized to 2^-40
+  fixed point, so per-cluster sums are exact int64 and the result is
+  bit-identical under any partitioning — ml02's micro-nat trick lifted
+  to vectors). This is the full-fidelity complement of the
+  sample-trained IVF quantizer: use it when centroids ARE the product
+  (cluster reports, curricula, mixture weights), not just a bucketing.
+  Rows-only: trained fixpoint, no SQL form (ml01's rationale); numpy
+  parity + repartition-invariance are test-asserted.
+- sa05 stratified quota sampling — exactly min(quota, |stratum|) docs
+  per source, chosen by the 28-bit content-independent hash rank
+  (s05's split hash, so the sample is reproducible forever and
+  engine-exact). The curation move behind "N examples per domain for
+  eval/annotation"; one window over hash-ranked rows per stratum,
+  never a global sort. Value-hash oracled.
+- t25 TF-IDF keyword extraction — top-5 terms per source by summed
+  tf x idf, with idf quantized to integer micro-nats BEFORE the
+  multiply (ml02's trick), so scores are exact BIGINTs and the ranking
+  can never flip on float summation order. The which-terms-define-
+  this-slice view a mixture report is built from. Value-hash oracled.
+
+Reference anchor: widens the declared-query surface admitted by the
+reference's SQL boundary (DeletionCriteria.java:40-63), same as waves
+1-10; ml03 composes the reference's driver-orchestration shape
+(HiveTableDeletionJob.java:87-160 — driver loop, cluster aggregate per
+step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import stable_hash28
+from ..operators import similarity
+from ..sources.tables import load_table
+from .llm_ops import _DUCK_HASH28, _corpus_rows
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# ml03: distributed k-means (whole-corpus training as aggregates)
+# ---------------------------------------------------------------------------
+
+@register("ml03_kmeans_training", None)  # trained fixpoint: no SQL oracle
+def ml03(spark, sf_dir):
+    """Whole-corpus spherical k-means (similarity.kmeans_fit_distributed)
+    + the per-cluster health report: unlike n03/e09's sample-trained
+    coarse quantizer, every vector contributes to every update — the
+    trainer to reach for when cluster quality is the deliverable. Per
+    iteration the corpus reduces to ~partitions x nlist integer partial
+    rows (cluster, quantized component sums, count), map-side-combined
+    to nlist x dim longs on the driver — no vector ever shuffles, and
+    the integer fixed-point sums make the fit bit-deterministic under
+    any partitioning (repartition-invariance and numpy parity are
+    test-asserted in tests/test_wave11.py). Cluster count scales with
+    the corpus (similarity.coarse_nlist — driver state stays
+    nlist x dim; past the flat cap the hierarchy takes over exactly as
+    in e09). Rows-only: an iterated trained fixpoint has no SQL form
+    (ml01's rationale, PARITY.md table)."""
+    n = _corpus_rows(spark, sf_dir, "embeddings")
+    corpus = (_t(spark, sf_dir, "embeddings")
+              .select("vec_id", "embedding"))
+    nlist = similarity.coarse_nlist(n)
+    cent = similarity.kmeans_fit_distributed(corpus, nlist=nlist,
+                                             iters=5)
+    return similarity.ivf_bucket_stats(corpus, cent)
+
+
+# ---------------------------------------------------------------------------
+# sa05: stratified quota sampling (hash-ranked, engine-exact)
+# ---------------------------------------------------------------------------
+
+_SA05_QUOTA = 20
+
+@register("sa05_stratified_sample",
+          "WITH h AS (SELECT doc_id, source, "
+          + _DUCK_HASH28.format("CAST(doc_id AS VARCHAR)")
+          + " AS hk FROM documents), "
+          "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+          "  PARTITION BY source ORDER BY hk, doc_id) AS rk FROM h) "
+          f"SELECT source, doc_id, CAST(rk AS BIGINT) AS rk "
+          f"FROM r WHERE rk <= {_SA05_QUOTA} ORDER BY source, rk")
+def sa05(spark, sf_dir):
+    """Stratified quota sample: exactly min(quota, |stratum|) documents
+    per source, ranked by the content-independent 28-bit id hash (the
+    s05 split hash — both engines replay it, so the chosen set is
+    identical forever: re-running the pipeline next month yields the
+    SAME eval panel). Scale shape: rank is a per-stratum window over
+    (hash, id) — partitions by source, never a global sort — and only
+    quota rows per stratum survive, so output is |sources| x quota at
+    any SF. Hash-rank sampling is the standard reproducible-subset
+    trick (vs rand(), which changes with partitioning and retries)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(stable_hash28(F.col("doc_id").cast("string")),
+                  "doc_id"))
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).cast("long").alias("rk"))
+            .where(F.col("rk") <= _SA05_QUOTA)
+            .orderBy("source", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# t25: TF-IDF keyword extraction (integer micro-nat scores)
+# ---------------------------------------------------------------------------
+
+#: idf in integer micro-nats (ml02's _QLN shape): ln of a ratio of
+#: exact integers, rounded to 1e-6 before the tf multiply — scores
+#: become exact BIGINTs, so per-source ranking is order-independent
+#: and cross-engine exact (libm risk confined to ln() landing within
+#: one ulp of a 0.5-micro-nat boundary on identical double inputs).
+_T25_K = 5
+
+@register("t25_tfidf_keywords",
+          "WITH tok AS (SELECT doc_id, source, "
+          "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+          "  t -> t <> '') AS ts FROM documents), "
+          "tp AS (SELECT doc_id, source, unnest(ts) AS w FROM tok), "
+          "n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tp), "
+          "dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df "
+          "  FROM tp GROUP BY w), "
+          "tf AS (SELECT source, w, COUNT(*) AS c FROM tp "
+          "  GROUP BY source, w), "
+          "sc AS (SELECT tf.source, tf.w, CAST(tf.c * "
+          "  CAST(ROUND(ln(CAST(n.nd AS DOUBLE) / dfreq.df) * 1000000, "
+          "  0) AS BIGINT) AS BIGINT) AS score_q "
+          "  FROM tf JOIN dfreq USING (w), n), "
+          "rk AS (SELECT source, w, score_q, ROW_NUMBER() OVER ("
+          "  PARTITION BY source ORDER BY score_q DESC, w) AS rk "
+          "  FROM sc) "
+          f"SELECT source, w AS term, score_q, CAST(rk AS BIGINT) AS rk "
+          f"FROM rk WHERE rk <= {_T25_K} ORDER BY source, rk")
+def t25(spark, sf_dir):
+    """Per-source TF-IDF keywords: the top-5 terms that distinguish
+    each corpus slice — Σ(term count) x idf with idf = ln(N/df)
+    quantized to integer micro-nats BEFORE the multiply, so every
+    score is an exact BIGINT and the top-k can never flip on float
+    order (ml02's micro-nat argmax, one rank down). Scale shape: ONE
+    tokenize feeds both the document-frequency aggregate (map-side
+    combine on the vocab) and the per-source term counts; the scoring
+    join is dictionary-keyed; the final window ranks |sources| x vocab
+    slices, each pruned to k rows. The corpus never re-tokenizes and
+    text bytes never shuffle — (term, count) pairs do."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                  lambda t: t != F.lit(""))
+    tp = (docs.select("doc_id", "source", F.explode(ts).alias("w"))
+          .localCheckpoint(eager=False))
+    nd = tp.agg(F.countDistinct("doc_id").alias("nd"))
+    dfreq = tp.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tp.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    idf_q = F.round(
+        F.log(F.col("nd").cast("double") / F.col("df")) * 1000000.0,
+        0).cast("long")
+    sc = (tf.join(dfreq, "w").crossJoin(F.broadcast(nd))
+          .select("source", "w",
+                  (F.col("c") * idf_q).cast("long").alias("score_q")))
+    w_rk = (Window.partitionBy("source")
+            .orderBy(F.desc("score_q"), "w"))
+    return (sc.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+            .where(F.col("rk") <= _T25_K)
+            .select("source", F.col("w").alias("term"), "score_q", "rk")
+            .orderBy("source", "rk"))

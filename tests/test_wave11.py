@@ -1,0 +1,129 @@
+"""Wave-11 operator tests: ml03 distributed k-means (numpy parity,
+partitioning invariance), sa05 stratified quota sample, t25 TF-IDF
+keywords. Oracle-checked queries (sa05/t25) are additionally covered by
+the registry-wide parity sweep; this module asserts the SEMANTIC
+contracts a value-hash alone doesn't explain."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bd_delete_records_from_external_hive_table_spark.functions.text import stable_hash28
+from bd_delete_records_from_external_hive_table_spark.operators import similarity
+from bd_delete_records_from_external_hive_table_spark.plans import REGISTRY
+from bd_delete_records_from_external_hive_table_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# ml03 / distributed k-means: numpy parity + partitioning invariance
+# ---------------------------------------------------------------------------
+
+def _hash_init(spark, corpus, nlist):
+    rows = (corpus.select("embedding",
+                          F.xxhash64("vec_id").alias("_h"))
+            .orderBy("_h").limit(nlist).collect())
+    cent = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def test_kmeans_distributed_numpy_parity(spark, sf_dir):
+    """The distributed fit must reproduce the single-node reference
+    EXACTLY (same quantization, same init, same update rule) — the
+    integer fixed-point sums make partial aggregation order
+    irrelevant, so there is no tolerance here, only equality."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    got = similarity.kmeans_fit_distributed(emb, nlist=8, iters=4)
+    x = np.asarray([r.embedding for r in
+                    emb.orderBy("vec_id").collect()], dtype=np.float64)
+    want = similarity.numpy_reference_kmeans(
+        x, _hash_init(spark, emb, 8), iters=4)
+    assert got.shape == want.shape == (8, x.shape[1])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kmeans_distributed_partitioning_invariant(spark, sf_dir):
+    """Bit-identical centroids regardless of how the corpus is
+    partitioned — the property float partial sums cannot give (their
+    result depends on task arrival order) and the reason the update
+    aggregates 2^-40 fixed-point integers."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    c1 = similarity.kmeans_fit_distributed(emb, nlist=8, iters=3)
+    c2 = similarity.kmeans_fit_distributed(emb.repartition(7), nlist=8,
+                                           iters=3)
+    c3 = similarity.kmeans_fit_distributed(emb.repartition(1), nlist=8,
+                                           iters=3)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1, c3)
+
+
+def test_kmeans_training_query_report(spark, sf_dir):
+    rows = REGISTRY["ml03_kmeans_training"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n     # every vector bucketed
+    for r in rows:
+        assert -1.0 <= r.min_sim <= r.mean_sim <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# sa05 / stratified sample: quota + reproducibility contract
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave11 import _SA05_QUOTA
+
+    rows = REGISTRY["sa05_stratified_sample"].spark_fn(
+        spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").count()
+                  .withColumnRenamed("count", "n").collect()}
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r.source, []).append((r.rk, r.doc_id))
+    for src, members in got.items():
+        assert len(members) == min(_SA05_QUOTA, per_source[src])
+        assert sorted(rk for rk, _ in members) == list(
+            range(1, len(members) + 1))
+    # the chosen set is exactly the quota smallest (hash, id) per
+    # stratum — reproducible forever, independent of partitioning
+    hashed = docs.select(
+        "source", "doc_id",
+        stable_hash28(F.col("doc_id").cast("string")).alias("h")) \
+        .collect()
+    want: dict[str, list] = {}
+    for r in hashed:
+        want.setdefault(r.source, []).append((r.h, r.doc_id))
+    for src, members in got.items():
+        expect = [d for _, d in sorted(want[src])[:_SA05_QUOTA]]
+        assert [d for _, d in sorted(members)] == expect
+
+
+# ---------------------------------------------------------------------------
+# t25 / TF-IDF keywords: rank + score contracts
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_contract(spark, sf_dir):
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave11 import _T25_K
+
+    rows = REGISTRY["t25_tfidf_keywords"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, members in by_src.items():
+        assert [m.rk for m in sorted(members, key=lambda m: m.rk)] == \
+            list(range(1, len(members) + 1))
+        assert len(members) <= _T25_K
+        # scores are non-increasing in rank, ties broken by term asc
+        ordered = sorted(members, key=lambda m: m.rk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.score_q, b.term) >= (b.score_q, a.term)
+        # a term present in EVERY doc has idf 0 and can never rank
+        # above a term with positive idf unless all scores are 0
+        assert all(m.score_q >= 0 for m in members)
