@@ -139,7 +139,11 @@ def d15(spark, sf_dir):
     global sort. The oracle replays the identical pipeline (shared
     permutation constants + recursive-CTE closure), so LSH misses and
     all are engine-identical by construction."""
-    aug = _aug_full_neardup(spark, sf_dir)
+    # checkpoint: the LSH pipeline + the survivor-length join are
+    # multiple consumers — without materialization each re-derives the
+    # union from the text scan (the d10 lesson; the fixed panel's
+    # builder checkpointed for the same reason)
+    aug = _aug_full_neardup(spark, sf_dir).localCheckpoint(eager=False)
     pairs = dedup.minhash_near_duplicates(
         aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
     comps = dedup.connected_components(pairs)
@@ -185,7 +189,8 @@ def d16(spark, sf_dir):
     filtering on the verified pairs. The oracle replays the full
     pipeline with the shared constants, so the reported contamination
     set is engine-exact."""
-    aug = _aug_full_neardup(spark, sf_dir)
+    # checkpoint: LSH pipeline + the split projection both consume aug
+    aug = _aug_full_neardup(spark, sf_dir).localCheckpoint(eager=False)
     pairs = dedup.minhash_near_duplicates(
         aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
     split = aug.select(
