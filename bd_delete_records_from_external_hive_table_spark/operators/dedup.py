@@ -143,7 +143,13 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                       "band.band_key")
     b = banded.select(F.col(id_col).alias("b"), "band.band_idx",
                       "band.band_key")
-    return (a.join(b, ["band_idx", "band_key"])
+    # shuffle_hash pin: BOTH sides are the banded CORPUS (they grow
+    # with N), and upstream checkpoints strip the size stats Catalyst
+    # would need to see that — on the full-corpus consumers (d15/d16)
+    # the executed plan broadcast the banded frame (the phantom-
+    # broadcast class PLANS.md documents); a bucket-keyed shuffle join
+    # is the only shape that survives corpus growth
+    return (a.join(b.hint("shuffle_hash"), ["band_idx", "band_key"])
              .where(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
 
@@ -174,7 +180,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     thr_num = int(round(threshold * 10000))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-    return (cands.join(a, "a").join(b, "b")
+    # shuffle_hash pins: the shingle-set frames grow with the corpus
+    # (see lsh_candidate_pairs) — broadcasting them only survives on a
+    # single fat JVM
+    return (cands.join(a.hint("shuffle_hash"), "a")
+            .join(b.hint("shuffle_hash"), "b")
             .select("a", "b", inter.alias("_i"), union.alias("_u"))
             .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
             .select("a", "b",

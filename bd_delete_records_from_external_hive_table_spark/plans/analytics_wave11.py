@@ -163,7 +163,12 @@ def t25(spark, sf_dir):
     idf_q = F.round(
         F.log(F.col("nd").cast("double") / F.col("df")) * 1000000.0,
         0).cast("long")
-    sc = (tf.join(dfreq, "w").crossJoin(F.broadcast(nd))
+    # shuffle_hash: tf and dfreq are both VOCABULARY-sized — they grow
+    # with the corpus, and the checkpoint upstream strips the stats
+    # (the executed plan broadcast one side; PLANS.md phantom-broadcast
+    # rule). The 1-row nd frame keeps its broadcast — SF-invariant.
+    sc = (tf.join(dfreq.hint("shuffle_hash"), "w")
+          .crossJoin(F.broadcast(nd))
           .select("source", "w",
                   (F.col("c") * idf_q).cast("long").alias("score_q")))
     w_rk = (Window.partitionBy("source")

@@ -150,7 +150,9 @@ def d15(spark, sf_dir):
     lens = aug.select(F.col("doc_id").alias("node"),
                       F.length("text").alias("_len"))
     w = Window.partitionBy("component").orderBy(F.desc("_len"), "node")
-    return (comps.join(lens, "node")
+    # shuffle_hash: lens is a corpus-growing projection of the
+    # checkpointed union (no stats -> the executed plan broadcast it)
+    return (comps.join(lens.hint("shuffle_hash"), "node")
             .select(F.col("node").alias("doc_id"), "component",
                     (F.row_number().over(w) == 1).cast("long")
                     .alias("is_survivor"))
@@ -201,7 +203,10 @@ def d16(spark, sf_dir):
                       F.col("split").alias("split_a"))
     sb = split.select(F.col("doc_id").alias("b"),
                       F.col("split").alias("split_b"))
-    j = pairs.join(sa, "a").join(sb, "b")
+    # shuffle_hash: the split frame grows with the corpus (d15's
+    # phantom-broadcast rationale)
+    j = (pairs.join(sa.hint("shuffle_hash"), "a")
+         .join(sb.hint("shuffle_hash"), "b"))
     cross = (j.where((F.col("split_a") == "corpus")
                      & (F.col("split_b") == "benchmark"))
              .select(F.col("a").alias("corpus_doc"), "jaccard")
