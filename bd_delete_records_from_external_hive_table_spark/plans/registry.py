@@ -94,4 +94,8 @@ FIXED_INPUT: dict[str, str] = {
     # SF-proportional _aug_full_neardup corpus — their replayed LSH
     # oracles are near-linear, so the driver's sf0.01 check affords
     # the full corpus while sf_scaling rows grow)
+    # round-8 calibration report shares d04's panel (same replayed-
+    # signature oracle; the estimator curve, not corpus scale, is
+    # what it certifies)
+    "d18_minhash_calibration": "first-100-docs near-dup panel",
 }
