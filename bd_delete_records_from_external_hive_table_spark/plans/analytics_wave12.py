@@ -208,12 +208,16 @@ def d18(spark, sf_dir):
     quadratic); the signature/shingle joins are id-keyed and pinned;
     the report groups on ≤33 keys."""
     aug = _aug_neardup_docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(aug)
+    # checkpoints: sigs feeds the banded self-join AND both broadcast
+    # sides; sh feeds both shingle sides — without materialization each
+    # consumer re-runs the interpreted 32-permutation / shingle HOFs
+    sigs = dedup.minhash_signatures(aug).localCheckpoint(eager=False)
     cands = dedup.lsh_candidate_pairs(sigs)
     sh = aug.select(
         "doc_id",
         F.array_distinct(dedup.shingles(
-            dedup.ws_tokens(F.col("text")), 3)).alias("sh"))
+            dedup.ws_tokens(F.col("text")), 3)).alias("sh")) \
+        .localCheckpoint(eager=False)
     sig_a = sigs.select(F.col("doc_id").alias("a"),
                         F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("doc_id").alias("b"),
@@ -226,11 +230,18 @@ def d18(spark, sf_dir):
             for j in range(32))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+    # broadcast, not shuffle_hash: unlike d15/d16's full-corpus frames,
+    # this panel is BOUNDED BY CONSTRUCTION (first-100 docs + copies at
+    # every SF — FIXED_INPUT), so the no-stats-after-checkpoint hazard
+    # that mandates pins on corpus-growing sides cannot apply; each
+    # broadcast replaces a 110-row exchange (measured with the sigs/sh
+    # checkpoints: cold 5.14 → 3.08 s; warm ~3.0 s is the panel-build +
+    # banded-join floor, constant by FIXED_INPUT construction)
     pairs = (cands
-             .join(sig_a.hint("shuffle_hash"), "a")
-             .join(sig_b.hint("shuffle_hash"), "b")
-             .join(sh_a.hint("shuffle_hash"), "a")
-             .join(sh_b.hint("shuffle_hash"), "b")
+             .join(F.broadcast(sig_a), "a")
+             .join(F.broadcast(sig_b), "b")
+             .join(F.broadcast(sh_a), "a")
+             .join(F.broadcast(sh_b), "b")
              .select(m.cast("long").alias("sig_matches"),
                      (inter.cast("long") * 10000).alias("_i10"),
                      union.cast("long").alias("_u"))
