@@ -192,16 +192,19 @@ def ts11(spark, sf_dir):
           "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
           "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
           "  CAST(SUM(x * x) AS BIGINT) AS sxx, "
-          "  CAST(SUM(y * y) AS BIGINT) AS syy FROM ed) "
+          "  CAST(SUM(y * y) AS BIGINT) AS syy FROM ed), "
+          "wide AS (SELECT "
+          "  CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
+          "  CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx, "
+          "  CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy "
+          "  FROM sm) "
           "SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes, "
           "CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges, "
           "CAST((SELECT MAX(dg) FROM deg) AS BIGINT) AS max_degree, "
-          "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
-          "THEN NULL ELSE "
-          "ROUND(CAST(m * sxy - sx * sy AS DOUBLE) / "
-          "(SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * "
-          "SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6) END "
-          "AS assortativity FROM sm")
+          "CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE "
+          "ROUND(CAST(num AS DOUBLE) / "
+          "(SQRT(CAST(vx AS DOUBLE)) * SQRT(CAST(vy AS DOUBLE))), 6) END "
+          "AS assortativity FROM wide")
 def g03(spark, sf_dir):
     """Degree assortativity of the verified near-dup graph: Pearson r
     of endpoint degrees over DIRECTED edges (each undirected pair
@@ -242,9 +245,18 @@ def g03(spark, sf_dir):
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"),
                  F.max("dg").alias("max_degree"))
     ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # wide-integer products: the BIGINT sums themselves are safe
+    # (Σx·y ≈ edges·deg² ≈ 7·10¹² at sf10) but m·sxy reaches ~10²¹ on
+    # the replica corpus's 3·10⁸-edge graph — the sf10 scaling run
+    # found the int64 overflow. DECIMAL(19,0)×DECIMAL(19,0) →
+    # DECIMAL(38,0) stays exact to 10³⁸ (DuckDB side: HUGEINT), and
+    # the int→double conversions that follow are correctly rounded on
+    # both engines, so determinism is unchanged.
+    def _d(c: str):
+        return F.col(c).cast("decimal(19,0)")
+    vx = _d("m") * _d("sxx") - _d("sx") * _d("sx")
+    vy = _d("m") * _d("syy") - _d("sy") * _d("sy")
+    num = _d("m") * _d("sxy") - _d("sx") * _d("sy")
     assort = (num.cast("double")
               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
     return (sm.crossJoin(nn).crossJoin(ne)  # three 1-row frames

@@ -150,6 +150,32 @@ def test_g03_mixed_graph_known_value(spark):
     assert abs(got - (-0.5)) < 1e-12
 
 
+def test_g03_wide_products_survive_sf10_magnitudes(spark):
+    """Regression for the int64 overflow the sf10 scaling run caught:
+    on the 100-replica corpus the dup graph has ~3·10⁸ directed edges
+    with degrees ~110, so m·Σxy ≈ 4·10²¹ — past BIGINT. The query's
+    DECIMAL(19,0)×DECIMAL(19,0) products must stay exact at those
+    magnitudes (Spark's precision cap at 38 digits must not null or
+    truncate them); verified against Python's arbitrary-precision
+    integers on planted sums of the measured sf10 order."""
+    m, sx, sxy, sxx = 600_000_000, 60_000_000_000, 7_300_000_000_000, \
+        7_300_000_000_000
+    df = spark.createDataFrame(
+        [(m, sx, sx, sxy, sxx, sxx)],
+        "m long, sx long, sy long, sxy long, sxx long, syy long")
+    from pyspark.sql import functions as F
+
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+    row = df.select(
+        (_d("m") * _d("sxy") - _d("sx") * _d("sy")).alias("num"),
+        (_d("m") * _d("sxx") - _d("sx") * _d("sx")).alias("vx"),
+    ).collect()[0]
+    assert int(row["num"]) == m * sxy - sx * sx    # exact, no overflow
+    assert int(row["vx"]) == m * sxx - sx * sx
+    assert m * sxy > 2**63 - 1                     # old path overflowed
+
+
 def test_g03_planted_corpus_is_clique_assortative(spark, sf_dir):
     """On the planted corpus every LSH component is a clique
     (original + its perturbed copy, plus fully-connected background
