@@ -52,6 +52,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec(c) -> "F.Column":
+    """Widen a BIGINT column/expr to DECIMAL(19,0) so products land in
+    DECIMAL(38,0) — exact to 10³⁸. The corpus-quadratic scalar products
+    in the closed forms here (n·Σxy, rank-sum·10⁶) pass 2⁶³ at the
+    100 TB mandate scale; g03's sf10 run crashed on exactly this class
+    (ARITHMETIC_OVERFLOW at ~4·10²¹), so every such product is widened
+    BEFORE it can overflow. DuckDB oracles widen to HUGEINT."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(19,0)")
+
+
+def _wide_floor_div(num, den) -> "F.Column":
+    """EXACT floor(num/den) for positive DECIMAL(38,0) operands.
+
+    Spark's ``div`` casts decimals to long first — on wide values it
+    silently wraps to a WRONG result (probed: 2·10²⁰ div 3 returned a
+    negative long), and plain decimal division rounds HALF_UP at scale
+    6, so ``floor()`` of it flips up when the true quotient sits within
+    5·10⁻⁷ below an integer — rare but not impossible, and the house
+    rule is divergence must be STRUCTURALLY impossible, not unlikely.
+    So: take the scale-6 candidate, then correct it by exact decimal
+    multiply-compare (candidate ≤ 10⁶ here, so candidate·den stays
+    within 38 digits). DuckDB oracles use HUGEINT ``//`` — exact floor
+    natively — and the correction makes the Spark side equal to it by
+    construction at ANY operand magnitude."""
+    c = F.floor(num / den).cast("decimal(38,0)")
+    return (F.when((c + 1) * den <= num, c + 1)
+            .when(c * den > num, c - 1)
+            .otherwise(c))
+
+
 # shared doc frame: whitespace token count x, char count y, per source
 _DUCK_XY = ("SELECT source, len(" + _DUCK_TOKENS + ") AS x, "
             "n_chars AS y FROM documents")
@@ -77,8 +108,10 @@ def _xy(spark: SparkSession, sf_dir: str) -> DataFrame:
           "  CAST(SUM(y * y) AS BIGINT) AS syy "
           "  FROM xy GROUP BY source), "
           "d AS (SELECT source, n, "
-          "  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, "
-          "  n * syy - sy * sy AS ssy, sx, sy FROM s) "
+          "  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
+          "  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den, "
+          "  CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS ssy, "
+          "  sx, sy FROM s) "
           "SELECT source, n AS n_docs, "
           "CASE WHEN den = 0 THEN NULL ELSE "
           "  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END "
@@ -110,9 +143,12 @@ def ml04(spark, sf_dir):
               F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
               F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
               F.sum(F.col("y") * F.col("y")).cast("long").alias("syy")))
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ssy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # wide products (g03's overflow class): n·Σxy reaches 2⁶³ around
+    # 10⁹ docs per source — inside the 100 TB mandate. The BIGINT sums
+    # themselves stay exact far longer (Σxy ≤ 5·10¹⁷ at 10¹¹ docs).
+    num = _dec("n") * _dec("sxy") - _dec("sx") * _dec("sy")
+    den = _dec("n") * _dec("sxx") - _dec("sx") * _dec("sx")
+    ssy = _dec("n") * _dec("syy") - _dec("sy") * _dec("sy")
     d = s.select("source", "n", "sx", "sy", num.alias("num"),
                  den.alias("den"), ssy.alias("ssy"))
     fnum, fden = F.col("num").cast("double"), F.col("den").cast("double")
@@ -147,12 +183,14 @@ def ml04(spark, sf_dir):
           "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
           "  AS cumb FROM g), "
           "a AS (SELECT source, SUM(pos) AS p, SUM(cnt) - SUM(pos) AS q, "
-          "  SUM(pos * (2 * cumb + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) "
+          "  SUM(CAST(pos AS HUGEINT) * (2 * cumb + cnt + 1)) "
+          "  - CAST(SUM(pos) AS HUGEINT) * (SUM(pos) + 1) "
           "  AS u2 FROM w GROUP BY source) "
           "SELECT source, CAST(p AS BIGINT) AS n_pos, "
           "CAST(q AS BIGINT) AS n_neg, "
           "CAST(CASE WHEN p = 0 OR q = 0 THEN NULL "
-          "ELSE (u2 * 500000) // (p * q) END AS BIGINT) AS auc_micro "
+          "ELSE (u2 * 500000) // (CAST(p AS HUGEINT) * q) END AS BIGINT) "
+          "AS auc_micro "
           "FROM a ORDER BY source")
 def ml05(spark, sf_dir):
     """ROC-AUC of a DELIBERATELY weak ranking signal — milli-chars-
@@ -180,18 +218,29 @@ def ml05(spark, sf_dir):
     w = g.select("source", "pos", "cnt",
                  F.coalesce(F.sum("cnt").over(wspec), F.lit(0))
                  .alias("cumb"))
+    # widened rank-sum (g03's overflow class): the per-row term
+    # pos·(2·cumb+cnt+1) is bounded by cnt·2n, so the per-source sum
+    # approaches 2n² — past 2⁶³ near 2·10⁹ docs per source, inside the
+    # 100 TB mandate. Products go DECIMAL(38,0); the final division
+    # uses the exact floor-corrected wide divide (Spark's `div` wraps
+    # on decimals and plain decimal division rounds — see
+    # _wide_floor_div). The oracle's HUGEINT // floors natively.
+    term = _dec("pos") * _dec(F.lit(2) * F.col("cumb")
+                              + F.col("cnt") + F.lit(1))
     a = (w.groupBy("source")
          .agg(F.sum("pos").alias("p"),
               (F.sum("cnt") - F.sum("pos")).alias("q"),
-              (F.sum(F.col("pos") * (F.lit(2) * F.col("cumb")
-                                     + F.col("cnt") + F.lit(1)))
-               - F.sum("pos") * (F.sum("pos") + F.lit(1))).alias("u2")))
-    auc = F.expr("(u2 * 500000) div (p * q)")
+              (F.sum(term)
+               - _dec(F.sum("pos")) * _dec(F.sum("pos") + F.lit(1)))
+              .alias("u2")))
+    auc = _wide_floor_div(
+        (F.col("u2") * F.lit(500000)).cast("decimal(38,0)"),
+        (_dec("p") * _dec("q")).cast("decimal(38,0)"))
     return (a.select("source", F.col("p").alias("n_pos"),
                      F.col("q").alias("n_neg"),
                      F.when((F.col("p") == 0) | (F.col("q") == 0),
                             F.lit(None).cast("long"))
-                      .otherwise(auc).alias("auc_micro"))
+                      .otherwise(auc.cast("long")).alias("auc_micro"))
             .orderBy("source"))
 
 
@@ -245,7 +294,11 @@ def d19(spark, sf_dir):
     count-distinct-ge-2, the mark-back join is gram-keyed and PINNED
     shuffle_hash (both sides grow with the corpus; the checkpoint-
     stats broadcast trap from PLANS.md), the merge window partitions
-    by doc_id, and the rollup has 10 keys."""
+    by doc_id, and the rollup has 10 keys. Arithmetic headroom (the
+    g03 overflow audit): the final coverage_ppm multiply Σcov·10⁶
+    stays inside BIGINT while a bucket holds ≤ 9.2·10¹² tokens ≈
+    46 TB of text per bucket — ~460 TB of corpus across the 10
+    buckets, comfortably past the mandate."""
     aug = _aug_full_neardup(spark, sf_dir)
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     tok = (aug.select("doc_id", toks.alias("ts"))

@@ -144,7 +144,11 @@ def ts11(spark, sf_dir):
     shape: events collapse to ≤|days| rows per type in one map-side-
     combined rollup BEFORE the pair join, so the self-join is
     calendar-bounded (days²/2 per type — ts06/ts07's rationale),
-    never event-bounded; the median window walks pair rows per type."""
+    never event-bounded; the median window walks pair rows per type.
+    Arithmetic headroom (the g03 overflow audit): the offset-shifted
+    slope numerator |Δcents|·10⁶ + OFF·Δdays tops out near 3.7·10¹⁷
+    for a year of days and stays exact while daily revenue is under
+    9.2·10¹² cents/day (~$92B/day) — orders past any real stream."""
     ev = _t(spark, sf_dir, "events")
     daily = (ev.groupBy("event_type",
                         F.col("ts").cast("date").alias("day"))

@@ -123,6 +123,35 @@ def test_ml05_ties_are_load_bearing(spark, sf_dir):
     assert row["auc_micro"] == 875000.0
 
 
+def test_wide_floor_div_corrects_decimal_rounding(spark):
+    """The three hazards the helper exists for, each pinned:
+    1. Spark `div` on wide decimals silently WRAPS to a wrong long
+       (2·10²⁰ div 3 probes negative) — why the helper exists at all;
+    2. plain decimal division rounds HALF_UP at scale 6, so
+       floor((2·10¹³−1)/10¹³) naively reads the 2.000000 candidate —
+       the downward correction must return 1;
+    3. the symmetric near-integer-from-above case must stay put."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave13 import \
+        _wide_floor_div
+
+    rows = [
+        (Decimal(2 * 10**13 - 1), Decimal(10**13), 1),     # rounds up w/o fix
+        (Decimal(2 * 10**13 + 1), Decimal(10**13), 2),     # exact from above
+        (Decimal(2 * 10**20 + 7), Decimal(3), (2 * 10**20 + 7) // 3),
+        (Decimal(0), Decimal(10**13), 0),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "a decimal(38,0), b decimal(38,0)")
+    got = [int(r["r"]) for r in
+           df.select(_wide_floor_div(F.col("a"), F.col("b"))
+                     .alias("r")).collect()]
+    assert got == [w for _, _, w in rows]
+
+
 # ---------------------------------------------------------------------------
 # d19: duplicate-span coverage
 # ---------------------------------------------------------------------------
