@@ -132,8 +132,11 @@ def ml04(spark, sf_dir):
     feeds the fit is map-side combinable AND engine-exact; the closed
     form touches floats only in a fixed expression tree over those
     identical integers (num/den, ·sx, −, /n — each one IEEE op), so
-    the 6-dp rounding can never straddle engines. Overflow headroom:
-    n·sxy at sf10 ≈ 5·10⁵ · 2.5·10¹² — within BIGINT.
+    the 6-dp rounding can never straddle engines. The closed-form
+    products n·Σxy etc. are corpus-QUADRATIC and pass 2⁶³ near 10⁹
+    docs per source — inside the 100 TB mandate — so they are widened
+    to DECIMAL(38,0)/HUGEINT (the g03 overflow class); the BIGINT
+    sums themselves stay exact to ~10¹¹ docs.
     Scale: one scan → 6 longs per source; nothing else moves."""
     s = (_xy(spark, sf_dir)
          .groupBy("source")
