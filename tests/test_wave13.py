@@ -152,6 +152,45 @@ def test_wide_floor_div_corrects_decimal_rounding(spark):
     assert got == [w for _, _, w in rows]
 
 
+def test_wide_floor_div_property(spark):
+    """Property sweep: over randomized wide operands — including
+    adversarial near-integer quotients, where plain decimal division
+    rounds across the floor boundary — the helper must equal Python's
+    arbitrary-precision ``//`` exactly. One batched Spark job for the
+    whole example set (hypothesis drives the DATA, not the session)."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave13 import \
+        _wide_floor_div
+
+    cases: list[tuple[int, int]] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(q=st.integers(min_value=0, max_value=10**6),
+           den=st.integers(min_value=1, max_value=10**26),
+           off=st.integers(min_value=-2, max_value=2))
+    def _collect(q, den, off):
+        # construct num = q*den + off: quotients that sit exactly ON,
+        # just below, and just above integer boundaries
+        num = q * den + off
+        if num >= 0:
+            cases.append((num, den))
+
+    _collect()
+    df = spark.createDataFrame(
+        [(Decimal(n), Decimal(d)) for n, d in cases],
+        "a decimal(38,0), b decimal(38,0)")
+    got = [int(r["r"]) for r in
+           df.select(_wide_floor_div(F.col("a"), F.col("b"))
+                     .alias("r")).collect()]
+    want = [n // d for n, d in cases]
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # d19: duplicate-span coverage
 # ---------------------------------------------------------------------------
