@@ -27,6 +27,8 @@ for general inputs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -1024,6 +1026,185 @@ def numpy_reference_kmeans(x: np.ndarray, init: np.ndarray,
         ok = (counts > 0) & (vnorm > 0)
         cent[ok] = fs[ok] / vnorm[ok, None]
     return cent
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer k-means: cross-engine bit parity (ml03's oracle path)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the EXACT trainer: embeddings are
+#: L2-normalized (|component| ≤ 1), so quantized components fit in
+#: ±2^20 and a squared distance is ≤ dim·2^42 — int64-safe per vector,
+#: and per-cluster component sums stay int64 to ~10^12 members.
+KMEANS_EXACT_SCALE = 1 << 20
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division on exact Python ints —
+    the semantics BOTH engines share (DuckDB BIGINT ``//`` and Spark
+    ``div`` truncate; Python's own ``//`` floors, which diverges on
+    negative numerators, so centroid updates go through this)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _exact_assign(q: np.ndarray, qm: np.ndarray):
+    """argmin-squared-distance assignment on int64 inputs — EXACT, so
+    every engine that replays it (numpy here, unrolled SQL in the
+    DuckDB oracle) lands on the same cluster; ties break to the
+    smallest cluster id (np.argmin's first-occurrence rule == SQL's
+    ORDER BY d2, cluster). Blocked matmul keeps the (rows × nlist)
+    intermediate bounded as nlist grows."""
+    xx = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", qm, qm)
+    assign = np.empty(len(q), dtype=np.int64)
+    d2min = np.empty(len(q), dtype=np.int64)
+    step = 4096
+    for i in range(0, len(q), step):
+        blk = q[i:i + step]
+        d2 = xx[i:i + step, None] - 2 * (blk @ qm.T) + cc[None, :]
+        a = np.argmin(d2, axis=1)
+        assign[i:i + step] = a
+        d2min[i:i + step] = d2[np.arange(len(blk)), a]
+    return assign, d2min
+
+
+def kmeans_fit_exact(corpus: DataFrame, nlist: int,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     iters: int = 5) -> list:
+    """Lloyd's k-means in EXACT integer arithmetic end-to-end — the
+    whole-corpus trainer (kmeans_fit_distributed's scale shape) made
+    cross-engine replayable, so the trained fixpoint itself sits under
+    a value-hash oracle instead of the weaker rows-only gate:
+
+    - quantize: q_j = floor(x_j · 2^20 + 0.5) — one IEEE multiply and
+      a floor, identical in numpy / Spark SQL / DuckDB;
+    - assign: argmin_k Σ_j (q_j − m_kj)², ties → smallest k — pure
+      int64 comparisons, no float ever;
+    - update: m'_kj = trunc(Σ_members q_j / n_k) (truncating integer
+      division — DuckDB ``//`` / Spark ``div`` semantics); empty
+      clusters keep their previous centroid;
+    - init: the nlist rows with the smallest (stable_hash28(id), id) —
+      the repo's portable 28-bit hash, replayable in SQL (xxhash64,
+      used by the spherical trainer, has no DuckDB twin).
+
+    Scale shape per iteration: identical to
+    :func:`kmeans_fit_distributed` — centroids ride the task closure,
+    each Arrow batch emits one (cluster, component-sums, count) row
+    per touched cluster, the shuffle is ~partitions × nlist metadata
+    rows, and nlist × dim longs reach the driver where the update runs
+    in arbitrary-precision Python ints. Component sums stay int64 to
+    ~10^12 members per cluster (2^20-scaled components).
+
+    Returns quantized centroids as a list of int lists (driver-side
+    artifact, nlist × dim — persist with save_ivf_index semantics if
+    serving)."""
+    from ..functions.text import stable_hash28
+
+    init_rows = (corpus
+                 .select(F.col(vec_col).alias("_v"),
+                         stable_hash28(F.col(id_col).cast("string"))
+                         .alias("_h"),
+                         F.col(id_col).alias("_i"))
+                 .orderBy("_h", "_i").limit(nlist).collect())
+    scale = float(KMEANS_EXACT_SCALE)
+    qm = [[math.floor(float(v) * scale + 0.5) for v in r["_v"]]
+          for r in init_rows]
+    if not qm:
+        return qm
+    k, dim = len(qm), len(qm[0])
+
+    partial_schema = "cluster int, qsums array<long>, n long"
+    for _ in range(iters):
+        qm_np = np.asarray(qm, dtype=np.int64)
+
+        def partials(batches, _c=qm_np):
+            for pdf in batches:
+                x = _vec_matrix(pdf.iloc[:, 0], _c.shape[1])
+                if not len(x):
+                    continue
+                q = np.floor(x * scale + 0.5).astype(np.int64)
+                assign, _ = _exact_assign(q, _c)
+                sums = np.zeros((len(_c), _c.shape[1]), dtype=np.int64)
+                np.add.at(sums, assign, q)
+                counts = np.bincount(assign, minlength=len(_c))
+                touched = np.flatnonzero(counts)
+                yield pd.DataFrame({
+                    "cluster": touched.astype("int32"),
+                    "qsums": [sums[t] for t in touched],
+                    "n": counts[touched].astype("int64")})
+
+        agg = (corpus.select(vec_col)
+               .mapInPandas(partials, partial_schema)
+               .select("cluster", "n",
+                       F.posexplode("qsums").alias("pos", "qv"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("qv").alias("qsum"),
+                    F.sum(F.when(F.col("pos") == 0, F.col("n"))
+                          .otherwise(F.lit(0))).alias("n"))
+               .collect())
+        sums = [[0] * dim for _ in range(k)]
+        counts = [0] * k
+        for r in agg:
+            sums[r["cluster"]][r["pos"]] = int(r["qsum"])
+            if r["pos"] == 0:
+                counts[r["cluster"]] = int(r["n"])
+        qm = [[_trunc_div(sums[c][j], counts[c]) for j in range(dim)]
+              if counts[c] > 0 else qm[c]
+              for c in range(k)]
+    return qm
+
+
+def kmeans_assign_exact(corpus: DataFrame, qcent: list,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector (cluster, d2) against :func:`kmeans_fit_exact`
+    centroids — one Arrow pass, two int64 scalars per row leave
+    Python; the caller's rollup is a map-side-combined groupBy on
+    nlist keys. d2 ≤ dim·2^42 per vector (int64-exact)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(qcent, dtype=np.int64)
+    scale = float(KMEANS_EXACT_SCALE)
+
+    @pandas_udf("struct<cluster:int, d2:long>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x = _vec_matrix(vecs, cent.shape[1])
+        if not len(x):
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "d2": pd.Series([], dtype="int64")})
+        q = np.floor(x * scale + 0.5).astype(np.int64)
+        a, d2 = _exact_assign(q, cent)
+        return pd.DataFrame({"cluster": a.astype("int32"), "d2": d2})
+
+    return (corpus.select(assign(F.col(vec_col)).alias("s"))
+            .select(F.col("s.cluster").alias("cluster"),
+                    F.col("s.d2").alias("d2")))
+
+
+def python_reference_kmeans_exact(x: np.ndarray, init: list,
+                                  iters: int = 5) -> list:
+    """Single-node exact replay of :func:`kmeans_fit_exact` (same
+    quantization, assignment, truncating update) in pure
+    Python-int/numpy — the Spark-free parity reference for tests."""
+    qm = [list(map(int, row)) for row in init]
+    k, dim = len(qm), len(qm[0])
+    scale = float(KMEANS_EXACT_SCALE)
+    q = np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) \
+        .astype(np.int64)
+    for _ in range(iters):
+        assign, _ = _exact_assign(q, np.asarray(qm, dtype=np.int64))
+        nxt = []
+        for c in range(k):
+            members = q[assign == c]
+            if len(members) == 0:
+                nxt.append(qm[c])
+            else:
+                nxt.append([_trunc_div(int(members[:, j].sum()),
+                                       len(members))
+                            for j in range(dim)])
+        qm = nxt
+    return qm
 
 
 # ---------------------------------------------------------------------------

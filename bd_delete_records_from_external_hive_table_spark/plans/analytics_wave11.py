@@ -5,14 +5,16 @@ extraction.
 - ml03 distributed k-means — the unsupervised member of the
   training-as-aggregates family (ml01 IRLS, ml02 NB): Lloyd's where
   every iteration is one Arrow assignment pass plus ONE map-side-
-  combined INTEGER aggregate (vector components quantized to 2^-40
-  fixed point, so per-cluster sums are exact int64 and the result is
-  bit-identical under any partitioning — ml02's micro-nat trick lifted
-  to vectors). This is the full-fidelity complement of the
-  sample-trained IVF quantizer: use it when centroids ARE the product
-  (cluster reports, curricula, mixture weights), not just a bucketing.
-  Rows-only: trained fixpoint, no SQL form (ml01's rationale); numpy
-  parity + repartition-invariance are test-asserted.
+  combined INTEGER aggregate. Round 9 made the WHOLE pipeline exact
+  integer arithmetic (2^-20 quantize → int64 argmin assignment →
+  truncating-div update, hash28 init), so the iterated fixpoint
+  replays in DuckDB as unrolled MATERIALIZED CTEs and ml03 is
+  VALUE-HASH ORACLED (the g02-PageRank move; closes the last
+  `no_oracle` driver row from round 8). This is the full-fidelity
+  complement of the sample-trained IVF quantizer: use it when
+  centroids ARE the product (cluster reports, curricula, mixture
+  weights), not just a bucketing. Pure-Python parity +
+  repartition-invariance are test-asserted.
 - sa05 stratified quota sampling — exactly min(quota, |stratum|) docs
   per source, chosen by the 28-bit content-independent hash rank
   (s05's split hash, so the sample is reproducible forever and
@@ -39,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import stable_hash28
 from ..operators import similarity
+from .analytics_wave13 import _wide_floor_div
 from ..sources.tables import load_table
 from .llm_ops import _DUCK_HASH28, _corpus_rows
 from .registry import register
@@ -52,29 +55,109 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ml03: distributed k-means (whole-corpus training as aggregates)
 # ---------------------------------------------------------------------------
 
-@register("ml03_kmeans_training", None)  # trained fixpoint: no SQL oracle
+#: embeddings table vector width (TESTDATA.md schema — fixed, like
+#: d18's 32 signature slots) and the exact trainer's iteration count
+_ML03_DIM = 64
+_ML03_ITERS = 5
+
+
+def _ml03_oracle() -> str:
+    """Unrolled per-iteration Lloyd's as DuckDB CTEs — the g02-PageRank
+    move applied to k-means: because kmeans_fit_exact is integer-exact
+    end-to-end (quantize → int64 argmin assignment → truncating-div
+    update), a fixed iteration count unrolls to plain SQL that lands
+    on the SAME fixpoint bit-for-bit. nlist replays coarse_nlist() as
+    a scalar subquery so the oracle tracks the corpus-scaled cluster
+    count at any SF. Every CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs, and an iteration chain re-inlined per reference is
+    exponential in iters (the un-hinted form OOMed)."""
+    s = similarity.KMEANS_EXACT_SCALE
+    dims = range(1, _ML03_DIM + 1)
+    qx = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{j}] AS DOUBLE) * {s}.0 + 0.5) "
+        f"AS BIGINT)" for j in dims)
+    d2 = " + ".join(f"(x.q[{j}]-c.m[{j}])*(x.q[{j}]-c.m[{j}])"
+                    for j in dims)
+    sums = ", ".join(f"SUM(x.q[{j}])" for j in dims)
+    upd = ", ".join(f"CAST(s.s[{j}] // s.n AS BIGINT)" for j in dims)
+    auto = "GREATEST(16, COUNT(*) // 128)"
+    parts = [
+        f"p AS MATERIALIZED (SELECT CASE WHEN {auto} <= 4096 THEN {auto} "
+        f"ELSE GREATEST(2, LEAST(4096, CAST(CEIL(SQRT(CAST({auto} "
+        f"AS DOUBLE))) AS BIGINT))) END AS nlist FROM embeddings)",
+        f"qx AS MATERIALIZED (SELECT vec_id, [{qx}] AS q FROM embeddings)",
+        "ini AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 "
+        "AS cluster, q AS m FROM (SELECT vec_id, q, "
+        + _DUCK_HASH28.format("CAST(vec_id AS VARCHAR)")
+        + " AS hk FROM qx))",
+        "c0 AS MATERIALIZED (SELECT cluster, m FROM ini "
+        "WHERE cluster < (SELECT nlist FROM p))",
+    ]
+    for i in range(_ML03_ITERS):
+        parts += [
+            f"b{i} AS MATERIALIZED (SELECT vec_id, cluster FROM (SELECT x.vec_id, "
+            f"c.cluster, ROW_NUMBER() OVER (PARTITION BY x.vec_id "
+            f"ORDER BY ({d2}), c.cluster) AS rn "
+            f"FROM qx x CROSS JOIN c{i} c) WHERE rn = 1)",
+            f"s{i} AS MATERIALIZED (SELECT b.cluster, COUNT(*) AS n, [{sums}] AS s "
+            f"FROM b{i} b JOIN qx x USING (vec_id) GROUP BY b.cluster)",
+            f"c{i + 1} AS MATERIALIZED (SELECT c.cluster, CASE WHEN s.n IS NULL "
+            f"THEN c.m ELSE [{upd}] END AS m "
+            f"FROM c{i} c LEFT JOIN s{i} s USING (cluster))",
+        ]
+    final = (
+        f"bf AS MATERIALIZED (SELECT vec_id, cluster, d2 FROM (SELECT x.vec_id, "
+        f"c.cluster, ({d2}) AS d2, ROW_NUMBER() OVER (PARTITION BY "
+        f"x.vec_id ORDER BY ({d2}), c.cluster) AS rn "
+        f"FROM qx x CROSS JOIN c{_ML03_ITERS} c) WHERE rn = 1) "
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT) "
+        "AS mean_d2, "
+        "CAST(MAX(d2) AS BIGINT) AS max_d2 "
+        "FROM bf GROUP BY cluster ORDER BY cluster")
+    return "WITH " + ", ".join(parts) + ", " + final
+
+
+@register("ml03_kmeans_training", _ml03_oracle())
 def ml03(spark, sf_dir):
-    """Whole-corpus spherical k-means (similarity.kmeans_fit_distributed)
-    + the per-cluster health report: unlike n03/e09's sample-trained
+    """Whole-corpus k-means (similarity.kmeans_fit_exact) + the
+    per-cluster health report — now VALUE-HASH ORACLED (round-8
+    verdict item 3): the trainer runs Lloyd's in exact integer
+    arithmetic (2^-20 fixed-point quantization, int64 argmin
+    assignment, truncating-div centroid update, hash28 init), so the
+    whole iterated fixpoint replays in DuckDB as unrolled CTEs —
+    exactly how g02 oracled PageRank. Unlike n03/e09's sample-trained
     coarse quantizer, every vector contributes to every update — the
     trainer to reach for when cluster quality is the deliverable. Per
-    iteration the corpus reduces to ~partitions x nlist integer partial
-    rows (cluster, quantized component sums, count), map-side-combined
-    to nlist x dim longs on the driver — no vector ever shuffles, and
-    the integer fixed-point sums make the fit bit-deterministic under
-    any partitioning (repartition-invariance and numpy parity are
-    test-asserted in tests/test_wave11.py). Cluster count scales with
-    the corpus (similarity.coarse_nlist — driver state stays
-    nlist x dim; past the flat cap the hierarchy takes over exactly as
-    in e09). Rows-only: an iterated trained fixpoint has no SQL form
-    (ml01's rationale, PARITY.md table)."""
+    iteration the corpus reduces to ~partitions x nlist integer
+    partial rows (cluster, quantized component sums, count),
+    map-side-combined to nlist x dim longs on the driver — no vector
+    ever shuffles, and the integer sums make the fit bit-deterministic
+    under ANY partitioning AND any engine (repartition-invariance and
+    pure-Python parity are test-asserted in tests/test_wave11.py).
+    Cluster count scales with the corpus (similarity.coarse_nlist —
+    driver state stays nlist x dim; past the flat cap the hierarchy
+    takes over exactly as in e09). Report: per cluster, member count,
+    truncated mean and max squared quantized distance — BALANCE and
+    QUANTIZATION quality in exact BIGINTs (mean widens through
+    DECIMAL(38,0)/HUGEINT internally — the g03 overflow class — since
+    Σd2 passes 2^63 near 32k worst-case members per cluster)."""
     n = _corpus_rows(spark, sf_dir, "embeddings")
     corpus = (_t(spark, sf_dir, "embeddings")
               .select("vec_id", "embedding"))
     nlist = similarity.coarse_nlist(n)
-    cent = similarity.kmeans_fit_distributed(corpus, nlist=nlist,
-                                             iters=5)
-    return similarity.ivf_bucket_stats(corpus, cent)
+    qcent = similarity.kmeans_fit_exact(corpus, nlist=nlist,
+                                        iters=_ML03_ITERS)
+    per = similarity.kmeans_assign_exact(corpus, qcent)
+    mean_d2 = _wide_floor_div(
+        F.sum(F.col("d2").cast("decimal(38,0)")),
+        F.count(F.lit(1)).cast("decimal(38,0)"))
+    return (per.groupBy(F.col("cluster").cast("long").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 mean_d2.cast("long").alias("mean_d2"),
+                 F.max("d2").alias("max_d2"))
+            .orderBy("cluster"))
 
 
 # ---------------------------------------------------------------------------

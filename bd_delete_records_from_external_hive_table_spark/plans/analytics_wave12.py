@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, ranks
 from ..sources.tables import load_table
 from .llm_ops import (_AUG_NEARDUP, _D04_SIG_ELEMS, _DUCK_HASH28,
                       _DUCK_SHINGLES3, _DUCK_TOKENS, _aug_neardup_docs)
@@ -121,21 +121,33 @@ def t26(spark, sf_dir):
     docs/tokens over the doc_id-ordered corpus, in deciles. The key
     shape: a token belongs to the FIRST decile whose doc prefix
     contains it (min over its occurrences' deciles) — one tokenize,
-    one min-aggregate on the vocab, a 10-row cumulative window —
-    instead of re-counting distinct tokens over ten growing prefixes
-    (which would re-scan the corpus quadratically). Every output is an
-    exact integer. A flattening curve says the corpus has stopped
-    contributing new vocabulary — the stop-crawling signal."""
+    one min-aggregate on the vocab, a ≤10-row triangular cumulative
+    join — instead of re-counting distinct tokens over ten growing
+    prefixes (which would re-scan the corpus quadratically). The
+    decile rank itself is the two-pass bucketed offset rank
+    (operators/ranks.py): per-bucket counts + broadcast prefix
+    offsets + a bucket-PARTITIONED window, so no task ever sees more
+    than ~1/1024 of the corpus (the old global row_number was a
+    single-task sort at scale — round-8 verdict item 2). Every output
+    is an exact integer. A flattening curve says the corpus has
+    stopped contributing new vocabulary — the stop-crawling signal."""
     docs = _t(spark, sf_dir, "documents")
     ts = F.filter(F.split(F.lower("text"), "[^a-z]+"),
                   lambda t: t != F.lit(""))
     tok = (docs.select("doc_id", ts.alias("ts"))
            .where(F.size("ts") > 0))
-    n = tok.count()   # control-plane scalar: decile boundaries
-    r = F.row_number().over(Window.orderBy("doc_id"))
-    d = tok.select(
-        "ts", (((r - 1) * 10) / F.lit(n)).cast("long") + 1) \
-        .toDF("ts", "dec").localCheckpoint(eager=False)
+    # global rank WITHOUT a SinglePartition window (the round-8 audit
+    # found the old row_number().over(Window.orderBy("doc_id")) funnels
+    # the full tokenized corpus through one task): two-pass bucketed
+    # offset rank — per-bucket counts, broadcast exclusive prefixes,
+    # window partitioned by bucket. total_count doubles as n (no
+    # separate count() scan).
+    rf = ranks.global_rank_cumsum(tok, "doc_id", rank_col="_r")
+    n = max(rf.total_count, 1)
+    d = (rf.df.select(
+        "ts",
+        (F.expr(f"((_r - 1) * 10) div {n}") + 1).alias("dec"))
+        .localCheckpoint(eager=False))
     per_dec = (d.groupBy("dec")
                .agg(F.count(F.lit(1)).alias("docs_d"),
                     F.sum(F.size("ts")).alias("toks_d")))
@@ -143,14 +155,20 @@ def t26(spark, sf_dir):
               .groupBy("w").agg(F.min("dec").alias("first_dec")))
     voc = (firsts.groupBy(F.col("first_dec").alias("dec"))
            .agg(F.count(F.lit(1)).alias("new_words")))
-    w = (Window.orderBy("dec")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (per_dec.join(voc, "dec", "left")
-            .select(F.col("dec").alias("decile"),
-                    F.sum("docs_d").over(w).alias("docs_cum"),
-                    F.sum("toks_d").over(w).alias("tokens_cum"),
-                    F.sum(F.coalesce("new_words", F.lit(0))).over(w)
-                    .alias("vocab_cum"))
+    # cumulative over the ≤10 decile rows via a triangular self-join
+    # (b.dec <= a.dec) instead of an ordered window — the frame is
+    # tiny, and this keeps the whole registry free of SinglePartition
+    # WindowExecs so the plan invariant needs NO exemptions
+    pv = (per_dec.join(voc, "dec", "left")
+          .select("dec", "docs_d", "toks_d",
+                  F.coalesce("new_words", F.lit(0)).alias("nw"))
+          .localCheckpoint(eager=False))
+    return (pv.alias("a")
+            .join(pv.alias("b"), F.col("b.dec") <= F.col("a.dec"))
+            .groupBy(F.col("a.dec").alias("decile"))
+            .agg(F.sum(F.col("b.docs_d")).alias("docs_cum"),
+                 F.sum(F.col("b.toks_d")).alias("tokens_cum"),
+                 F.sum(F.col("b.nw")).alias("vocab_cum"))
             .orderBy("decile"))
 
 

@@ -6,10 +6,11 @@ points and dedup-pipeline recall as driver-checked queries.
   curation pipeline actually ships on: "WHERE do I cut?" For ~10
   deterministic decile thresholds over the distinct-score axis, the
   exact TP / predicted-positive / precision / recall / F1 in integer
-  micro-units. All counts come from ONE grouped-by-score frame and
-  one cumulative window over distinct scores (ml05's shape) — the
-  corpus is never re-scanned per threshold, which is the 100 TB
-  difference between this and the naive per-threshold loop.
+  micro-units. All counts come from ONE grouped-by-score frame plus
+  the two-pass bucketed offset rank/cumsum over distinct scores
+  (operators/ranks.py — no SinglePartition window) — the corpus is
+  never re-scanned per threshold, which is the 100 TB difference
+  between this and the naive per-threshold loop.
 - d20 LSH planted-pair recall — the near-dup pipeline's RECALL,
   continuously measured: the corpus construction plants a known
   near-dup twin for every 10th doc, so |found ∩ planted| / |planted|
@@ -27,10 +28,10 @@ reference's SQL boundary (DeletionCriteria.java:40-63), as waves 1-14.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, ranks
 from .analytics_wave9 import _LSH_PAIRS_CTES
 from .analytics_wave13 import _DUCK_XY, _xy
 from .llm_ops import DOC_DUP_OFFSET, _aug_full_neardup
@@ -74,8 +75,13 @@ def ml06(spark, sf_dir):
     than 10 distinct scores exist). Precision, recall and F1
     (= 2TP/(pred_pos + actual_pos) — the identity that keeps F1 one
     exact integer division) are BIGINT micro-units throughout. Scale
-    shape: ONE grouped-by-score aggregate (map-side combinable), one
-    cumulative window over distinct scores — never a per-threshold
+    shape: ONE grouped-by-score aggregate (map-side combinable), then
+    the two-pass bucketed offset rank/cumsum (operators/ranks.py) over
+    the distinct-score axis — bucket-PARTITIONED windows + broadcast
+    prefix offsets, no SinglePartition exchange anywhere even if the
+    distinct-score domain grew with the corpus (the round-8 suite-red
+    shape); nsc and Σpos fall out of the offsets pass as exact driver
+    scalars instead of unbounded windows — never a per-threshold
     corpus rescan; output ≤ 10 rows. Headroom: TP·10⁶ stays inside
     BIGINT to ~9·10¹² positives — past any per-corpus mandate."""
     score = F.expr("(y * 1000) div greatest(x, 1)")
@@ -83,30 +89,20 @@ def ml06(spark, sf_dir):
          .groupBy(score.alias("score"))
          .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
               F.sum((F.col("x") >= 50).cast("long")).alias("pos")))
-    cum = (Window.orderBy(F.desc("score"))
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    full = Window.orderBy(F.desc("score"))
-    w = g.select(
-        "score",
-        F.sum("cnt").over(cum).alias("cum_n"),
-        F.sum("pos").over(cum).alias("cum_tp"),
-        F.row_number().over(full).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.orderBy(F.desc("score"))
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing)).alias("nsc"),
-        F.sum("pos").over(
-            Window.orderBy(F.desc("score"))
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing)).alias("p"))
-    sel = w.where(F.expr("(rn * 10) div nsc > ((rn - 1) * 10) div nsc"))
+    rf = ranks.global_rank_cumsum(g, "score", sum_cols=["cnt", "pos"],
+                                  ascending=False, rank_col="rn")
+    nsc, p = max(rf.total_count, 1), max(rf.totals["pos"], 1)
+    sel = rf.df.where(
+        F.expr(f"(rn * 10) div {nsc} > ((rn - 1) * 10) div {nsc}"))
     return (sel.select(
         F.col("score").alias("threshold_score"),
-        F.col("cum_n").alias("pred_pos"),
-        F.col("cum_tp").alias("tp"),
-        F.expr("(cum_tp * 1000000) div cum_n").alias("precision_micro"),
-        F.expr("(cum_tp * 1000000) div p").alias("recall_micro"),
-        F.expr("(2 * cum_tp * 1000000) div (cum_n + p)").alias("f1_micro"))
+        F.col("cum_cnt").alias("pred_pos"),
+        F.col("cum_pos").alias("tp"),
+        F.expr("(cum_pos * 1000000) div cum_cnt")
+        .alias("precision_micro"),
+        F.expr(f"(cum_pos * 1000000) div {p}").alias("recall_micro"),
+        F.expr(f"(2 * cum_pos * 1000000) div (cum_cnt + {p})")
+        .alias("f1_micro"))
         .orderBy(F.desc("threshold_score")))
 
 

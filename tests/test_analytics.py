@@ -397,12 +397,13 @@ def test_no_registry_query_windows_over_single_partition(spark, sf_dir):
               # rows, calendar-bounded — events collapse to daily aggs
               # BEFORE the spine join); caught only once the sweep
               # became subtree-accurate, same class as w09
-              "ts01_gap_fill", "ts03_linear_interpolation",
-              # t26's cumulative window runs over the per-DECILE
-              # aggregate — exactly 10 rows at any corpus size (the
-              # corpus collapses to deciles BEFORE the window; s04's
-              # class)
-              "t26_vocab_growth"}
+              "ts01_gap_fill", "ts03_linear_interpolation"}
+    # t26 and ml06 are deliberately NOT exempt anymore: round 9
+    # replaced t26's corpus-wide row_number (a single-task sort the
+    # old exemption comment mis-described) and ml06's unpartitioned
+    # cumulative windows with the two-pass bucketed offset rank
+    # (operators/ranks.py) + a triangular join over the ≤10 decile
+    # rows — their executed plans are audited like everyone else's.
 
     def depth(line: str) -> int:
         # tree depth in Spark's plan text = column of the operator

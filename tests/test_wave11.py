@@ -66,7 +66,65 @@ def test_kmeans_training_query_report(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_vecs for r in rows) == n     # every vector bucketed
     for r in rows:
-        assert -1.0 <= r.min_sim <= r.mean_sim <= 1.0
+        assert 0 <= r.mean_d2 <= r.max_d2
+        # normalized vectors: ||x-c||^2 <= 4 -> d2 <= 4*scale^2 (+slack)
+        assert r.max_d2 <= 5 * similarity.KMEANS_EXACT_SCALE ** 2
+
+
+# ---------------------------------------------------------------------------
+# ml03 / EXACT k-means: pure-Python parity + partitioning invariance
+# ---------------------------------------------------------------------------
+
+def _exact_init(spark, corpus, nlist):
+    rows = (corpus.select(
+        "embedding",
+        stable_hash28(F.col("vec_id").cast("string")).alias("_h"),
+        F.col("vec_id").alias("_i"))
+        .orderBy("_h", "_i").limit(nlist).collect())
+    import math
+    s = float(similarity.KMEANS_EXACT_SCALE)
+    return [[math.floor(float(v) * s + 0.5) for v in r["embedding"]]
+            for r in rows]
+
+
+def test_kmeans_exact_python_parity(spark, sf_dir):
+    """The exact trainer must reproduce the pure-Python replay
+    BIT-FOR-BIT — quantize, argmin assignment, truncating update are
+    all integer, so there is no tolerance, only equality. (The DuckDB
+    unrolled-CTE oracle is the third engine on the same contract.)"""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    got = similarity.kmeans_fit_exact(emb, nlist=8, iters=3)
+    x = np.asarray([r.embedding for r in
+                    emb.orderBy("vec_id").collect()], dtype=np.float64)
+    want = similarity.python_reference_kmeans_exact(
+        x, _exact_init(spark, emb, 8), iters=3)
+    assert got == want
+
+
+def test_kmeans_exact_partitioning_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    c1 = similarity.kmeans_fit_exact(emb, nlist=8, iters=2)
+    c2 = similarity.kmeans_fit_exact(emb.repartition(7), nlist=8,
+                                     iters=2)
+    c3 = similarity.kmeans_fit_exact(emb.repartition(1), nlist=8,
+                                     iters=2)
+    assert c1 == c2 == c3
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    """_trunc_div == DuckDB BIGINT // and Spark div (truncate toward
+    zero), NOT Python // (floor) — the divergence ADVICE.md flagged
+    for the Flesch class is structurally excluded here."""
+    import duckdb
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (0, 3), (-1, 5),
+             (10**17 + 7, 13), (-(10**17 + 7), 13)]
+    for a, b in cases:
+        want = duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()[0]
+        assert similarity._trunc_div(a, b) == want, (a, b)
 
 
 # ---------------------------------------------------------------------------
