@@ -11,9 +11,10 @@ and readability scoring.
   oracled. Distributed-training shape: ONE map-side-combined
   aggregate reduces |corpus| rows to 6 longs per source.
 - ml05 ROC-AUC via the Mann-Whitney rank-sum — the classifier-eval
-  primitive (Hanley & McNeil 1982, public): AUC of the n_chars score
-  against ml01's planted ≥20-token quality label, per source, with
-  tie-correct average ranks. Computed on the GROUPED-BY-SCORE frame
+  primitive (Hanley & McNeil 1982, public): AUC of the
+  milli-chars-per-token score against a median-balanced ≥50-token
+  label (NOT ml01's ≥20-token rule — ADVICE.md round-8 doc fix), per
+  source, with tie-correct average ranks. Computed on the GROUPED-BY-SCORE frame
   (2·ranksum = Σ pos·(2·cum_below + cnt + 1) is integer-exact), so
   the global sort is over distinct score VALUES, never corpus rows;
   the final AUC is exact integer micro-units (BIGINT div BIGINT).
@@ -29,10 +30,14 @@ and readability scoring.
   only background vocabulary collisions. All-integer output.
 - t27 Flesch reading-ease — the classic readability quality signal
   (Flesch 1948, public) in exact fixed-point: words, sentences and
-  vowel-group syllable counts are integers, and the score
+  vowel-group syllable counts are integers (syllables capped at 64
+  per word — the structural bound), and the score
   206.835 − 1.015·(W/S) − 84.6·(Syl/W) is evaluated over the common
-  denominator S·W as ONE BIGINT integer division (offset-shifted so
-  floor == truncate on both engines). Per-source BIGINT report.
+  denominator S·W as ONE wide integer division in
+  DECIMAL(38,0)/HUGEINT, offset-shifted so the numerator is
+  NON-NEGATIVE by construction (floor == truncate on both engines,
+  structurally — both ADVICE.md round-8 items). Per-source BIGINT
+  report.
 
 Reference anchor: widens the declared-query surface admitted by the
 reference's SQL boundary (DeletionCriteria.java:40-63), as waves 1-12.
@@ -347,26 +352,40 @@ def d19(spark, sf_dir):
 # t27: Flesch reading-ease in exact fixed-point
 # ---------------------------------------------------------------------------
 
-#: micro-unit offset that keeps the Flesch numerator positive (score
-#: > −1000 always: syllables/word ≤ max-word-length/2 bounds the third
-#: term), so integer division floors identically on both engines
-#: (Spark `div` truncates toward zero; DuckDB `//` floors).
-_FLESCH_OFFSET = 1_000_000_000
+#: per-word syllable-estimate cap. Two structural guarantees hang off
+#: it (both ADVICE.md round-8 items): (1) syl ≤ 64·w, so the offset
+#: below dominates the 84.6e6·syl·s term for ANY input — the Flesch
+#: numerator is non-negative by construction, making truncate (Spark
+#: `div`, DuckDB `//` — BOTH truncate toward zero, probed incl.
+#: HUGEINT) equal to floor on every row of every corpus, not just
+#: plausible ones; (2) the widened products are bounded independently
+#: of word length. Linguistically free: no natural-language word
+#: carries 64+ vowel groups, so real scores are unchanged.
+_SYL_CAP = 64
+
+#: micro-unit offset that keeps the Flesch numerator non-negative
+#: STRUCTURALLY: with syl ≤ 64·w and w ≤ 15·s (the sentence floor),
+#: numerator ≥ (206835e3 + OFF − 15225e3 − 84600e3·64)·s·w > 0 for
+#: OFF = 10^10. All products are widened to DECIMAL(38,0)/HUGEINT
+#: (the g03 overflow class — ADVICE.md flagged the unwidened form
+#: wrapping past ~3.4e5 alpha words per doc): (206835e3+OFF)·s·w ≤
+#: ~10^28 even at s,w ≈ 10^9 tokens per doc.
+_FLESCH_OFFSET = 10_000_000_000
 
 @register("t27_flesch_readability",
           "WITH d AS (SELECT source, "
           "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
           "  t -> t <> '') AS ws, text FROM documents), "
-          "m AS (SELECT source, CAST(len(ws) AS BIGINT) AS w, "
+          "m AS (SELECT source, CAST(len(ws) AS HUGEINT) AS w, "
           "  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), "
-          "  (len(ws) + 14) // 15) AS BIGINT) AS s, "
-          "  CAST(list_sum(list_transform(ws, t -> GREATEST("
-          "  len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT) "
-          "  AS syl FROM d WHERE len(ws) > 0), "
-          "q AS (SELECT source, "
+          "  (len(ws) + 14) // 15) AS HUGEINT) AS s, "
+          "  CAST(list_sum(list_transform(ws, t -> LEAST(GREATEST("
+          f"  len(regexp_extract_all(t, '[aeiouy]+')), 1), {_SYL_CAP})"
+          "  )) AS HUGEINT) AS syl FROM d WHERE len(ws) > 0), "
+          "q AS (SELECT source, CAST("
           "  (206835000 * s * w - 1015000 * w * w - 84600000 * syl * s "
           f"  + {_FLESCH_OFFSET} * s * w) // (s * w) "
-          f"  - {_FLESCH_OFFSET} AS score_q FROM m) "
+          f"  - {_FLESCH_OFFSET} AS BIGINT) AS score_q FROM m) "
           "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
           "CAST(SUM(score_q) AS BIGINT) AS sum_score_micro, "
           "CAST(MIN(score_q) AS BIGINT) AS min_score_micro, "
@@ -377,7 +396,10 @@ def t27(spark, sf_dir):
     sentences S (terminal-punctuation runs, floored by a 15-token
     segment count because this corpus carries no punctuation — the
     fallback is itself integer), syllables Syl (≥1 vowel-group runs
-    per word — the standard regex estimator). The score
+    per word, capped at 64 — the standard regex estimator; the cap is
+    linguistically free and makes syl ≤ 64·w a STRUCTURAL bound, so
+    the offset-shifted numerator below is non-negative on any input,
+    not just plausible ones). The score
     206.835 − 1.015·W/S − 84.6·Syl/W is evaluated in micro-units over
     the common denominator S·W as ONE offset-shifted BIGINT division,
     so floor-vs-truncate divergence between engines is structurally
@@ -393,13 +415,23 @@ def t27(spark, sf_dir):
         F.regexp_count("text", F.lit(r"[.!?]+")).cast("long"),
         F.expr("(size(ws) + 14) div 15")).cast("long")
     syl = F.aggregate(
-        F.transform("ws", lambda t: F.greatest(
-            F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1))),
+        F.transform("ws", lambda t: F.least(F.greatest(
+            F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)),
+            F.lit(_SYL_CAP))),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     m = d.select("source", w.alias("w"), s.alias("s"), syl.alias("syl"))
-    score_q = F.expr(
-        "(206835000 * s * w - 1015000 * w * w - 84600000 * syl * s "
-        f"+ {_FLESCH_OFFSET}L * s * w) div (s * w) - {_FLESCH_OFFSET}L")
+    # widened numerator (ADVICE.md: the unwidened BIGINT form wraps
+    # past ~3.4e5 alpha words per doc); non-negative by the _SYL_CAP /
+    # offset bound, so the exact wide floor-divide == both engines'
+    # truncating division on every input
+    sw = _dec("s") * _dec("w")
+    num = (F.lit(206835000 + _FLESCH_OFFSET).cast("decimal(38,0)") * sw
+           - F.lit(1015000).cast("decimal(38,0)") * _dec("w") * _dec("w")
+           - F.lit(84600000).cast("decimal(38,0)")
+           * _dec("syl") * _dec("s"))
+    score_q = (_wide_floor_div(num.cast("decimal(38,0)"),
+                               sw.cast("decimal(38,0)"))
+               - F.lit(_FLESCH_OFFSET)).cast("long")
     return (m.select("source", score_q.alias("score_q"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),

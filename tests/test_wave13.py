@@ -52,23 +52,30 @@ def test_ml04_matches_numpy_polyfit(spark, sf_dir):
 # ml05: rank-sum AUC vs a pure-numpy tie-corrected reference
 # ---------------------------------------------------------------------------
 
-def _numpy_auc(scores: np.ndarray, labels: np.ndarray) -> float:
-    """Tie-corrected AUC by average ranks (the textbook Mann-Whitney
-    construction, written independently of the query's grouped form)."""
+def _exact_auc_micro(scores: np.ndarray, labels: np.ndarray) -> int:
+    """Tie-corrected floor(AUC·10⁶) by average ranks, in EXACT integer
+    arithmetic (the textbook Mann-Whitney construction, written
+    independently of the query's grouped form). Doubled ranks keep
+    everything integral: 2·avg-rank of a tie block [i..j] (0-based) is
+    i + j + 2, so 2U = Σ_pos 2·rank − p(p+1) is an exact int and the
+    expected report is (2U · 5·10⁵) // (p·q) — no float ever, so the
+    comparison can't wobble when the exact rational AUC·10⁶ sits at an
+    integer boundary (ADVICE.md round-8: the old float reference plus
+    a 1e-9 nudge could land one above the true floor)."""
     order = np.argsort(scores, kind="mergesort")
     s, lab = scores[order], labels[order]
-    ranks = np.empty(len(s), dtype=np.float64)
+    two_ranks = np.empty(len(s), dtype=np.int64)
     i = 0
     while i < len(s):
         j = i
         while j + 1 < len(s) and s[j + 1] == s[i]:
             j += 1
-        ranks[i:j + 1] = (i + j) / 2.0 + 1.0  # average 1-based rank
+        two_ranks[i:j + 1] = i + j + 2   # 2 × average 1-based rank
         i = j + 1
     p = int(lab.sum())
     q = len(lab) - p
-    u = ranks[lab == 1].sum() - p * (p + 1) / 2.0
-    return u / (p * q)
+    u2 = int(two_ranks[lab == 1].sum()) - p * (p + 1)
+    return (u2 * 500000) // (p * q)     # u2 ≥ 0: floor == truncate
 
 
 def test_ml05_matches_numpy_rank_auc(spark, sf_dir):
@@ -91,9 +98,8 @@ def test_ml05_matches_numpy_rank_auc(spark, sf_dir):
         if p == 0 or q == 0:
             assert got[src]["auc_micro"] is None, src
             continue
-        want = _numpy_auc(scores.astype(np.float64), labels)
-        # query reports floor(AUC * 1e6) exactly
-        assert got[src]["auc_micro"] == int(want * 1_000_000 + 1e-9), src
+        # query reports floor(AUC * 1e6) exactly — compared exactly
+        assert got[src]["auc_micro"] == _exact_auc_micro(scores, labels), src
 
 
 def test_ml05_ties_are_load_bearing(spark, sf_dir):
@@ -266,7 +272,8 @@ def test_t27_hand_computed_score(spark, sf_dir):
     by_src: dict[str, list[str]] = {}
     for r in docs:
         by_src.setdefault(r["source"], []).append(r["text"])
-    off = 1_000_000_000
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave13 import (
+        _FLESCH_OFFSET, _SYL_CAP)
     for src in list(by_src)[:3]:
         scores = []
         for text in by_src[src]:
@@ -275,13 +282,53 @@ def test_t27_hand_computed_score(spark, sf_dir):
                 continue
             w = len(ws)
             s = max(len(re.findall(r"[.!?]+", text)), (w + 14) // 15)
-            syl = sum(max(len(re.findall(r"[aeiouy]+", t)), 1)
+            syl = sum(min(max(len(re.findall(r"[aeiouy]+", t)), 1),
+                          _SYL_CAP)
                       for t in ws)
             num = (206_835_000 * s * w - 1_015_000 * w * w
-                   - 84_600_000 * syl * s + off * s * w)
-            scores.append(num // (s * w) - off)
+                   - 84_600_000 * syl * s + _FLESCH_OFFSET * s * w)
+            assert num >= 0   # the structural positivity invariant
+            scores.append(num // (s * w) - _FLESCH_OFFSET)
         r = got[src]
         assert r["n_docs"] == len(scores)
         assert r["sum_score_micro"] == sum(scores)
         assert r["min_score_micro"] == min(scores)
         assert r["max_score_micro"] == max(scores)
+
+
+def test_t27_pathological_inputs_stay_engine_exact():
+    import duckdb
+    duck = duckdb
+    """The two ADVICE.md round-8 hazards, planted and replayed on both
+    engines' ARITHMETIC directly (the query is documents-bound, so the
+    hazard expressions are probed standalone):
+    1. a vowel-alternating mega-word (syl ≈ len/2, w = 1) used to
+       drive the numerator NEGATIVE, where Spark's truncate and a
+       float-floor reference diverge by 1 — with the _SYL_CAP bound
+       plus the 10^10 offset the numerator must stay ≥ 0;
+    2. a doc with enough alpha words that the old unwidened BIGINT
+       numerator wrapped past 2^63 — the widened form must agree with
+       exact Python int arithmetic."""
+    from bd_delete_records_from_external_hive_table_spark.plans.analytics_wave13 import (
+        _FLESCH_OFFSET, _SYL_CAP)
+
+    def score(w, s, syl):
+        num = (206_835_000 * s * w - 1_015_000 * w * w
+               - 84_600_000 * syl * s + _FLESCH_OFFSET * s * w)
+        assert num >= 0, (w, s, syl)
+        return num // (s * w) - _FLESCH_OFFSET
+
+    # hazard 1: one 10^6-char 'iaia…' word → capped syl = _SYL_CAP
+    assert score(w=1, s=1, syl=min(500_000, _SYL_CAP)) < 0  # real Flesch < 0
+    # hazard 2: 10^9 alpha words, one syllable each (old form wrapped
+    # at ~3.4e5): exact Python == DuckDB HUGEINT replay
+    w, s = 10**9, (10**9 + 14) // 15
+    syl = w
+    want = score(w, s, syl)
+    got = duck.sql(
+        f"SELECT CAST((206835000 * w * s - 1015000 * w * w "
+        f"- 84600000 * syl * s + {_FLESCH_OFFSET} * s * w) // (s * w) "
+        f"- {_FLESCH_OFFSET} AS BIGINT) FROM (SELECT "
+        f"CAST({w} AS HUGEINT) w, CAST({s} AS HUGEINT) s, "
+        f"CAST({syl} AS HUGEINT) syl)").fetchone()[0]
+    assert got == want
