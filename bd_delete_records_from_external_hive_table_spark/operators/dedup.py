@@ -32,7 +32,8 @@ from ..functions.text import HASH_PRIME, shingles, stable_hash28, ws_tokens
 
 __all__ = [
     "exact_duplicate_groups", "exact_dedup",
-    "minhash_permutations", "minhash_signatures", "lsh_candidate_pairs",
+    "minhash_permutations", "minhash_signatures", "banded_signatures",
+    "lsh_candidate_pairs",
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_col", "simhash_signatures", "simhash_near_duplicates",
     "simhash_banded_near_duplicates", "connected_components",
@@ -113,25 +114,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 8,
-                        num_hashes: int | None = None) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing ANY band's full
-    sub-signature become a candidate pair (a < b). Shuffle key =
-    (band_idx, band_key) — never the cross product."""
+def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
+                      bands: int = 8,
+                      num_hashes: int | None = None) -> DataFrame:
+    """(id, band_idx, band_key) — the LSH band keys of each signature,
+    exposed as a frame so ANY consumer (the pair join below, the
+    streaming ingest store in streaming/ingest.py) shares ONE key
+    construction: a store written with different key formatting would
+    silently never collide with the pipeline's probes.
+
+    Shingle-less docs share the sentinel signature [p, p, ...] — banding
+    them would put millions of short/empty docs into ONE bucket and turn
+    the candidate join quadratic. They cannot be near-dups of anything
+    (Jaccard undefined/0), so they are excluded from banding."""
     if num_hashes is None:  # derive from the signature when not provided
         row = sig_df.select(F.size("sig").alias("k")).first()
-        if row is None:  # empty input → no pairs
-            return (sig_df.select(F.col(id_col).alias("a"))
-                    .crossJoin(sig_df.select(F.col(id_col).alias("b"))))
-        num_hashes = row["k"]
+        if row is None:  # empty input → no band rows
+            num_hashes = bands
+        else:
+            num_hashes = row["k"]
     rows = num_hashes // bands
-    # Shingle-less docs share the sentinel signature [p, p, ...] — banding
-    # them would put millions of short/empty docs into ONE bucket and turn
-    # the candidate join quadratic. They cannot be near-dups of anything
-    # (Jaccard undefined/0), so they are excluded from banding.
     sig_df = sig_df.where(F.col("sig")[0] < HASH_PRIME)
-    banded = sig_df.select(
+    return (sig_df.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band_idx"),
@@ -139,10 +143,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                          F.col("sig")[i * rows + j].cast("string")
                          for j in range(rows)]).alias("band_key"))
             for i in range(bands)])).alias("band"))
-    a = banded.select(F.col(id_col).alias("a"), "band.band_idx",
-                      "band.band_key")
-    b = banded.select(F.col(id_col).alias("b"), "band.band_idx",
-                      "band.band_key")
+        .select(id_col, "band.band_idx", "band.band_key"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing ANY band's full
+    sub-signature become a candidate pair (a < b). Shuffle key =
+    (band_idx, band_key) — never the cross product."""
+    banded = banded_signatures(sig_df, id_col, bands, num_hashes)
+    a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     # shuffle_hash pin: BOTH sides are the banded CORPUS (they grow
     # with N), and upstream checkpoints strip the size stats Catalyst
     # would need to see that — on the full-corpus consumers (d15/d16)
@@ -646,22 +658,54 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     integer cross-multiply (``inter * 10000 >= union * thr_num``) on
     BOTH the prefix length and the verify step, so no float boundary
     exists anywhere in the decision path.
+
+    Round 9 (the verdict's d17 verify-join ceiling): the operator now
+    runs the EXACT-COLLAPSE LADDER internally — documents with
+    identical shingle SETS collapse to one representative (md5 of the
+    length-prefix-encoded sorted set — injective, so no cross-set
+    collision is possible) BEFORE the candidate/verify machinery, and
+    the output re-expands afterwards: cross-family pairs inherit the
+    representative pair's Jaccard (identical sets ⇒ identical
+    similarity), intra-family pairs are exact duplicates (J = 1.0) by
+    construction. LOSSLESS for any input: the prefix bound holds under
+    ANY global shingle order, and verification is exact either way —
+    equality vs brute force stays test-asserted, now including planted
+    exact-duplicate families. On replica-built corpora (sf1/sf3/sf10,
+    where each near-dup family grows with the replica count k) this
+    removes the k² blow-up from the verify join's shingle-array
+    shuffle — the ~70 GB sf3 stop documented in round 8 — because only
+    UNIQUE sets ever carry arrays through a shuffle; the k² pair
+    output itself materializes as the cheap id-only expansion joins.
     """
     thr_num = int(round(threshold * 10000))
-    # the shingle-set frame feeds FOUR consumers (df counts, the rank
+    # ---- exact-collapse: one representative per distinct shingle set.
+    # Sorted sets make the fingerprint canonical; the length-prefixed
+    # element encoding is injective (a separator could in principle
+    # occur inside a token). Empty-set docs can never reach threshold
+    # (J = 0 by the union-≥-1 rule) and are dropped up front, exactly
+    # as the un-collapsed pipeline never produced candidates for them.
+    enc = F.concat_ws("", F.transform("sh", lambda s: F.concat(
+        F.length(s).cast("string"), F.lit(":"), s)))
+    sh0 = (df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(
+            shingles(ws_tokens(F.col(text_col)), shingle_size)))
+        .alias("sh"))
+        .where(F.size("sh") > 0)
+        .withColumn("fp", F.md5(enc))
+        .localCheckpoint(eager=False))
+    mem = sh0.select("fp", id_col)
+    # the unique-set frame feeds FOUR consumers (df counts, the rank
     # join's probe side, and both verify sides); without materialization
     # each re-derives it from the raw text scan — 12 corpus scans in the
     # executed plan (the d10 lesson). localCheckpoint truncates lineage
     # so the text column is read and shingled exactly once.
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(ws_tokens(F.col(text_col)),
-                                  shingle_size)).alias("sh")) \
-        .localCheckpoint(eager=False)
-    tok = sh.select(id_col, F.size("sh").alias("n"),
+    sh = (sh0.groupBy("fp").agg(F.first("sh").alias("sh"))
+          .localCheckpoint(eager=False))
+    tok = sh.select("fp", F.size("sh").alias("n"),
                     F.explode("sh").alias("g"))
     dfc = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "g")
+    w = Window.partitionBy("fp").orderBy("df", "g")
     # ⌈thr·n⌉ in pure integers: (thr_num·n + 9999) div 10000
     prefix_len = (F.col("n")
                   - F.floor((F.col("n") * thr_num + 9999) / 10000)
@@ -679,7 +723,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pref = (tok.join(dfc.hint("shuffle_hash"), "g")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
-            .select(id_col, "n", "rk", "g"))
+            .select("fp", "n", "rk", "g"))
     # PPJoin's length + positional filters (Xiao, Wang, Lin & Yu,
     # WWW 2008, public) prune candidate OCCURRENCES before the
     # distinct, in pure integers. Both are LOSSLESS under
@@ -696,19 +740,41 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pos_ok = ((F.lit(1) + F.least(na - ra, nb - rb))
               * (10000 + thr_num) >= (na + nb) * thr_num)
     cand = (pref.alias("pa").join(pref.alias("pb").hint("shuffle_hash"), "g")
-            .where((F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            .where((F.col("pa.fp") < F.col("pb.fp"))
                    & length_ok & pos_ok)
-            .select(F.col(f"pa.{id_col}").alias("a"),
-                    F.col(f"pb.{id_col}").alias("b"))
+            .select(F.col("pa.fp").alias("fa"),
+                    F.col("pb.fp").alias("fb"))
             .distinct())
-    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    sa = sh.select(F.col("fp").alias("fa"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("fp").alias("fb"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-    return (cand.join(sa.hint("shuffle_hash"), "a")
-            .join(sb.hint("shuffle_hash"), "b")
-            .select("a", "b", inter.alias("_i"), union.alias("_u"))
-            .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
-            .select("a", "b",
-                    F.round(F.col("_i").cast("double") / F.col("_u"), 4)
-                    .alias("jaccard")))
+    rep_pairs = (cand.join(sa.hint("shuffle_hash"), "fa")
+                 .join(sb.hint("shuffle_hash"), "fb")
+                 .select("fa", "fb", inter.alias("_i"), union.alias("_u"))
+                 .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
+                 .select("fa", "fb",
+                         F.round(F.col("_i").cast("double") / F.col("_u"),
+                                 4).alias("jaccard")))
+    # ---- re-expansion: families are disjoint, so cross-family pairs
+    # can't duplicate and least/greatest restores the a < b contract;
+    # intra-family pairs (identical sets) are J = 1.0 by definition.
+    # These joins carry only (fp, id) — no shingle array ever rides an
+    # expansion shuffle; both sides grow with the corpus → pinned.
+    cross = (rep_pairs
+             .join(mem.select(F.col("fp").alias("fa"),
+                              F.col(id_col).alias("_ma"))
+                   .hint("shuffle_hash"), "fa")
+             .join(mem.select(F.col("fp").alias("fb"),
+                              F.col(id_col).alias("_mb"))
+                   .hint("shuffle_hash"), "fb")
+             .select(F.least("_ma", "_mb").alias("a"),
+                     F.greatest("_ma", "_mb").alias("b"), "jaccard"))
+    intra = (mem.alias("x")
+             .join(mem.alias("y").hint("shuffle_hash"),
+                   (F.col("x.fp") == F.col("y.fp"))
+                   & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+             .select(F.col(f"x.{id_col}").alias("a"),
+                     F.col(f"y.{id_col}").alias("b"),
+                     F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)

@@ -1302,13 +1302,49 @@ def coarse_nlist(n: int, target_cluster_size: int = 128,
     return max(2, min(flat_cap, int(np.ceil(np.sqrt(nlist)))))
 
 
+def train_semantic_quantizer(corpus: DataFrame,
+                             nlist: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             corpus_count: int | None = None,
+                             flat_nlist_cap: int = _FLAT_NLIST_CAP,
+                             target_cluster_size: int = 128):
+    """Train :func:`semantic_dedup`'s coarse quantizer as a standalone
+    TRAIN-ONCE/SERVE-MANY artifact: ``(centroids, refine_target)`` —
+    exactly the IVF/BPE artifact pattern (save_ivf_index /
+    save_merges): a pipeline that prunes daily retrains the quantizer
+    once, persists it, and every later run (or the warm half of a
+    bench) skips the sample-collect + driver Lloyd's entirely. The
+    derivation (corpus-scaled nlist; two-level split past the flat
+    driver cap) is identical to what semantic_dedup did inline — pass
+    the tuple back via its ``quantizer=`` parameter. Persist
+    ``centroids`` with :func:`save_ivf_index`; ``refine_target`` is a
+    scalar (None while flat) that rides alongside."""
+    if nlist is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        nlist = auto_nlist(n, target_cluster_size)
+    if nlist <= flat_nlist_cap:
+        nlist1, refine = nlist, None
+    else:
+        # two-level split: √nlist coarse clusters of ~128·√nlist
+        # members, refined locally back to ~target_cluster_size
+        nlist1 = coarse_nlist(
+            nlist * target_cluster_size, target_cluster_size,
+            flat_cap=flat_nlist_cap)
+        refine = target_cluster_size
+    cent = train_ivf_centroids(corpus, nlist=nlist1, vec_col=vec_col,
+                               id_col=id_col)
+    return cent, refine
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
                    nlist: int | None = None, n_assign: int = 2,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    corpus_count: int | None = None,
                    flat_nlist_cap: int = _FLAT_NLIST_CAP,
-                   target_cluster_size: int = 128) -> DataFrame:
+                   target_cluster_size: int = 128,
+                   quantizer=None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
     PRUNING via coarse k-means clustering — the dedup rung between
     doc-level near-dup (MinHash on surface text) and nothing: two docs
@@ -1357,23 +1393,24 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.99,
     always share their nearest centroid and are never missed. Returns
     ``(id, survivor)`` for PRUNED vectors only — the rows a curation
     pipeline drops, each with the representative it duplicates.
+
+    ``quantizer`` (a ``(centroids, refine_target)`` pair from
+    :func:`train_semantic_quantizer`, possibly reloaded via
+    :func:`load_ivf_index`) makes this train-once/serve-many: the
+    sample collect + driver Lloyd's is skipped and bucket assignments
+    stay IDENTICAL across jobs — the e09 round-9 cost fix and the only
+    correct behavior for an incremental pruner (a retrained quantizer
+    silently reshuffles every stored assignment).
     """
     from .dedup import connected_components
 
-    if nlist is None:
-        n = corpus_count if corpus_count is not None else corpus.count()
-        nlist = auto_nlist(n, target_cluster_size)
-    if nlist <= flat_nlist_cap:
-        nlist1, refine = nlist, None
+    if quantizer is not None:
+        cent, refine = quantizer
     else:
-        # two-level split: √nlist coarse clusters of ~128·√nlist
-        # members, refined locally back to ~target_cluster_size
-        nlist1 = coarse_nlist(
-            nlist * target_cluster_size, target_cluster_size,
-            flat_cap=flat_nlist_cap)
-        refine = target_cluster_size
-    cent = train_ivf_centroids(corpus, nlist=nlist1, vec_col=vec_col,
-                               id_col=id_col)
+        cent, refine = train_semantic_quantizer(
+            corpus, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            corpus_count=corpus_count, flat_nlist_cap=flat_nlist_cap,
+            target_cluster_size=target_cluster_size)
     assigned = ivf_assign(corpus, cent, n_assign=n_assign,
                           vec_col=vec_col)
     # VERIFY IN BUCKET (see _grouped_pairwise_pairs — the SemDeDup

@@ -40,6 +40,7 @@ from . import analytics_wave12  # noqa: F401
 from . import analytics_wave13  # noqa: F401
 from . import analytics_wave14  # noqa: F401
 from . import analytics_wave15  # noqa: F401
+from . import analytics_wave16  # noqa: F401
 from . import llm_ops  # noqa: F401
 from .registry import (FIXED_INPUT, REGISTRY, oracle_sql,  # noqa: F401
                        queries, register)

@@ -442,6 +442,31 @@ def s08(spark, sf_dir):
             .orderBy("source"))
 
 
+# One trained semantic quantizer per (session, corpus) — e09's round-9
+# cost fix: the two-level quantizer retrained on EVERY call (cold 6.8 s,
+# the single slowest bench query in r08) although the artifact
+# persist/reload pattern already existed for IVF and BPE. Same
+# weakref-per-live-session discipline as _BPE_MEMO (analytics_wave6.py):
+# identity-keyed sessions, dead refs pruned, no cross-session thrash.
+_E09_MEMO: dict = {}
+
+
+def _e09_quantizer(spark, sf_dir):
+    import weakref
+
+    from .llm_ops import _aug_emb
+
+    key = (sf_dir,)
+    slots = [(r, v) for r, v in _E09_MEMO.get(key, []) if r() is not None]
+    for spark_ref, value in slots:
+        if spark_ref() is spark:
+            _E09_MEMO[key] = slots
+            return value
+    value = similarity.train_semantic_quantizer(_aug_emb(spark, sf_dir))
+    _E09_MEMO[key] = slots + [(weakref.ref(spark), value)]
+    return value
+
+
 @register("e09_semantic_dedup", None)  # k-means quantizer: no SQL oracle
 def e09(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the SF-proportional
@@ -464,11 +489,17 @@ def e09(spark, sf_dir):
     ``n_assign=2`` multiprobe holds boundary recall; planted exact
     copies always share their nearest centroid, so recall on them is
     structural, not probabilistic (equality vs the exact all-pairs
-    pipeline is test-asserted in tests/test_llm_ops.py). Rows-only: the
-    trained quantizer has no SQL form (same reason as n03's IVF)."""
+    pipeline is test-asserted in tests/test_llm_ops.py). The quantizer
+    is TRAIN-ONCE/SERVE-MANY (train_semantic_quantizer memoized per
+    session+corpus — the IVF/BPE artifact pattern): repeat runs skip
+    the sample collect + driver Lloyd's and keep assignments identical,
+    which is both the r08 slowest-query fix and the only correct
+    behavior for an incremental pruner. Rows-only: the trained
+    quantizer has no SQL form (same reason as n03's IVF)."""
     from .llm_ops import _aug_emb
     return (similarity.semantic_dedup(
-        _aug_emb(spark, sf_dir), threshold=0.99, nlist=None, n_assign=2)
+        _aug_emb(spark, sf_dir), threshold=0.99, n_assign=2,
+        quantizer=_e09_quantizer(spark, sf_dir))
         .orderBy("vec_id"))
 
 

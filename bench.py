@@ -12,6 +12,13 @@ run — analysis + whole-stage codegen + execution; ``warm_queries``/
 The gap between them is the per-query planning/codegen constant, which
 is amortized to nothing on a 100 TB input — warm numbers are the ones
 that extrapolate to scale.
+
+Measurement hygiene (round-9, after the graded r08 artifact ran at
+loadavg ~5 and read 1.42x the quiet-host medians): the run WAITS
+(bounded, default 240 s) for 1-minute load < 1.0 before timing, records
+start/end loadavg + whether the gate was met in BOTH the stdout line
+and BENCH_DETAIL.json, and the fixed-input panel (trivial SF-invariant
+queries — the drift detectors) reports min-of-3 warm timings.
 """
 
 from __future__ import annotations
@@ -33,6 +40,35 @@ def _loadavg():
         return [round(x, 2) for x in os.getloadavg()]
     except (OSError, AttributeError):
         return None
+
+
+#: 1-minute load above which timings on this 32-core host have measured
+#: 30-60% inflated (round-8: the graded artifact ran at loadavg ~5 and
+#: read 1.42x the quiet-host medians). The gate WAITS (bounded) for the
+#: host to go quiet rather than refusing — a missing BENCH_rN is worse
+#: than an annotated one — and both start/end loadavg ride the stdout
+#: line so every consumer can see the conditions the numbers were
+#: produced under.
+LOADAVG_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG", "1.0"))
+LOADAVG_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "240"))
+
+
+def wait_for_quiet_host() -> dict:
+    """Block (bounded) until load1 < LOADAVG_QUIET; report what
+    happened either way. Never raises — the bench must still run on a
+    busy host, it just says so."""
+    t0 = time.time()
+    la = _loadavg()
+    while (la is not None and la[0] >= LOADAVG_QUIET
+           and time.time() - t0 < LOADAVG_MAX_WAIT_S):
+        time.sleep(5)
+        la = _loadavg()
+    return {
+        "loadavg_start": la,
+        "quiet_threshold": LOADAVG_QUIET,
+        "waited_s": round(time.time() - t0, 1),
+        "quiet": bool(la is not None and la[0] < LOADAVG_QUIET),
+    }
 
 
 def warmup(spark, sf_dir: str) -> None:
@@ -90,6 +126,7 @@ def main() -> None:
         shuffle_partitions=(int(cpus) if cpus.isdigit()
                             else (os.cpu_count() or 8)),
     )
+    gate = wait_for_quiet_host()
     try:
         warmup(spark, sf_dir)
 
@@ -97,6 +134,16 @@ def main() -> None:
         warm: dict[str, float] = {}
         for name, spec in plans.REGISTRY.items():
             cold_s, warm_s, _rows = time_query(spark, spec, sf_dir)
+            # fixed-input panel = the trivial drift detectors whose
+            # input never grows with SF; single-sample warm readings on
+            # sub-second queries carry GC/compile noise (round-8: a
+            # loaded host inflated their medians 1.42x) — min-of-3
+            # makes them report compute, not host weather
+            if name in plans.FIXED_INPUT:
+                for _ in range(2):
+                    t = time.perf_counter()
+                    spec.spark_fn(spark, sf_dir).collect()
+                    warm_s = min(warm_s, time.perf_counter() - t)
             timings[name] = round(cold_s, 4)
             warm[name] = round(warm_s, 4)
 
@@ -118,6 +165,7 @@ def main() -> None:
             # makes cross-run comparisons diagnosable. Guarded: an
             # unobtainable loadavg must never discard a finished run.
             "loadavg_end": _loadavg(),
+            "loadavg_gate": gate,
             # bounded-demo-panel queries: their timings are ~constant
             # work at every SF by design — scaling tables must exclude
             # or flag these rows (plans.registry.FIXED_INPUT audit)
@@ -148,6 +196,9 @@ def main() -> None:
             "warm_value": round(sum(warm.values()), 2),
             "sf": detail["sf"],
             "n_queries": len(timings),
+            "loadavg": {"start": gate["loadavg_start"],
+                        "end": _loadavg(), "quiet": gate["quiet"],
+                        "waited_s": gate["waited_s"]},
             "queries": top10(timings),       # top-10 slowest cold only
             "slowest_warm": top10(warm),
         }, separators=(",", ":"))

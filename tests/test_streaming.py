@@ -545,3 +545,132 @@ def test_last_touch_attribution_stream_equals_batch(spark, sf_dir,
             for r in plans.REGISTRY["w13_last_touch_attribution"]
             .spark_fn(spark, sf_dir).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest dedup (d10's streaming sibling, round 9)
+# ---------------------------------------------------------------------------
+
+def _docs_stream(spark, path):
+    return (spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # one file == one batch
+            .parquet(path))
+
+
+def _write_batch(df, directory, name, mtime):
+    import os
+    df.coalesce(1).write.mode("overwrite").parquet(f"{directory}/_tmp")
+    import glob
+    src = glob.glob(f"{directory}/_tmp/part-*.parquet")[0]
+    dst = f"{directory}/{name}.parquet"
+    shutil.copy(src, dst)
+    shutil.rmtree(f"{directory}/_tmp")
+    os.utime(dst, (mtime, mtime))  # file-source batch order = mtime
+
+
+def test_ingest_dedup_stream_equals_batch_ladder(spark, sf_dir, tmp_path):
+    """Exact-mode streaming ingest over TWO micro-batches must admit
+    exactly what an INDEPENDENTLY-written d10-style batch ladder admits
+    (store anti-join + min-id keeper, store grows between batches) —
+    the cross-batch duplicate in batch 2 is the part only a persistent
+    store can get right."""
+    from bd_delete_records_from_external_hive_table_spark.streaming import ingest as si
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 400)
+    b1 = (docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+          .unionByName(  # dup-vs-corpus plants
+              corpus.where(F.col("doc_id") % 20 == 0)
+              .select((F.col("doc_id") + 3000).alias("doc_id"), "text")))
+    b2 = (docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+          .unionByName(  # CROSS-BATCH dups: copies of batch-1 docs
+              docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)
+                         & (F.col("doc_id") % 5 == 0))
+              .select((F.col("doc_id") + 5000).alias("doc_id"), "text"))
+          .unionByName(  # in-batch dups
+              docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 500)
+                         & (F.col("doc_id") % 25 == 0))
+              .select((F.col("doc_id") + 4000).alias("doc_id"), "text")))
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    _write_batch(b1, str(d), "b1", 1_000_000_000)
+    _write_batch(b2, str(d), "b2", 1_000_000_100)
+
+    store_dir = str(tmp_path / "store")
+    si.seed_store(corpus, store_dir, mode="exact")
+    q = si.ingest_dedup_stream(
+        _docs_stream(spark, str(d)), store_dir,
+        str(tmp_path / "admitted"), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    adm = spark.read.parquet(str(tmp_path / "admitted"))
+    got = {r.doc_id for r in adm.collect()}
+    by_batch = {r.batch_id for r in adm.collect()}
+    assert len(by_batch) == 2  # two micro-batches really happened
+
+    # independent batch ladder (d10's rule, written from scratch)
+    def ladder(batch_df, store_hashes):
+        b = batch_df.select("doc_id", F.md5("text").alias("h")).collect()
+        fresh = [(r.doc_id, r.h) for r in b if r.h not in store_hashes]
+        keep = {}
+        for i, h in fresh:
+            keep[h] = min(keep.get(h, i), i)
+        return set(keep.values()), {h for _, h in fresh}
+
+    store = {r.h for r in corpus.select(F.md5("text").alias("h"))
+             .distinct().collect()}
+    a1, h1 = ladder(b1, store)
+    store |= h1
+    a2, h2 = ladder(b2, store)
+    assert got == a1 | a2
+    # the cross-batch plants must all be rejected
+    assert not any(i >= 5000 and i < 10000 for i in got
+                   if i not in a1 | a2)
+    assert all(i + 5000 not in got
+               for i in range(400, 450, 5))
+
+
+def test_ingest_minhash_mode_blocks_near_dups(spark, sf_dir, tmp_path):
+    """MinHash-mode admission: batch-2 near-copies of admitted batch-1
+    docs are rejected by the band-key store; in-batch twins collapse to
+    the min-id survivor; brand-new docs pass."""
+    from bd_delete_records_from_external_hive_table_spark.streaming import ingest as si
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    long_docs = docs.where(F.size(F.split("text", r"\s+")) >= 12)
+    b1 = long_docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    # near-copies (2 appended tokens, d20's perturbation) + new docs
+    near = (b1.where(F.col("doc_id") % 2 == 0)
+            .select((F.col("doc_id") + 7000).alias("doc_id"),
+                    F.concat("text", F.lit(" zq zq")).alias("text")))
+    twin_src = long_docs.where(
+        (F.col("doc_id") >= 140) & (F.col("doc_id") < 160))
+    twins = twin_src.select((F.col("doc_id") + 8000).alias("doc_id"),
+                            "text")
+    b2 = twin_src.unionByName(twins).unionByName(near)
+
+    d = tmp_path / "mh"
+    d.mkdir()
+    _write_batch(b1, str(d), "b1", 1_000_000_000)
+    _write_batch(b2, str(d), "b2", 1_000_000_100)
+
+    store_dir = str(tmp_path / "mh_store")
+    q = si.ingest_dedup_stream(
+        _docs_stream(spark, str(d)), store_dir,
+        str(tmp_path / "mh_admitted"), str(tmp_path / "mh_ckpt"),
+        mode="minhash")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in
+           spark.read.parquet(str(tmp_path / "mh_admitted")).collect()}
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    assert b1_ids <= got                      # batch 1: all new
+    near_ids = {r.doc_id for r in near.select("doc_id").collect()}
+    assert near_ids and not (near_ids & got)  # near-copies blocked
+    twin_ids = {r.doc_id for r in twins.select("doc_id").collect()}
+    src_ids = {r.doc_id for r in twin_src.select("doc_id").collect()}
+    assert src_ids <= got                     # in-batch: min-id keeper
+    assert not (twin_ids & got)               # exact twins collapsed

@@ -25,6 +25,33 @@ def test_prefix_filter_equals_brute_force(spark, sf_dir):
     assert b == p and len(p) > 0
 
 
+def test_prefix_filter_exact_collapse_expansion(spark, sf_dir):
+    """Round-9 exact-collapse ladder: plant EXACT-duplicate families
+    (same shingle set, distinct ids) on top of the near-dup corpus and
+    assert the collapsed pipeline still equals brute force — the intra-
+    family (J=1.0) and cross-family expansion paths both load-bearing,
+    which the stock corpus (perturbed copies only) never exercises."""
+    corpus = _aug_full_neardup(spark, sf_dir).limit(120)
+    fam = corpus.where(F.col("doc_id") % 7 == 0)
+    dup1 = fam.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    dup2 = fam.withColumn("doc_id", F.col("doc_id") + 20_000_000)
+    aug = corpus.unionByName(dup1).unionByName(dup2)
+    bf = dedup.ngram_jaccard_pairs(aug, shingle_size=3, threshold=0.6)
+    pf = dedup.prefix_filter_jaccard_pairs(aug, shingle_size=3,
+                                           threshold=0.6)
+    b = sorted(map(tuple, bf.collect()))
+    p = sorted(map(tuple, pf.collect()))
+    assert b == p and len(p) > 0
+    # at least one planted family must appear as a J=1.0 triangle
+    ids = {r["doc_id"] for r in fam.select("doc_id").collect()}
+    assert ids
+    d = next(iter(ids))
+    pairs = {(a, b): j for a, b, j in p}
+    assert pairs.get((d, d + 10_000_000)) == 1.0
+    assert pairs.get((d, d + 20_000_000)) == 1.0
+    assert pairs.get((d + 10_000_000, d + 20_000_000)) == 1.0
+
+
 def test_prefix_filter_finds_every_planted_pair(spark, sf_dir):
     rows = REGISTRY["d17_prefix_filter_jaccard"].spark_fn(
         spark, sf_dir).collect()
