@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -629,10 +631,117 @@ def banded_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
 # Prefix-filter exact-threshold Jaccard similarity join (AllPairs family)
 # ---------------------------------------------------------------------------
 
+#: target shingle-set elements per grid cell (both sides together).
+#: Sizes the verify grid g = ceil(2·Σ|sh| / this): per-cell Python sets
+#: stay ~a few hundred MB while g (and therefore the replicated-set
+#: shuffle 2·g·Σ|sh|) grows only as the corpus does.
+_GRID_CELL_ELEMENTS = 3_000_000
+
+
+def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
+                         thr_num: int,
+                         cell_elements: int = _GRID_CELL_ELEMENTS
+                         ) -> DataFrame:
+    """EXACT Jaccard verify of candidate pairs WITHOUT replicating a
+    shingle array per candidate — the round-9 fix for d17's verify
+    ceiling. The naive form (cand ⋈ sets ⋈ sets) ships each unique
+    set once PER CANDIDATE it appears in: at sf3 that was ~66M
+    candidates × ~3 KB of arrays ≈ 200 GB of shuffle (the run died on
+    disk). This is the classical theta-join GRID instead (Okcan &
+    Riedewald, SIGMOD 2011, public): a g×g grid of cells keyed by
+    (hash(fa) mod g, hash(fb) mod g); each set is replicated to its g
+    row-cells (as an A-side) and g column-cells (as a B-side), each
+    candidate lands in exactly ONE cell, and an Arrow-grouped pass
+    builds per-cell dicts and verifies with exact Python set
+    arithmetic. Shuffle volume = 2·g·Σ|sh| + candidate ids — linear in
+    the corpus for the g this sizes (per-cell memory pinned at
+    ~_GRID_CELL_ELEMENTS), instead of linear in CANDIDATES × set
+    width. Same strings, same integer cross-multiply, same 4-dp
+    rounding.
+
+    When the sizing lands on g = 1 (small corpora), the grid is
+    STRICTLY worse than the per-candidate JVM join it replaces — same
+    volume, one task, Python set ops instead of codegen
+    array_intersect — so g = 1 falls back to the join (measured:
+    10.6 s grid vs ~3 s join at sf0.1). Both paths are equality-tested
+    against brute force (tests/test_wave10.py forces the grid with a
+    tiny ``cell_elements``)."""
+    total = sh.agg(F.sum(F.size("sh")).alias("n")).collect()[0]["n"] or 0
+    g = max(1, min(64, -(-2 * int(total) // cell_elements)))
+    if g == 1:
+        sa = sh.select(F.col("fp").alias("fa"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("fp").alias("fb"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.greatest(F.size(F.array_union("sh_a", "sh_b")),
+                           F.lit(1))
+        return (cand.join(sa.hint("shuffle_hash"), "fa")
+                .join(sb.hint("shuffle_hash"), "fb")
+                .select("fa", "fb", inter.alias("_i"), union.alias("_u"))
+                .where(F.col("_i") * 10000 >= F.col("_u")
+                       * F.lit(thr_num))
+                .select("fa", "fb",
+                        F.round(F.col("_i").cast("double")
+                                / F.col("_u"), 4).alias("jaccard")))
+    gl = F.lit(g)
+    cells = F.sequence(F.lit(0), gl - 1)
+    null_sh = F.lit(None).cast("array<string>")
+    rows_a = sh.select(
+        F.explode(F.transform(
+            cells, lambda j: F.pmod(F.xxhash64("fp"), gl) * gl + j))
+        .alias("cell"),
+        F.lit(0).alias("kind"), F.col("fp").alias("fa"),
+        F.lit(None).cast("string").alias("fb"), "sh")
+    rows_b = sh.select(
+        F.explode(F.transform(
+            cells, lambda j: j * gl + F.pmod(F.xxhash64("fp"), gl)))
+        .alias("cell"),
+        F.lit(1).alias("kind"), F.lit(None).cast("string").alias("fa"),
+        F.col("fp").alias("fb"), "sh")
+    rows_c = cand.select(
+        (F.pmod(F.xxhash64("fa"), gl) * gl
+         + F.pmod(F.xxhash64("fb"), gl)).alias("cell"),
+        F.lit(2).alias("kind"), "fa", "fb", null_sh.alias("sh"))
+    tagged = rows_a.unionByName(rows_b).unionByName(rows_c)
+
+    # key dtype follows the caller (string fingerprints or long rids)
+    key_t = dict(cand.dtypes)["fa"]
+    key_np = "int64" if key_t in ("bigint", "int", "long") else "object"
+
+    def verify_cell(pdf):
+        a = {f: frozenset(s) for k, f, s in
+             zip(pdf["kind"], pdf["fa"], pdf["sh"]) if k == 0}
+        b = {f: frozenset(s) for k, f, s in
+             zip(pdf["kind"], pdf["fb"], pdf["sh"]) if k == 1}
+        fa_o, fb_o, i_o, u_o = [], [], [], []
+        for k, fa, fb in zip(pdf["kind"], pdf["fa"], pdf["fb"]):
+            if k != 2:
+                continue
+            sa, sb = a[fa], b[fb]
+            i = len(sa & sb)
+            u = len(sa) + len(sb) - i
+            if i * 10000 >= u * thr_num:
+                fa_o.append(fa)
+                fb_o.append(fb)
+                i_o.append(i)
+                u_o.append(u)
+        return pd.DataFrame({"fa": pd.Series(fa_o, dtype=key_np),
+                             "fb": pd.Series(fb_o, dtype=key_np),
+                             "i": pd.Series(i_o, dtype="int64"),
+                             "u": pd.Series(u_o, dtype="int64")})
+
+    verified = tagged.groupBy("cell").applyInPandas(
+        verify_cell, f"fa {key_t}, fb {key_t}, i long, u long")
+    return verified.select(
+        "fa", "fb",
+        F.round(F.col("i").cast("double") / F.col("u"), 4)
+        .alias("jaccard"))
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 id_col: str = "doc_id",
                                 shingle_size: int = 3,
-                                threshold: float = 0.6) -> DataFrame:
+                                threshold: float = 0.6,
+                                grid_cell_elements: int =
+                                _GRID_CELL_ELEMENTS) -> DataFrame:
     """EXACT Jaccard-threshold similarity join via document-frequency-
     ordered prefix filtering — the AllPairs/PPJoin family ("Scaling Up
     All Pairs Similarity Search", Bayardo, Ma & Srikant, WWW 2007,
@@ -651,7 +760,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Scale shape (100 TB): three shuffles that all key on bounded-width
     values — shingle-keyed df count, per-document rank (window over the
     document key; partition size = one document's shingle set), and the
-    prefix equi-join — plus the verify join back to shingle arrays.
+    prefix equi-join — plus the GRID-partitioned exact verify
+    (:func:`_grid_verify_jaccard`): candidate verification ships each
+    unique shingle set g times (g sized so per-cell memory is pinned),
+    never once per candidate — the naive per-candidate array join
+    wrote ~200 GB of shuffle at sf3 and died on disk (round 9).
     No crossJoin anywhere; the LSH path (:func:`minhash_near_duplicates`)
     trades exactness for fewer candidates, this path trades candidate
     volume for an exactness guarantee. Threshold membership is the
@@ -694,18 +807,24 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.size("sh") > 0)
         .withColumn("fp", F.md5(enc))
         .localCheckpoint(eager=False))
-    mem = sh0.select("fp", id_col)
     # the unique-set frame feeds FOUR consumers (df counts, the rank
     # join's probe side, and both verify sides); without materialization
     # each re-derives it from the raw text scan — 12 corpus scans in the
     # executed plan (the d10 lesson). localCheckpoint truncates lineage
-    # so the text column is read and shingled exactly once.
-    sh = (sh0.groupBy("fp").agg(F.first("sh").alias("sh"))
+    # so the text column is read and shingled exactly once. The family
+    # key downstream is NOT the md5 string: every join/window below
+    # keys on rid = min(id) per family — a compact BIGINT (32-char
+    # string keys measured ~2x slower through the cand/verify shuffles).
+    sh = (sh0.groupBy("fp").agg(F.first("sh").alias("sh"),
+                                F.min(id_col).alias("rid"))
           .localCheckpoint(eager=False))
-    tok = sh.select("fp", F.size("sh").alias("n"),
+    mem = (sh0.select("fp", id_col)
+           .join(sh.select("fp", "rid").hint("shuffle_hash"), "fp")
+           .select("rid", id_col))
+    tok = sh.select("rid", F.size("sh").alias("n"),
                     F.explode("sh").alias("g"))
     dfc = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("fp").orderBy("df", "g")
+    w = Window.partitionBy("rid").orderBy("df", "g")
     # ⌈thr·n⌉ in pure integers: (thr_num·n + 9999) div 10000
     prefix_len = (F.col("n")
                   - F.floor((F.col("n") * thr_num + 9999) / 10000)
@@ -723,7 +842,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pref = (tok.join(dfc.hint("shuffle_hash"), "g")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
-            .select("fp", "n", "rk", "g"))
+            .select("rid", "n", "rk", "g"))
     # PPJoin's length + positional filters (Xiao, Wang, Lin & Yu,
     # WWW 2008, public) prune candidate OCCURRENCES before the
     # distinct, in pure integers. Both are LOSSLESS under
@@ -740,39 +859,32 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pos_ok = ((F.lit(1) + F.least(na - ra, nb - rb))
               * (10000 + thr_num) >= (na + nb) * thr_num)
     cand = (pref.alias("pa").join(pref.alias("pb").hint("shuffle_hash"), "g")
-            .where((F.col("pa.fp") < F.col("pb.fp"))
+            .where((F.col("pa.rid") < F.col("pb.rid"))
                    & length_ok & pos_ok)
-            .select(F.col("pa.fp").alias("fa"),
-                    F.col("pb.fp").alias("fb"))
+            .select(F.col("pa.rid").alias("fa"),
+                    F.col("pb.rid").alias("fb"))
             .distinct())
-    sa = sh.select(F.col("fp").alias("fa"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("fp").alias("fb"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-    rep_pairs = (cand.join(sa.hint("shuffle_hash"), "fa")
-                 .join(sb.hint("shuffle_hash"), "fb")
-                 .select("fa", "fb", inter.alias("_i"), union.alias("_u"))
-                 .where(F.col("_i") * 10000 >= F.col("_u") * F.lit(thr_num))
-                 .select("fa", "fb",
-                         F.round(F.col("_i").cast("double") / F.col("_u"),
-                                 4).alias("jaccard")))
+    rep_pairs = _grid_verify_jaccard(
+        cand, sh.select(F.col("rid").alias("fp"), "sh"), thr_num,
+        grid_cell_elements)
     # ---- re-expansion: families are disjoint, so cross-family pairs
     # can't duplicate and least/greatest restores the a < b contract;
     # intra-family pairs (identical sets) are J = 1.0 by definition.
-    # These joins carry only (fp, id) — no shingle array ever rides an
-    # expansion shuffle; both sides grow with the corpus → pinned.
+    # These joins carry only (rid, id) longs — no shingle array ever
+    # rides an expansion shuffle; both sides grow with the corpus →
+    # pinned.
     cross = (rep_pairs
-             .join(mem.select(F.col("fp").alias("fa"),
+             .join(mem.select(F.col("rid").alias("fa"),
                               F.col(id_col).alias("_ma"))
                    .hint("shuffle_hash"), "fa")
-             .join(mem.select(F.col("fp").alias("fb"),
+             .join(mem.select(F.col("rid").alias("fb"),
                               F.col(id_col).alias("_mb"))
                    .hint("shuffle_hash"), "fb")
              .select(F.least("_ma", "_mb").alias("a"),
                      F.greatest("_ma", "_mb").alias("b"), "jaccard"))
     intra = (mem.alias("x")
              .join(mem.alias("y").hint("shuffle_hash"),
-                   (F.col("x.fp") == F.col("y.fp"))
+                   (F.col("x.rid") == F.col("y.rid"))
                    & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
              .select(F.col(f"x.{id_col}").alias("a"),
                      F.col(f"y.{id_col}").alias("b"),

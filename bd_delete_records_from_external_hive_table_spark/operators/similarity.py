@@ -1072,7 +1072,8 @@ def _exact_assign(q: np.ndarray, qm: np.ndarray):
 def kmeans_fit_exact(corpus: DataFrame, nlist: int,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     iters: int = 5) -> list:
+                     iters: int = 5,
+                     rows_hint: int | None = None) -> list:
     """Lloyd's k-means in EXACT integer arithmetic end-to-end — the
     whole-corpus trainer (kmeans_fit_distributed's scale shape) made
     cross-engine replayable, so the trained fixpoint itself sits under
@@ -1114,6 +1115,24 @@ def kmeans_fit_exact(corpus: DataFrame, nlist: int,
     if not qm:
         return qm
     k, dim = len(qm), len(qm[0])
+
+    # spread ONCE before the iteration loop: the Arrow assignment pass
+    # parallelizes per input partition, and a parquet corpus often has
+    # far fewer row groups than cores (sf10 ran 13 tasks on 32 cores —
+    # int64 matmuls are not BLAS, so cores are the whole game; measured
+    # 567→193 s cold at sf10); the checkpoint makes the one-time
+    # shuffle amortize across all iters. Integer sums make the result
+    # identical under ANY partitioning, so this is pure throughput
+    # (test-asserted invariance). Gated by rows_hint: a tiny corpus
+    # sliced into 32 near-empty Arrow tasks pays one worker round-trip
+    # per task per iteration (the spark.range gotcha) — only spread
+    # when each target partition still holds a real batch.
+    corpus = corpus.select(vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if rows_hint is not None:
+        par = max(1, min(par, rows_hint // 8192))
+    if 1 < par and corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par).localCheckpoint(eager=False)
 
     partial_schema = "cluster int, qsums array<long>, n long"
     for _ in range(iters):

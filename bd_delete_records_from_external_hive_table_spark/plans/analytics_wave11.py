@@ -148,7 +148,7 @@ def ml03(spark, sf_dir):
               .select("vec_id", "embedding"))
     nlist = similarity.coarse_nlist(n)
     qcent = similarity.kmeans_fit_exact(corpus, nlist=nlist,
-                                        iters=_ML03_ITERS)
+                                        iters=_ML03_ITERS, rows_hint=n)
     per = similarity.kmeans_assign_exact(corpus, qcent)
     mean_d2 = _wide_floor_div(
         F.sum(F.col("d2").cast("decimal(38,0)")),

@@ -161,3 +161,16 @@ def test_naive_bayes_matches_pure_python(spark, sf_dir):
     majority = max(d_l.values())
     assert correct > 2 * majority
     assert sum(conf.values()) == n
+
+
+def test_prefix_filter_grid_verify_equals_brute_force(spark, sf_dir):
+    """Force the theta-join GRID verify path (g > 1) with a tiny cell
+    size: the grid must produce exactly the brute-force pair set — the
+    path the big corpora take, exercised at smoke scale."""
+    corpus = _aug_full_neardup(spark, sf_dir)
+    bf = dedup.ngram_jaccard_pairs(corpus, shingle_size=3, threshold=0.6)
+    pf = dedup.prefix_filter_jaccard_pairs(
+        corpus, shingle_size=3, threshold=0.6,
+        grid_cell_elements=2000)   # forces g >> 1 at sf0.001
+    assert sorted(map(tuple, bf.collect())) == \
+           sorted(map(tuple, pf.collect()))

@@ -1,0 +1,105 @@
+"""Ad-hoc driver-faithful parity harness: run named registry queries
+against their DuckDB oracles at an arbitrary SF dir — the '/tmp/check
+harness' PARITY.md's per-wave entries refer to, now committed so every
+round's sweep is reproducible.
+
+Usage:
+  python tools/check_parity.py <sf_dir> [name1,name2,...]
+
+With no names, checks every oracle-bearing registry query. Prints one
+line per query (rows + match) and exits non-zero on any mismatch.
+Comparison mirrors tests/test_oracle_parity.py: pandas-converted
+values, column-name-sorted, order-insensitive, type-sensitive cells.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from bd_delete_records_from_external_hive_table_spark import plans  # noqa: E402
+from bd_delete_records_from_external_hive_table_spark.session import SessionFactory  # noqa: E402
+from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _norm(pdf):
+    import datetime as dt
+    import decimal
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def cell(v):
+        if v is None or v is pd.NaT:
+            return "<null>"
+        if isinstance(v, (np.floating, float)):
+            f = float(v)
+            return "<nan>" if math.isnan(f) else repr(f)
+        if isinstance(v, (np.bool_, bool)):
+            return str(bool(v))
+        if isinstance(v, (np.integer, int)):
+            return str(int(v))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, dt.datetime):
+            return v.isoformat()
+        if isinstance(v, dt.date):
+            return dt.datetime(v.year, v.month, v.day).isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return "0x" + bytes(v).hex()
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, decimal.Decimal):
+            return f"dec:{v}"
+        return str(v)
+
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    return sorted(tuple(cell(v) for v in row)
+                  for row in pdf[cols].itertuples(index=False, name=None))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if len(sys.argv) > 2:
+        names = sys.argv[2].split(",")
+    else:
+        names = sorted(plans.oracle_sql())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    spark = SessionFactory.create(app_name="check-parity",
+                                  master="local[8]",
+                                  shuffle_partitions=8)
+    bad = []
+    try:
+        for name in names:
+            spec = plans.REGISTRY[name]
+            if spec.oracle is None:
+                print(f"{name}: SKIP (rows-only)")
+                continue
+            s = _norm(spec.spark_fn(spark, sf_dir).toPandas())
+            d = _norm(con.sql(spec.oracle).df())
+            ok = s == d
+            print(f"{name}: rows {len(s)} vs {len(d)} "
+                  f"{'MATCH' if ok else 'MISMATCH'}")
+            if not ok:
+                bad.append(name)
+                for a, b in [(a, b) for a, b in zip(s, d) if a != b][:3]:
+                    print(f"  spark={a}\n  duck ={b}")
+    finally:
+        spark.stop()
+    if bad:
+        print("MISMATCHES:", ",".join(bad))
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
