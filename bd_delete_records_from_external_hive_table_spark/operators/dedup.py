@@ -664,17 +664,22 @@ def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
     shuffle ≈ C · 2·avg_set = 2·C·Σ|sh|/S elements (C candidates, S
     unique sets) — while the grid ships each set g times per side —
     2·g·Σ|sh| — plus a Python set-arithmetic verify that is slower
-    per byte than codegen array_intersect. So the join wins whenever
-    C ≲ K·g·S and the grid wins past it (K = 4 measured crossover
-    cushion: at sf0.1 C≈0.9·g·S and the join is 2.4× faster; at sf3
-    C≈6.6×g·S and the join writes ~200 GB and dies). ``verify`` pins
-    the path for tests: "grid" / "join" / "auto" (cost pick). Both
-    paths are equality-tested against brute force
+    per shipped element than codegen array_intersect. The join wins
+    when C ≤ K·g·S and the grid past it; K = 4 gives the join that
+    per-element headroom. Measured decision points: sf0.1 g=1 → join
+    unconditionally (warm 3.0 s join vs 7.7 s grid, r8/r9 bench);
+    sf1 C=7.57M vs 4gS=0.44M → grid (the join ships ~70× the bytes;
+    wall times tied at 145 s, so no regression); sf3 C=66M → grid
+    (the join wrote ~200 GB and died on disk, round 8). ``verify``
+    pins the path for tests: "grid" / "join" / "auto" (cost pick).
+    Both paths are equality-tested against brute force
     (tests/test_wave10.py forces the grid)."""
-    stats = sh.agg(F.sum(F.size("sh")).alias("n"),
-                   F.count(F.lit(1)).alias("s")).collect()[0]
-    total, n_sets = int(stats["n"] or 0), int(stats["s"] or 0)
-    g = max(1, min(64, -(-2 * total // cell_elements)))
+    g = 1
+    if verify != "join":  # a pinned join needs no sizing job at all
+        stats = sh.agg(F.sum(F.size("sh")).alias("n"),
+                       F.count(F.lit(1)).alias("s")).collect()[0]
+        total, n_sets = int(stats["n"] or 0), int(stats["s"] or 0)
+        g = max(1, min(64, -(-2 * total // cell_elements)))
     use_join = verify == "join" or (verify == "auto" and g == 1)
     if verify == "auto" and g > 1:
         # counting C costs one pass over the (id-only) candidate join;

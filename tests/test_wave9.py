@@ -65,8 +65,12 @@ def test_audio_quality_report_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def test_ivf_bucket_stats_numpy_parity(spark, sf_dir):
+    # orderBy before limit + cache: an unordered limit re-executed per
+    # action (train / stats / numpy replay are three jobs) could sample
+    # three DIFFERENT 300-row corpora (the r9-verdict flake class)
     corpus = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-              .select("vec_id", "embedding").limit(300))
+              .select("vec_id", "embedding")
+              .orderBy("vec_id").limit(300).cache())
     cent = similarity.train_ivf_centroids(corpus, nlist=8)
     got = {r["bucket"]: r for r in
            similarity.ivf_bucket_stats(corpus, cent).collect()}

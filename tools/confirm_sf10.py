@@ -1,0 +1,88 @@
+"""Round-10: the sf10 min-of-3 confirm pass the r9 close skipped
+(BENCH_DETAIL.sf10_scaling._protocol_note) — isolated re-measurement of
+the flagged superlinear rows so their adjudications rest on min-of-3
+warm numbers instead of single samples taken on a loaded host.
+
+Protocol = tools/bench_canary_sf30.py's: ONE SESSION PER QUERY (session
+residue from a prior heavy inflates the next query's wall time), 4 runs
+per query with spark_fn construction inside the timing window (eager
+phases do work at plan-build time), warm = min of runs 2-4. Merges
+``confirmed_warm_min3`` (+ confirmed warm_ratio vs the recorded sf1
+warm) into the existing BENCH_DETAIL.sf10_scaling rows — the original
+single-sample numbers stay for comparison.
+
+Usage:
+  python tools/confirm_sf10.py [name1,name2,...]   # default: flagged 3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+
+DEFAULT_NAMES = ["ml03_kmeans_training", "g03_dup_graph_assortativity",
+                 "d20_lsh_planted_recall"]
+
+
+def main(names: list[str]) -> None:
+    from bench import _cpu_ticks, _steal_stats, warmup
+    from bd_delete_records_from_external_hive_table_spark import plans
+    from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load0 = os.getloadavg()
+    out: dict[str, dict] = {}
+    for name in names:
+        spark = SessionFactory.create(app_name=f"bd-confirm-{name}",
+                                      master=f"local[{cpus}]",
+                                      shuffle_partitions=int(cpus))
+        try:
+            warmup(spark, SF10)
+            times = []
+            ticks0 = _cpu_ticks()
+            for _ in range(4):
+                t0 = time.perf_counter()
+                plans.REGISTRY[name].spark_fn(spark, SF10).collect()
+                times.append(round(time.perf_counter() - t0, 2))
+            out[name] = {"confirmed_warm_min3": min(times[1:]),
+                         "confirm_runs": times,
+                         "confirm_cpu_steal": _steal_stats(ticks0,
+                                                           _cpu_ticks()),
+                         "confirm_loadavg": [round(x, 2)
+                                             for x in os.getloadavg()]}
+            print(json.dumps({name: out[name]}), flush=True)
+        finally:
+            spark.stop()
+
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(path) as f:
+        detail = json.load(f)
+    rows = detail.get("sf10_scaling", {}).get("queries", {})
+    for name, conf in out.items():
+        row = rows.setdefault(name, {})
+        row.update(conf)
+        if row.get("sf1_warm"):
+            row["confirmed_warm_ratio"] = round(
+                conf["confirmed_warm_min3"] / row["sf1_warm"], 2)
+    note = detail.get("sf10_scaling", {}).get("_protocol_note", "")
+    detail["sf10_scaling"]["_protocol_note"] = (
+        note + " | round 10: flagged rows re-measured isolated min-of-3 "
+        f"(confirm_loadavg recorded per row; start loadavg "
+        f"{[round(x, 2) for x in load0]}).")
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"confirmed": {k: v["confirmed_warm_min3"]
+                                    for k, v in out.items()}}))
+
+
+if __name__ == "__main__":
+    names = (sys.argv[1].split(",") if len(sys.argv) > 1
+             else DEFAULT_NAMES)
+    main(names)
