@@ -91,24 +91,45 @@ LOADAVG_QUIET5 = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG5", "1.5"))
 LOADAVG_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "900"))
 
 
+#: hypervisor steal (% of total CPU) above which the host's NEIGHBORS
+#: are eating the machine and timings will read high regardless of
+#: local quiet. 1.0% of 32 cores ≈ a third of a core stolen at idle.
+STEAL_QUIET_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL", "1.0"))
+
+
+def _steal_sample(window_s: float = 5.0):
+    t0 = _cpu_ticks()
+    time.sleep(window_s)
+    s = _steal_stats(t0, _cpu_ticks())
+    return None if s is None else s["steal_pct_of_total"]
+
+
 def wait_for_quiet_host() -> dict:
-    """Block (bounded) until load1 < LOADAVG_QUIET AND load5 <
-    LOADAVG_QUIET5; report what happened either way. Never raises —
+    """Block (bounded) until load1 < LOADAVG_QUIET, load5 <
+    LOADAVG_QUIET5, AND a 5-s steal sample < STEAL_QUIET_PCT — loadavg
+    only sees THIS VM's runqueue; steal is the only visible signal of
+    neighbor VMs on the shared physical host (round 10: the worst of
+    five gate-green runs started at loadavg 0.10 and lost 20% of busy
+    time to steal). Report what happened either way; never raises —
     the bench must still run on a busy host, it just says so."""
     t0 = time.time()
-    la = _loadavg()
-    while (la is not None
-           and (la[0] >= LOADAVG_QUIET or la[1] >= LOADAVG_QUIET5)
-           and time.time() - t0 < LOADAVG_MAX_WAIT_S):
+    la, steal = _loadavg(), _steal_sample()
+    while (time.time() - t0 < LOADAVG_MAX_WAIT_S
+           and ((la is not None
+                 and (la[0] >= LOADAVG_QUIET or la[1] >= LOADAVG_QUIET5))
+                or (steal is not None and steal >= STEAL_QUIET_PCT))):
         time.sleep(5)
-        la = _loadavg()
+        la, steal = _loadavg(), _steal_sample()
     return {
         "loadavg_start": la,
         "quiet_threshold": LOADAVG_QUIET,
         "quiet_threshold_5min": LOADAVG_QUIET5,
+        "steal_threshold_pct": STEAL_QUIET_PCT,
+        "steal_start_pct": steal,
         "waited_s": round(time.time() - t0, 1),
         "quiet": bool(la is not None and la[0] < LOADAVG_QUIET
-                      and la[1] < LOADAVG_QUIET5),
+                      and la[1] < LOADAVG_QUIET5
+                      and (steal is None or steal < STEAL_QUIET_PCT)),
     }
 
 
