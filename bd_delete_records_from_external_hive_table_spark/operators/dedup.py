@@ -637,6 +637,14 @@ def banded_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
 #: shuffle 2·g·Σ|sh|) grows only as the corpus does.
 _GRID_CELL_ELEMENTS = 3_000_000
 
+#: exact-collapse ladder regime bound (round 11): when the corpus has
+#: at most this many documents belonging to exact-duplicate shingle-set
+#: families, the ladder's membership map is broadcast (≤ ~16 MB of
+#: (md5, id) rows) instead of shuffled — the array-carrying groupBy(fp)
+#: and both shuffle-hash expansion joins disappear. Above the cap the
+#: round-9 full ladder runs (replica corpora: dup members ≈ corpus).
+_LADDER_BROADCAST_CAP = 200_000
+
 
 def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
                          thr_num: int,
@@ -812,6 +820,13 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shuffle — the ~70 GB sf3 stop documented in round 8 — because only
     UNIQUE sets ever carry arrays through a shuffle; the k² pair
     output itself materializes as the cheap id-only expansion joins.
+
+    Round 11: the ladder is COST-BASED. A narrow (fp, id) aggregate
+    sizes the duplicate population first; zero dup members → identity
+    (ladder skipped entirely), ≤ ``_LADDER_BROADCAST_CAP`` members →
+    broadcast ladder (dup-family map broadcasts; no array-carrying
+    groupBy(fp) shuffle, expansion joins broadcast instead of
+    shuffle-hash), else the full round-9 ladder for replica corpora.
     """
     thr_num = int(round(threshold * 10000))
     # ---- exact-collapse: one representative per distinct shingle set.
@@ -838,12 +853,43 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # key downstream is NOT the md5 string: every join/window below
     # keys on rid = min(id) per family — a compact BIGINT (32-char
     # string keys measured ~2x slower through the cand/verify shuffles).
-    sh = (sh0.groupBy("fp").agg(F.first("sh").alias("sh"),
-                                F.min(id_col).alias("rid"))
-          .localCheckpoint(eager=False))
-    mem = (sh0.select("fp", id_col)
-           .join(sh.select("fp", "rid").hint("shuffle_hash"), "fp")
-           .select("rid", id_col))
+    # ---- cost-based collapse ladder (round 11, r10 verdict #1): one
+    # NARROW groupBy over (fp, id) — no shingle array rides it — sizes
+    # the duplicate population, then the ladder picks the cheapest of
+    # three regimes:
+    #   identity   (0 dup members): rid := id; no groupBy(fp) of
+    #              arrays, no membership join, no expansion joins.
+    #   broadcast  (few dup members, the bench-SF shape: 8 families in
+    #              5500 docs at sf0.1): the dup-family map (fp → rid,
+    #              dup families ONLY) broadcasts; representatives come
+    #              from a narrow broadcast join off the checkpoint —
+    #              the full ladder's array-carrying groupBy(fp) shuffle
+    #              and its extra checkpoint disappear, and expansion
+    #              becomes broadcast joins over the tiny member list.
+    #   full       (replica corpora, where dup members ≈ the corpus):
+    #              the round-9 ladder unchanged — dup volume this high
+    #              is exactly what it exists for (k² collapse).
+    # The sizing aggregate triggers sh0's lazy localCheckpoint — work
+    # every downstream consumer needed anyway.
+    famc = (sh0.select("fp", id_col).groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("c"), F.min(id_col).alias("rid"))
+            .localCheckpoint(eager=False))
+    _t = famc.agg(F.count(F.lit(1)).alias("n_fam"),
+                  F.sum("c").alias("n_docs")).first()
+    n_dup_members = int(_t["n_docs"]) - int(_t["n_fam"])
+    fam_small = None
+    if n_dup_members == 0:
+        sh = sh0.select(F.col(id_col).alias("rid"), "sh")
+    elif n_dup_members <= _LADDER_BROADCAST_CAP:
+        fam_small = famc.where(F.col("c") > 1).select("fp", "rid")
+        sh = (sh0.join(F.broadcast(fam_small), "fp", "left")
+              .where(F.col("rid").isNull()
+                     | (F.col("rid") == F.col(id_col)))
+              .select(F.coalesce("rid", F.col(id_col)).alias("rid"), "sh"))
+    else:
+        sh = (sh0.groupBy("fp").agg(F.first("sh").alias("sh"),
+                                    F.min(id_col).alias("rid"))
+              .localCheckpoint(eager=False))
     tok = sh.select("rid", F.size("sh").alias("n"),
                     F.explode("sh").alias("g"))
     dfc = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -890,6 +936,41 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     rep_pairs = _grid_verify_jaccard(
         cand, sh.select(F.col("rid").alias("fp"), "sh"), thr_num,
         grid_cell_elements, verify)
+    if n_dup_members == 0:
+        # identity regime: rid == id, families are singletons — the
+        # verified representative pairs are the final answer (fa < fb
+        # holds because candidates were generated with pa.rid < pb.rid).
+        return rep_pairs.select(F.col("fa").alias("a"),
+                                F.col("fb").alias("b"), "jaccard")
+    if fam_small is not None:
+        # broadcast regime: only dup-family members (≤ cap, known from
+        # the sizing aggregate) need membership rows; every expansion
+        # join broadcasts them, so rep_pairs never shuffles. Non-dup
+        # rids expand to themselves via the left-join coalesce.
+        mem_dup = (sh0.join(F.broadcast(fam_small), "fp")
+                   .select("rid", id_col))
+        ma = mem_dup.select(F.col("rid").alias("fa"),
+                            F.col(id_col).alias("_xa"))
+        mb = mem_dup.select(F.col("rid").alias("fb"),
+                            F.col(id_col).alias("_xb"))
+        xa = F.coalesce("_xa", F.col("fa"))
+        xb = F.coalesce("_xb", F.col("fb"))
+        cross = (rep_pairs
+                 .join(F.broadcast(ma), "fa", "left")
+                 .join(F.broadcast(mb), "fb", "left")
+                 .select(F.least(xa, xb).alias("a"),
+                         F.greatest(xa, xb).alias("b"), "jaccard"))
+        intra = (mem_dup.alias("x")
+                 .join(F.broadcast(mem_dup.alias("y")),
+                       (F.col("x.rid") == F.col("y.rid"))
+                       & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+                 .select(F.col(f"x.{id_col}").alias("a"),
+                         F.col(f"y.{id_col}").alias("b"),
+                         F.lit(1.0).alias("jaccard")))
+        return cross.unionByName(intra)
+    mem = (sh0.select("fp", id_col)
+           .join(sh.select("fp", "rid").hint("shuffle_hash"), "fp")
+           .select("rid", id_col))
     # ---- re-expansion: families are disjoint, so cross-family pairs
     # can't duplicate and least/greatest restores the a < b contract;
     # intra-family pairs (identical sets) are J = 1.0 by definition.

@@ -194,3 +194,27 @@ def test_prefix_filter_grid_verify_equals_brute_force(spark, sf_dir):
                                    # cost-based auto pick
     assert sorted(map(tuple, bf.collect())) == \
            sorted(map(tuple, pf.collect()))
+
+
+def test_prefix_filter_full_ladder_equals_broadcast_ladder(
+        spark, sf_dir, monkeypatch):
+    """Round 11 made the exact-collapse ladder cost-based (identity /
+    broadcast / full). Small planted families now take the BROADCAST
+    regime, so without this test the FULL ladder (the replica-corpus
+    path) would run untested. Pin the cap to 0 so the same planted-dup
+    corpus goes through the full ladder, and assert the two regimes
+    produce the identical pair set."""
+    corpus = (_aug_full_neardup(spark, sf_dir)
+              .orderBy("doc_id").limit(60).cache())
+    try:
+        fam = corpus.where(F.col("doc_id") % 5 == 0)
+        aug = corpus.unionByName(
+            fam.withColumn("doc_id", F.col("doc_id") + 30_000_000))
+        bcast = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+            aug, shingle_size=3, threshold=0.6).collect()))
+        monkeypatch.setattr(dedup, "_LADDER_BROADCAST_CAP", 0)
+        full = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+            aug, shingle_size=3, threshold=0.6).collect()))
+        assert bcast == full and len(full) > 0
+    finally:
+        corpus.unpersist()
