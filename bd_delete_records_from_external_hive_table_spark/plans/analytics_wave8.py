@@ -467,14 +467,31 @@ def _e09_quantizer(spark, sf_dir):
             return value
     # Disk artifact — train-once/serve-many ACROSS sessions (the r9
     # verdict's half-closed item: the session memo fixed warm runs,
-    # cold still retrained although save_ivf_index existed). Keyed by
-    # corpus path: the test corpora are immutable, so a hit is always
-    # the quantizer trained on THIS corpus; any unreadable/absent
-    # artifact falls back to the (deterministic, equality-tested)
-    # retrain, so the cache can only cost time, never correctness.
+    # cold still retrained although save_ivf_index existed). Round 11
+    # (r10 advice, medium): the tag now folds in a CONTENT fingerprint
+    # of the embeddings parquet (per-file size + mtime_ns), not just
+    # the corpus path — this repo's own workflow regenerates corpora
+    # at fixed paths (sfedge per PARITY.md), and a path-only key would
+    # silently serve a quantizer trained on the OLD data; e09 is
+    # rows-only (no SQL oracle), so that drift would go undetected.
+    # Any unreadable/absent artifact falls back to the (deterministic,
+    # equality-tested) retrain.
     base = os.environ.get("SPARK_GRAFT_ARTIFACTS",
                           "/tmp/bd_engine_artifacts")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stats = []
+    for root, _dirs, files in (os.walk(emb) if os.path.isdir(emb)
+                               else [(os.path.dirname(emb), [],
+                                      [os.path.basename(emb)])]):
+        for fn in sorted(files):
+            try:
+                st = os.stat(os.path.join(root, fn))
+                stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                pass
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + "|".join(stats)).encode()
+    ).hexdigest()[:12]
     cdir = os.path.join(base, f"e09_quantizer_{tag}")
     cent_path = os.path.join(cdir, "centroids")
     meta_path = os.path.join(cdir, "refine.json")
@@ -490,6 +507,17 @@ def _e09_quantizer(spark, sf_dir):
         value = similarity.train_semantic_quantizer(_aug_emb(spark, sf_dir))
         try:
             os.makedirs(cdir, exist_ok=True)
+            # orphan recovery (r10 advice): a crash after the centroid
+            # save but before the meta rename leaves a cdir with
+            # centroids and no refine.json — mode="error" would then
+            # fail every future save and the cache would be PERMANENTLY
+            # disabled (silent retrain forever). Meta is the commit
+            # record: no meta ⇒ whatever centroids exist are garbage,
+            # delete them before saving.
+            if (not os.path.exists(meta_path)
+                    and os.path.exists(cent_path)):
+                import shutil
+                shutil.rmtree(cent_path, ignore_errors=True)
             similarity.save_ivf_index(spark, value[0], cent_path,
                                       mode="error")
             tmp = meta_path + ".tmp"

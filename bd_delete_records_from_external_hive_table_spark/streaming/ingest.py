@@ -85,8 +85,14 @@ def read_store(spark: SparkSession, store_dir: str,
                     cond = None
                 if cond:
                     break
-        if cond == "PATH_NOT_FOUND" or (
-                cond is None and "PATH_NOT_FOUND" in str(e)):
+        # UNABLE_TO_INFER_SCHEMA is the same "not created yet" state
+        # reached differently (round-10 advice): a store_dir that
+        # EXISTS but holds no data files — e.g. an empty first
+        # micro-batch under dynamic overwrite writes only _SUCCESS —
+        # must read as the empty store, not kill the stream.
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                cond is None and ("PATH_NOT_FOUND" in str(e)
+                                  or "UNABLE_TO_INFER_SCHEMA" in str(e))):
             return spark.createDataFrame([], _store_schema(mode))
         raise
 

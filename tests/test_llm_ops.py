@@ -1029,3 +1029,68 @@ def test_e09_quantizer_disk_artifact_roundtrip(spark, sf_dir, tmp_path,
     assert calls == []  # loaded, not retrained
     assert ref1 == ref2
     assert np.array_equal(np.asarray(cent1), np.asarray(cent2))
+
+
+def test_e09_artifact_detects_regenerated_corpus(spark, sf_dir, tmp_path,
+                                                 monkeypatch):
+    """Round-11 (r10 advice, medium): the artifact tag is content-
+    fingerprinted, not path-only — a corpus REGENERATED at the same
+    path (the sfedge workflow does exactly this) must miss the cache
+    and retrain; e09 has no SQL oracle, so a stale quantizer serving
+    old-data clusters would otherwise go undetected forever."""
+    import os
+    import shutil
+
+    from bd_delete_records_from_external_hive_table_spark.plans import analytics_wave8 as w8
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet",
+                corpus / "embeddings.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    calls = []
+    orig_train = w8.similarity.train_semantic_quantizer
+    monkeypatch.setattr(
+        w8.similarity, "train_semantic_quantizer",
+        lambda *a, **k: calls.append(1) or orig_train(*a, **k))
+    w8._e09_quantizer(spark, str(corpus))
+    assert calls == [1]          # first touch trains + persists
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    w8._e09_quantizer(spark, str(corpus))
+    assert calls == [1]          # unchanged corpus: disk hit, no train
+    # "regenerate" the corpus in place: same path, new mtime
+    os.utime(corpus / "embeddings.parquet")
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    w8._e09_quantizer(spark, str(corpus))
+    assert calls == [1, 1]       # fingerprint miss -> retrained
+
+
+def test_e09_artifact_recovers_from_orphaned_centroids(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Round-11 (r10 advice): centroids saved but no refine.json =
+    a crash between the two writes. The next train must DELETE the
+    orphan and save successfully — the old mode="error" save raised on
+    the existing path, was swallowed, and permanently disabled the
+    cache (retrain on every cold run, the exact regression the
+    artifact exists to prevent)."""
+    import os
+
+    from bd_delete_records_from_external_hive_table_spark.plans import analytics_wave8 as w8
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    w8._e09_quantizer(spark, sf_dir)
+    [meta] = list(tmp_path.glob("e09_quantizer_*/refine.json"))
+    os.remove(meta)              # simulate the crash window
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    w8._e09_quantizer(spark, sf_dir)   # must rebuild the orphan
+    assert meta.exists()         # cache re-enabled: meta re-committed
+    monkeypatch.setattr(w8, "_E09_MEMO", {})
+    calls = []
+    orig_train = w8.similarity.train_semantic_quantizer
+    monkeypatch.setattr(
+        w8.similarity, "train_semantic_quantizer",
+        lambda *a, **k: calls.append(1) or orig_train(*a, **k))
+    w8._e09_quantizer(spark, sf_dir)
+    assert calls == []           # and the reload path works again

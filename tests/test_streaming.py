@@ -754,3 +754,26 @@ def test_ingest_minhash_stream_equals_d15_batch_survivors(
     all_ids = {r.doc_id for r in aug.select("doc_id").collect()}
     expected = survivors | (all_ids - clustered)
     assert got == expected
+
+
+def test_read_store_empty_dir_is_empty_store(spark, tmp_path):
+    """Round-11 (r10 advice): a store_dir that EXISTS but holds no
+    data files (an empty first micro-batch under dynamic overwrite
+    leaves only _SUCCESS) is the same "not created yet" state as a
+    missing path — read_store must return the empty typed store, not
+    raise UNABLE_TO_INFER_SCHEMA and kill the stream."""
+    from bd_delete_records_from_external_hive_table_spark.streaming.ingest import read_store
+
+    d = tmp_path / "store"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    for mode in ("exact", "minhash"):
+        got = read_store(spark, str(d), mode=mode)
+        assert got.count() == 0
+    # a genuinely corrupt store must still surface
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_store(spark, str(bad)).collect()

