@@ -145,3 +145,28 @@ def test_entry_smoke(spark):
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 10
+
+
+def test_every_no_oracle_query_has_parity_rationale():
+    """Round-11 (r10 verdict item 8): guard the no-oracle perimeter.
+    Every registry query shipped without a DuckDB value-oracle must
+    carry a documented impossibility rationale in PARITY.md's
+    rows-only table — this invariant makes it impossible to silently
+    add a rows-only query without saying WHY no oracle can exist.
+    The check requires the name inside a markdown table row (not a
+    passing mention in a recert log line)."""
+    import os
+
+    from bd_delete_records_from_external_hive_table_spark import plans
+
+    parity = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.md")
+    with open(parity) as fh:
+        table_rows = [l for l in fh if l.startswith("|")]
+    missing = [name for name, spec in plans.REGISTRY.items()
+               if spec.oracle is None
+               and not any(name in row for row in table_rows)]
+    assert not missing, (
+        f"rows-only queries without a PARITY.md rationale row: {missing} "
+        f"— add a '| query | why no oracle | covering invariant |' row "
+        f"before shipping")

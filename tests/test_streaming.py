@@ -777,3 +777,81 @@ def test_read_store_empty_dir_is_empty_store(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         read_store(spark, str(bad)).collect()
+
+
+def test_ingest_stream_min_id_vs_d15_keep_best_divergence(
+        spark, sf_dir, tmp_path):
+    """Round-11 (r10 verdict item 6): the exact-dup construction in
+    the parity test above makes keep-best coincide with min-id, so a
+    silent survivor-policy change in the streaming store could never
+    fail it. Here the planted copies are PERTURBED to be strictly
+    LONGER than their originals (unique appended tokens, so copies
+    never pair with each other), which drives the two documented rules
+    apart: the stream's first-arrival/min-id rule must admit the
+    ORIGINAL and block the later, longer copy; d15's keep-best rule
+    (longest text wins) must keep the COPY and drop the original.
+    Asserting BOTH directions pins each policy — if either side
+    silently adopts the other's rule, the test fails."""
+    from bd_delete_records_from_external_hive_table_spark.operators import dedup
+    from bd_delete_records_from_external_hive_table_spark.streaming import ingest as si
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.size(F.filter(F.split("text", r"\s+"),
+                                   lambda t: t != "")) >= 12))
+    base = docs.where(F.col("doc_id") < 250)
+    # drop members of organic LSH candidate pairs (same guard as the
+    # exact-dup parity test): only planted families may pair
+    sigs = dedup.minhash_signatures(base, "text", "doc_id", 32, 3)
+    organic = dedup.lsh_candidate_pairs(sigs, "doc_id", 8, 32).collect()
+    bad = sorted({r.a for r in organic} | {r.b for r in organic})
+    base = base.where(~F.col("doc_id").isin(bad)).localCheckpoint()
+
+    OFF = 80_000
+    # copy = original + three tokens UNIQUE to the doc (no cross-copy
+    # shingle overlap) -> strictly longer, J vs original stays high
+    longer = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"),
+        F.concat("text", F.lit(" qx"), F.col("doc_id").cast("string"),
+                 F.lit("a qx"), F.col("doc_id").cast("string"),
+                 F.lit("b qx"), F.col("doc_id").cast("string"),
+                 F.lit("c")).alias("text"))
+    d = tmp_path / "dv"
+    d.mkdir()
+    _write_batch(base, str(d), "b1", 1_000_000_000)       # originals
+    _write_batch(longer, str(d), "b2", 1_000_000_100)     # later copies
+    q = si.ingest_dedup_stream(
+        _docs_stream(spark, str(d)), str(tmp_path / "dv_store"),
+        str(tmp_path / "dv_admitted"), str(tmp_path / "dv_ckpt"),
+        mode="minhash")
+    q.processAllAvailable()
+    q.stop()
+    admitted = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "dv_admitted"))
+                .collect()}
+
+    # d15 batch side over the same union
+    aug = base.unionByName(longer).localCheckpoint(eager=False)
+    pairs = dedup.minhash_near_duplicates(
+        aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    lens = aug.select(F.col("doc_id").alias("node"),
+                      F.length("text").alias("_len"))
+    w = Window.partitionBy("component").orderBy(F.desc("_len"), "node")
+    keep = {r.node: r.k for r in
+            comps.join(lens, "node")
+            .select("node", (F.row_number().over(w) == 1).alias("k"))
+            .collect()}
+
+    # eligible families: the planted pair was LSH-found AND verified
+    # (shared signature construction => the stream saw the same band
+    # collision); everything else is out of scope by construction
+    fams = [(a, b) for a, b in
+            ((r.a, r.b) for r in pairs.collect()) if b == a + OFF]
+    assert len(fams) >= 5, "corpus lost its planted divergent families"
+    for o, c in fams:
+        # stream: first arrival (the original, min id) is admitted,
+        # the later longer copy is blocked
+        assert o in admitted and c not in admitted, (o, c)
+        # d15 keep-best: the LONGER copy survives, the original drops
+        assert keep[c] is True and keep[o] is False, (o, c)
