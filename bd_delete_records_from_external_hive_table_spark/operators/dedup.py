@@ -649,7 +649,8 @@ _LADDER_BROADCAST_CAP = 200_000
 def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
                          thr_num: int,
                          cell_elements: int = _GRID_CELL_ELEMENTS,
-                         verify: str = "auto") -> DataFrame:
+                         verify: str = "auto",
+                         set_stats: tuple | None = None) -> DataFrame:
     """EXACT Jaccard verify of candidate pairs WITHOUT replicating a
     shingle array per candidate — the round-9 fix for d17's verify
     ceiling. The naive form (cand ⋈ sets ⋈ sets) ships each unique
@@ -684,9 +685,15 @@ def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
     (tests/test_wave10.py forces the grid)."""
     g = 1
     if verify != "join":  # a pinned join needs no sizing job at all
-        stats = sh.agg(F.sum(F.size("sh")).alias("n"),
-                       F.count(F.lit(1)).alias("s")).collect()[0]
-        total, n_sets = int(stats["n"] or 0), int(stats["s"] or 0)
+        if set_stats is not None:
+            # round 11: the caller already sized the unique-set frame
+            # in its ladder pre-aggregation — reuse (Σ|sh|, S) instead
+            # of paying a second serial sizing job
+            total, n_sets = set_stats
+        else:
+            stats = sh.agg(F.sum(F.size("sh")).alias("n"),
+                           F.count(F.lit(1)).alias("s")).collect()[0]
+            total, n_sets = int(stats["n"] or 0), int(stats["s"] or 0)
         g = max(1, min(64, -(-2 * total // cell_elements)))
     use_join = verify == "join" or (verify == "auto" and g == 1)
     if verify == "auto" and g > 1:
@@ -871,12 +878,18 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     #              is exactly what it exists for (k² collapse).
     # The sizing aggregate triggers sh0's lazy localCheckpoint — work
     # every downstream consumer needed anyway.
-    famc = (sh0.select("fp", id_col).groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("c"), F.min(id_col).alias("rid"))
+    famc = (sh0.select("fp", F.size("sh").alias("w"), id_col)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("c"), F.min(id_col).alias("rid"),
+                 F.first("w").alias("w"))
             .localCheckpoint(eager=False))
     _t = famc.agg(F.count(F.lit(1)).alias("n_fam"),
-                  F.sum("c").alias("n_docs")).first()
+                  F.sum("c").alias("n_docs"),
+                  F.sum("w").alias("tot_w")).first()
     n_dup_members = int(_t["n_docs"]) - int(_t["n_fam"])
+    # (Σ|sh| over UNIQUE sets, S) — the grid verify's sizing inputs,
+    # computed here for free so the verify skips its own sizing job
+    set_stats = (int(_t["tot_w"] or 0), int(_t["n_fam"]))
     fam_small = None
     if n_dup_members == 0:
         sh = sh0.select(F.col(id_col).alias("rid"), "sh")
@@ -935,7 +948,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
     rep_pairs = _grid_verify_jaccard(
         cand, sh.select(F.col("rid").alias("fp"), "sh"), thr_num,
-        grid_cell_elements, verify)
+        grid_cell_elements, verify, set_stats=set_stats)
     if n_dup_members == 0:
         # identity regime: rid == id, families are singletons — the
         # verified representative pairs are the final answer (fa < fb
