@@ -307,8 +307,24 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     here = os.path.dirname(os.path.abspath(__file__))
 
+    # wall-clock budget (seconds): a killed bench leaves NO artifact —
+    # strictly worse than a min-of-fewer-runs artifact — so before each
+    # additional pass, check that the time already spent plus one more
+    # pass (estimated at the previous pass's wall) still fits. The
+    # first pass always runs.
+    budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET",
+                                  "3600"))
+    t_start = time.time()
     runs: list[dict] = []
     for i in range(max(1, args.runs)):
+        t_run = time.time()
+        if runs and (time.time() - t_start) + (t_run - t_prev) \
+                > budget_s:
+            print(json.dumps({"note": f"time budget {budget_s}s: "
+                              f"stopping after {len(runs)} runs"}),
+                  file=sys.stderr)
+            break
+        t_prev = t_run
         r = run_once(sf_dir, cpus, limit=args.limit)
         runs.append(r)
         if not args.limit:   # smoke runs must not shadow real detail
