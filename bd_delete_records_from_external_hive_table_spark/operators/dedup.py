@@ -90,13 +90,14 @@ def minhash_permutations(num_hashes: int, seed: int = 42) -> list[tuple[int, int
             for _ in range(num_hashes)]
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_size: int = 3, seed: int = 42) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — one projection, no shuffle.
-    Docs with no shingles get the sentinel signature [p, p, ...]."""
-    sh = F.array_distinct(
-        shingles(ws_tokens(F.col(text_col)), shingle_size))
+def _signatures_from_shingles(shf: DataFrame, id_col: str = "doc_id",
+                              num_hashes: int = 32, seed: int = 42,
+                              sh_col: str = "sh") -> DataFrame:
+    """MinHash signatures from a PRE-SHINGLED frame (id, sh) — the
+    expression body of :func:`minhash_signatures`, split out so a
+    pipeline that also needs the shingle sets for exact verification
+    (:func:`minhash_near_duplicates`) shingles the corpus ONCE and
+    derives both consumers from the same frame."""
     perms = minhash_permutations(num_hashes, seed)
 
     def perm_fn(a: int, b: int):
@@ -105,15 +106,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # Materialize the shingle-hash array in its own projection: the k
     # permutation expressions below each reference it, and CollapseProject
     # keeps a multiply-referenced non-cheap expression in its own stage, so
-    # tokenize+shingle+hash runs once per row (not k times) and the codegen
-    # for the signature stays small.
-    hashed = df.select(F.col(id_col),
-                       F.transform(sh, stable_hash28).alias("_h"))
+    # hashing runs once per row (not k times) and the codegen for the
+    # signature stays small.
+    hashed = shf.select(F.col(id_col),
+                        F.transform(F.col(sh_col),
+                                    stable_hash28).alias("_h"))
     sig = F.array(*[
         F.coalesce(F.array_min(F.transform(F.col("_h"), perm_fn(a, b))),
                    F.lit(HASH_PRIME))
         for a, b in perms])
     return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_size: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — one projection, no shuffle.
+    Docs with no shingles get the sentinel signature [p, p, ...]."""
+    shf = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(ws_tokens(F.col(text_col)),
+                                  shingle_size)).alias("sh"))
+    return _signatures_from_shingles(shf, id_col, num_hashes, seed)
 
 
 def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
@@ -181,14 +195,23 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             threshold: float = 0.7,
                             seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
-    verification on candidates only. Returns (a, b, jaccard ≥ threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_size, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
+    verification on candidates only. Returns (a, b, jaccard ≥ threshold).
+
+    Round 11 (guide §1.2 step 1 — don't compute things twice): the
+    shingle frame feeds THREE consumers (the signature projection and
+    both verify sides), and without materialization each re-ran
+    tokenize+shingle+distinct over the corpus — the single most
+    expensive per-row transform in the pipeline, executed 3×. One
+    localCheckpoint makes it compute once; signatures and the verify
+    joins read the materialized arrays (the d17/sh0 lesson applied to
+    the LSH family: d04/d15/d16/g03/d20 all inherit the fix)."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(ws_tokens(F.col(text_col)),
-                                  shingle_size)).alias("sh"))
+                                  shingle_size)).alias("sh")) \
+        .localCheckpoint(eager=False)
+    sigs = _signatures_from_shingles(sh, id_col, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     thr_num = int(round(threshold * 10000))

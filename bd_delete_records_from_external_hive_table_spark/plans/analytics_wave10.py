@@ -211,9 +211,22 @@ def ml02(spark, sf_dir):
             .localCheckpoint(eager=False))
     nd = toks.select("doc_id", "source",
                      F.coalesce(F.size("ts"), F.lit(0)).alias("n_d"))
-    tp = toks.select("doc_id", "source", F.explode("ts").alias("tok"))
-    ctl = (tp.groupBy("tok", F.col("source").alias("lab"))
-           .agg(F.count(F.lit(1)).alias("c"))
+    # round 11 (guide §2.3 "aggregate before you shuffle"): collapse
+    # token OCCURRENCES to per-document counts (doc, tok, k) before
+    # anything is joined — natural text repeats tokens, so every
+    # downstream shuffle (the dictionary join, the per-(doc,label)
+    # score aggregate) carries distinct (doc, tok) rows instead of
+    # every position. Exact by integer algebra: a doc's k occurrences
+    # of tok all contribute the same BIGINT micro-nat term, so
+    # Σ_occurrences qln = k·qln (int64 multiply; ≤ 2·10¹⁵ per doc at
+    # 10⁴ distinct tokens — 4000× headroom), and ctl's occurrence
+    # count re-aggregates as Σk. Oracle unchanged and re-MATCHed.
+    tpc = (toks.select("doc_id", "source", F.explode("ts").alias("tok"))
+           .groupBy("doc_id", "source", "tok")
+           .agg(F.count(F.lit(1)).alias("k"))
+           .localCheckpoint(eager=False))
+    ctl = (tpc.groupBy("tok", F.col("source").alias("lab"))
+           .agg(F.sum("k").alias("c"))
            .localCheckpoint(eager=False))
     tl = ctl.groupBy("lab").agg(F.sum("c").alias("t"))
     v = ctl.agg(F.countDistinct("tok").alias("vn"))
@@ -231,13 +244,16 @@ def ml02(spark, sf_dir):
     # leave Catalyst without size stats (Scan ExistingRDD) — unpinned,
     # the sf0.1 plan broadcast both (the d17 lesson, same round).
     # The scalar/label frames (v, dtot, lc) stay broadcast: they are
-    # 1-row / |labels|-row by construction.
-    s1 = (tp.join(ctl.withColumnRenamed("tok", "_tok").hint("merge"),
-                  F.col("tok") == F.col("_tok"))
+    # 1-row / |labels|-row by construction. shuffle_hash (round 11,
+    # guide §3.1): same broadcast-proofing as the old merge pin but
+    # without sort-merge's full sort of BOTH corpus-sized sides.
+    s1 = (tpc.join(ctl.withColumnRenamed("tok", "_tok")
+                   .hint("shuffle_hash"),
+                   F.col("tok") == F.col("_tok"))
           .groupBy("doc_id", "lab")
-          .agg(F.sum(_qln(F.col("c") + 1)).alias("s1")))
+          .agg(F.sum(F.col("k") * _qln(F.col("c") + 1)).alias("s1")))
     grid = (nd.crossJoin(F.broadcast(lc))
-            .join(s1.hint("merge"), ["doc_id", "lab"], "left")
+            .join(s1.hint("shuffle_hash"), ["doc_id", "lab"], "left")
             .select("doc_id", "source", "lab",
                     (F.col("prior_q") - F.col("n_d") * F.col("qtv")
                      + F.coalesce(F.col("s1"), F.lit(0))).alias("score")))
