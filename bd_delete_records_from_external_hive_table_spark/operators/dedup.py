@@ -283,12 +283,14 @@ def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
     """
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
+    # lazy checkpoints: the first round's convergence aggregate
+    # materializes both in one pass instead of two serial eager jobs
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager=False)
     labels = (edges.select(F.col("u").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("component"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     prev_sum = None
     for _ in range(max_iterations):
         # phase 1: min over neighbors
@@ -302,12 +304,16 @@ def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
         # phase 2: pointer doubling — follow the label's own label
         lab2 = labels.select(F.col("node").alias("n2"),
                              F.col("component").alias("c2"))
+        # lazy checkpoint: the convergence aggregate right below is the
+        # materializing action anyway — an eager checkpoint here spent
+        # one extra blocking job per round (round 11, guide §1.2: the
+        # per-round serial-job count IS the cost driver at bench SF)
         labels = (labels.join(lab2, labels.component == lab2.n2, "left")
                   .select(labels.node,
                           F.least(labels.component,
                                   F.coalesce(lab2.c2, labels.component))
                           .alias("component"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -58,7 +58,7 @@ def j01(spark, sf_dir):
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-            .orderBy("c_mktsegment"))
+            .coalesce(1).orderBy("c_mktsegment"))
 
 
 @register("j02_sortmerge_join",
@@ -79,7 +79,7 @@ def j02(spark, sf_dir):
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
-            .orderBy("o_orderstatus"))
+            .coalesce(1).orderBy("o_orderstatus"))
 
 
 @register("j03_semi_join",
@@ -141,7 +141,7 @@ def j05(spark, sf_dir):
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
-            .orderBy(F.col("revenue").desc(), "n_name"))
+            .coalesce(1).orderBy(F.col("revenue").desc(), "n_name"))
 
 
 @register("j08_tpch_q3_shape",
@@ -228,7 +228,7 @@ def j07(spark, sf_dir):
             .groupBy("band_id")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total"))
-            .orderBy("band_id"))
+            .coalesce(1).orderBy("band_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +264,7 @@ def a01(spark, sf_dir):
                  F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
                  F.round(F.avg("l_discount"), 4).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+            .coalesce(1).orderBy("l_returnflag", "l_linestatus"))
 
 
 @register("a02_rollup",
@@ -339,7 +339,7 @@ def a07(spark, sf_dir):
             .agg(*[F.round(F.percentile("o_totalprice", F.lit(q)), 2)
                    .alias(f"p{int(q * 100)}")
                    for q in (0.5, 0.9, 0.99)])
-            .orderBy("o_orderstatus"))
+            .coalesce(1).orderBy("o_orderstatus"))
 
 
 @register("a09_pivot",
@@ -359,7 +359,7 @@ def a09(spark, sf_dir):
     return (pv.select("o_orderpriority",
                       *[F.coalesce(F.col(c), F.lit(0))
                         .alias(f"{c.lower()}_orders") for c in ("F", "O", "P")])
-            .orderBy("o_orderpriority"))
+            .coalesce(1).orderBy("o_orderpriority"))
 
 
 @register("a08_grouping_sets",
@@ -375,7 +375,7 @@ def a08(spark, sf_dir):
             .groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
                           "o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+            .coalesce(1).orderBy(F.col("o_orderstatus").asc_nulls_first(),
                      F.col("o_orderpriority").asc_nulls_first()))
 
 
@@ -397,7 +397,7 @@ def w01(spark, sf_dir):
             .select("o_orderkey", "o_orderstatus", "o_totalprice",
                     F.row_number().over(w).cast("long").alias("rn"))
             .where(F.col("rn") <= 3)
-            .orderBy("o_orderstatus", "rn"))
+            .coalesce(1).orderBy("o_orderstatus", "rn"))
 
 
 @register("w02_running_total",
@@ -571,7 +571,7 @@ def f02(spark, sf_dir):
                      .cast("int").alias("ym"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-            .orderBy("ym"))
+            .coalesce(1).orderBy("ym"))
 
 
 @register("f03_math_funcs",
@@ -600,7 +600,7 @@ def f04(spark, sf_dir):
     return (_t(spark, sf_dir, "customer")
             .groupBy(bucket.alias("bal_bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("bal_bucket"))
+            .coalesce(1).orderBy("bal_bucket"))
 
 
 @register("f05_json_extract",
@@ -616,7 +616,7 @@ def f05(spark, sf_dir):
             .agg(F.sum(F.get_json_object("props", "$.k").cast("bigint"))
                  .alias("sum_k"),
                  F.count(F.lit(1)).alias("n"))
-            .orderBy("event_type"))
+            .coalesce(1).orderBy("event_type"))
 
 
 @register("f06_array_funcs",
@@ -637,7 +637,7 @@ def f06(spark, sf_dir):
             .select("vec_id",
                     F.size("embedding").cast("long").alias("dim"),
                     F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
-            .orderBy("vec_id"))
+            .coalesce(1).orderBy("vec_id"))
 
 
 @register("f08_from_json",
@@ -653,7 +653,7 @@ def f08(spark, sf_dir):
     return (parsed
             .groupBy(F.floor(F.col("p.k") / 10).alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("k_bucket"))
+            .coalesce(1).orderBy("k_bucket"))
 
 
 @register("f07_map_funcs",
@@ -677,7 +677,7 @@ def f07(spark, sf_dir):
                     F.coalesce(F.element_at("status_map", "F"), F.lit(0))
                     .alias("f_cnt"),
                     F.size(F.map_keys("status_map")).cast("long").alias("n_statuses"))
-            .orderBy("o_orderpriority"))
+            .coalesce(1).orderBy("o_orderpriority"))
 
 
 @register("f09_explode",
@@ -694,7 +694,7 @@ def f09(spark, sf_dir):
             .select(F.explode(F.split("p_type", " ")).alias("word"))
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("word"))
+            .coalesce(1).orderBy("word"))
 
 
 @register("f10_regexp_funcs",
@@ -714,7 +714,7 @@ def f10(spark, sf_dir):
                 F.length(F.regexp_replace("text", "[0-9]+", "#"))
                  .cast("long").alias("masked_len"),
                 F.col("text").rlike("[0-9]").cast("int").alias("has_digit"))
-            .orderBy("doc_id"))
+            .coalesce(1).orderBy("doc_id"))
 
 
 @register("w06_distribution_ranks",
@@ -766,7 +766,7 @@ def a10(spark, sf_dir):
                  F.round(F.avg(F.when(F.col("l_linestatus") == "F",
                                       F.col("l_extendedprice"))), 2)
                   .alias("avg_price_f"))
-            .orderBy("l_returnflag"))
+            .coalesce(1).orderBy("l_returnflag"))
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +870,7 @@ def cdc01(spark, sf_dir):
     return (merged.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total"))
-            .orderBy("o_orderstatus"))
+            .coalesce(1).orderBy("o_orderstatus"))
 
 
 # ---------------------------------------------------------------------------
@@ -899,4 +899,4 @@ def sa02(spark, sf_dir):
                       seed=42)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("sampled"))
-            .orderBy("o_orderstatus"))
+            .coalesce(1).orderBy("o_orderstatus"))

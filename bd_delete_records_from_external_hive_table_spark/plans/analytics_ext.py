@@ -69,7 +69,7 @@ def j09(spark, sf_dir):
             .select(F.col("k").alias("nationkey"),
                     F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
                     F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
-            .orderBy("nationkey"))
+            .coalesce(1).orderBy("nationkey"))
 
 
 @register("j10_tpch_q18_shape",
@@ -182,7 +182,7 @@ def a14(spark, sf_dir):
                     F.round(F.col("approx_pcts")[0], 2).alias("p50"),
                     F.round(F.col("approx_pcts")[1], 2).alias("p95"),
                     F.round(F.col("approx_pcts")[2], 2).alias("p99"))
-            .orderBy("l_returnflag"))
+            .coalesce(1).orderBy("l_returnflag"))
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +211,7 @@ def q14(spark, sf_dir):
             .join(F.broadcast(nation),
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .select("n_name", "n_above")
-            .orderBy("n_name"))
+            .coalesce(1).orderBy("n_name"))
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +233,7 @@ def a11(spark, sf_dir):
             .groupBy("r_name")
             .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
                  .alias("nations"))
-            .orderBy("r_name"))
+            .coalesce(1).orderBy("r_name"))
 
 
 @register("a12_histogram",
@@ -248,7 +248,7 @@ def a12(spark, sf_dir):
                     .cast("long").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("bin"))
+            .coalesce(1).orderBy("bin"))
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +346,7 @@ def u05(spark, sf_dir):
     return (r.intersectAll(a)
             .groupBy("l_quantity")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("l_quantity"))
+            .coalesce(1).orderBy("l_quantity"))
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +374,7 @@ def f11(spark, sf_dir):
                  F.round(F.max("c_acctbal"), 2).alias("max_bal")))
     return (wide.unpivot("c_nationkey", ["min_bal", "max_bal"],
                          "metric", "val")
-            .orderBy("c_nationkey", "metric"))
+            .coalesce(1).orderBy("c_nationkey", "metric"))
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +414,7 @@ def ts01(spark, sf_dir):
     return (spine.join(daily, "day", "left")
             .select("day",
                     F.last("v", ignorenulls=True).over(w).alias("v_filled"))
-            .orderBy("day"))
+            .coalesce(1).orderBy("day"))
 
 
 # ---------------------------------------------------------------------------
@@ -471,4 +471,4 @@ def e02(spark, sf_dir):
     return (comp.groupBy("label")
             .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4)
                  .alias("centroid_norm"))
-            .orderBy("label"))
+            .coalesce(1).orderBy("label"))

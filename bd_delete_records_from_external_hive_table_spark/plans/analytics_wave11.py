@@ -157,7 +157,7 @@ def ml03(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  mean_d2.cast("long").alias("mean_d2"),
                  F.max("d2").alias("max_d2"))
-            .orderBy("cluster"))
+            .coalesce(1).orderBy("cluster"))
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +191,7 @@ def sa05(spark, sf_dir):
     return (docs.select("source", "doc_id",
                         F.row_number().over(w).cast("long").alias("rk"))
             .where(F.col("rk") <= _SA05_QUOTA)
-            .orderBy("source", "rk"))
+            .coalesce(1).orderBy("source", "rk"))
 
 
 # ---------------------------------------------------------------------------
@@ -259,4 +259,4 @@ def t25(spark, sf_dir):
     return (sc.withColumn("rk", F.row_number().over(w_rk).cast("long"))
             .where(F.col("rk") <= _T25_K)
             .select("source", F.col("w").alias("term"), "score_q", "rk")
-            .orderBy("source", "rk"))
+            .coalesce(1).orderBy("source", "rk"))

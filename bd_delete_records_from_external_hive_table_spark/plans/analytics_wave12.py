@@ -87,7 +87,7 @@ def e13(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_dims"),
                  F.sum("err_q").alias("sum_err_q"),
                  F.max("err_q").alias("max_err_q"))
-            .orderBy("label"))
+            .coalesce(1).orderBy("label"))
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +169,7 @@ def t26(spark, sf_dir):
             .agg(F.sum(F.col("b.docs_d")).alias("docs_cum"),
                  F.sum(F.col("b.toks_d")).alias("tokens_cum"),
                  F.sum(F.col("b.nw")).alias("vocab_cum"))
-            .orderBy("decile"))
+            .coalesce(1).orderBy("decile"))
 
 
 # ---------------------------------------------------------------------------
@@ -226,24 +226,39 @@ def d18(spark, sf_dir):
     quadratic); the signature/shingle joins are id-keyed and pinned;
     the report groups on ≤33 keys."""
     aug = _aug_neardup_docs(spark, sf_dir)
-    # checkpoints: sigs feeds the banded self-join AND both broadcast
-    # sides; sh feeds both shingle sides — without materialization each
-    # consumer re-runs the interpreted 32-permutation / shingle HOFs
-    sigs = dedup.minhash_signatures(aug).localCheckpoint(eager=False)
-    cands = dedup.lsh_candidate_pairs(sigs)
-    sh = aug.select(
+    # ONE combined (doc_id, sh, sig) frame (round 11, guide §1.2/§2.4):
+    # the old shape kept SEPARATE sigs and sh checkpoints and attached
+    # them with FOUR broadcast joins (each a broadcast-exchange job
+    # under AQE) — on a 110-row FIXED_INPUT panel the per-job constant
+    # was the whole cost. One projection computes shingles once and
+    # derives the signature from them in place; candidates and both
+    # pair sides read the same checkpoint, and attachment is TWO
+    # broadcast joins.
+    perms = dedup.minhash_permutations(32)
+    sig = F.array(*[
+        F.coalesce(F.array_min(F.transform(
+            F.col("_h"), (lambda a, b: lambda h:
+                          (a * h + b) % dedup.HASH_PRIME)(a, b))),
+                   F.lit(dedup.HASH_PRIME))
+        for a, b in perms])
+    both = (aug.select(
         "doc_id",
         F.array_distinct(dedup.shingles(
-            dedup.ws_tokens(F.col("text")), 3)).alias("sh")) \
-        .localCheckpoint(eager=False)
-    sig_a = sigs.select(F.col("doc_id").alias("a"),
-                        F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("b"),
-                        F.col("sig").alias("sig_b"))
-    sh_a = sh.select(F.col("doc_id").alias("a"),
-                     F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b"),
-                     F.col("sh").alias("sh_b"))
+            dedup.ws_tokens(F.col("text")), 3)).alias("sh"))
+        .select("doc_id", "sh",
+                F.transform("sh", dedup.stable_hash28).alias("_h"))
+        .select("doc_id", "sh", sig.alias("sig"))
+        .localCheckpoint(eager=False))
+    sigs = both.select("doc_id", "sig")
+    # num_hashes passed explicitly: deriving it from the frame costs a
+    # blocking .first() job per call (round 11 job-count audit)
+    cands = dedup.lsh_candidate_pairs(sigs, num_hashes=32)
+    ab_a = both.select(F.col("doc_id").alias("a"),
+                       F.col("sh").alias("sh_a"),
+                       F.col("sig").alias("sig_a"))
+    ab_b = both.select(F.col("doc_id").alias("b"),
+                       F.col("sh").alias("sh_b"),
+                       F.col("sig").alias("sig_b"))
     m = sum((F.col("sig_a")[j] == F.col("sig_b")[j]).cast("int")
             for j in range(32))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -252,14 +267,10 @@ def d18(spark, sf_dir):
     # this panel is BOUNDED BY CONSTRUCTION (first-100 docs + copies at
     # every SF — FIXED_INPUT), so the no-stats-after-checkpoint hazard
     # that mandates pins on corpus-growing sides cannot apply; each
-    # broadcast replaces a 110-row exchange (measured with the sigs/sh
-    # checkpoints: cold 5.14 → 3.08 s; warm ~3.0 s is the panel-build +
-    # banded-join floor, constant by FIXED_INPUT construction)
+    # broadcast replaces a 110-row exchange
     pairs = (cands
-             .join(F.broadcast(sig_a), "a")
-             .join(F.broadcast(sig_b), "b")
-             .join(F.broadcast(sh_a), "a")
-             .join(F.broadcast(sh_b), "b")
+             .join(F.broadcast(ab_a), "a")
+             .join(F.broadcast(ab_b), "b")
              .select(m.cast("long").alias("sig_matches"),
                      (inter.cast("long") * 10000).alias("_i10"),
                      union.cast("long").alias("_u"))
@@ -272,4 +283,4 @@ def d18(spark, sf_dir):
                  F.sum("jq").alias("sum_jaccard_q"),
                  F.min("jq").alias("min_jaccard_q"),
                  F.max("jq").alias("max_jaccard_q"))
-            .orderBy("sig_matches"))
+            .coalesce(1).orderBy("sig_matches"))

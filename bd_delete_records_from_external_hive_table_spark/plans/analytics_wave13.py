@@ -173,7 +173,7 @@ def ml04(spark, sf_dir):
          .otherwise(F.round(intercept, 6)).alias("intercept"),
         F.when((F.col("den") == 0) | (F.col("ssy") == 0), F.lit(None))
          .otherwise(F.round(r2, 6)).alias("r2"))
-        .orderBy("source"))
+        .coalesce(1).orderBy("source"))
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +249,7 @@ def ml05(spark, sf_dir):
                      F.when((F.col("p") == 0) | (F.col("q") == 0),
                             F.lit(None).cast("long"))
                       .otherwise(auc.cast("long")).alias("auc_micro"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 # ---------------------------------------------------------------------------
@@ -345,7 +345,7 @@ def d19(spark, sf_dir):
                  F.sum(cov0).alias("covered_tokens"),
                  F.expr("(sum(coalesce(cov, 0)) * 1000000) div "
                         "greatest(sum(m), 1)").alias("coverage_ppm"))
-            .orderBy("bucket"))
+            .coalesce(1).orderBy("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -438,4 +438,4 @@ def t27(spark, sf_dir):
                  F.sum("score_q").alias("sum_score_micro"),
                  F.min("score_q").alias("min_score_micro"),
                  F.max("score_q").alias("max_score_micro"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))

@@ -99,7 +99,7 @@ def t28(spark, sf_dir):
                  .alias("avg_mattr_micro"),
                  F.min("mattr_micro").alias("min_mattr_micro"),
                  F.max("mattr_micro").alias("max_mattr_micro"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +176,7 @@ def ts11(spark, sf_dir):
                  F.max(F.when(F.col("rn") == F.expr("(cnt + 1) div 2"),
                               F.col("slope_micro")))
                  .alias("theil_sen_micro"))
-            .orderBy("event_type"))
+            .coalesce(1).orderBy("event_type"))
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,7 @@ def ml06(spark, sf_dir):
         F.expr(f"(cum_pos * 1000000) div {p}").alias("recall_micro"),
         F.expr(f"(2 * cum_pos * 1000000) div (cum_cnt + {p})")
         .alias("f1_micro"))
-        .orderBy(F.desc("threshold_score")))
+        .coalesce(1).orderBy(F.desc("threshold_score")))
 
 
 # ---------------------------------------------------------------------------

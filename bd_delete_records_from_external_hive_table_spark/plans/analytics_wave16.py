@@ -108,4 +108,4 @@ def st08(spark, sf_dir):
                     F.col("doc_id").alias("admitted_id"))
     two = a2.select(F.lit(2).cast("long").alias("batch"),
                     F.col("doc_id").alias("admitted_id"))
-    return one.unionByName(two).orderBy("batch", "admitted_id")
+    return one.unionByName(two).coalesce(1).orderBy("batch", "admitted_id")

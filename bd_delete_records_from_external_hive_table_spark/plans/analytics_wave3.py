@@ -147,7 +147,7 @@ def q15(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
                  .cast("double").alias("totacctbal"))
-            .orderBy("c_nationkey"))
+            .coalesce(1).orderBy("c_nationkey"))
 
 
 @register("ts02_resample",
@@ -275,4 +275,4 @@ def d08(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("text").alias("distinct_raw"),
                  F.countDistinct(norm).alias("distinct_norm"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))

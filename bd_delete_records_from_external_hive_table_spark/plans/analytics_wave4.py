@@ -106,7 +106,7 @@ def j15(spark, sf_dir):
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("long").alias("l_year"))
             .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
-            .orderBy("supp_nation", "cust_nation", "l_year"))
+            .coalesce(1).orderBy("supp_nation", "cust_nation", "l_year"))
 
 
 @register("j16_tpch_q8_shape",
@@ -169,7 +169,7 @@ def j16(spark, sf_dir):
                 F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume"))
                       .otherwise(zero))
                 / F.sum("volume"), 6).cast("double").alias("mkt_share"))
-            .orderBy("o_year"))
+            .coalesce(1).orderBy("o_year"))
 
 
 @register("j17_tpch_q13_shape",
@@ -197,7 +197,7 @@ def j17(spark, sf_dir):
             .agg(F.count("o_orderkey").alias("c_count"))
             .groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist"))
-            .orderBy(F.desc("custdist"), F.desc("c_count")))
+            .coalesce(1).orderBy(F.desc("custdist"), F.desc("c_count")))
 
 
 @register("a17_tpch_q12_shape",
@@ -230,7 +230,7 @@ def a17(spark, sf_dir):
             .groupBy("l_linestatus")
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
-            .orderBy("l_linestatus"))
+            .coalesce(1).orderBy("l_linestatus"))
 
 
 @register("a18_tpch_q17_shape",
@@ -322,7 +322,7 @@ def q16(spark, sf_dir):
             .select("s_suppkey", "s_name",
                     F.round("total_revenue", 2).cast("double")
                     .alias("total_revenue"))
-            .orderBy("s_suppkey"))
+            .coalesce(1).orderBy("s_suppkey"))
 
 
 @register("q17_tpch_q4_shape",
@@ -348,7 +348,7 @@ def q17(spark, sf_dir):
     return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_count"))
-            .orderBy("o_orderpriority"))
+            .coalesce(1).orderBy("o_orderpriority"))
 
 
 @register("q18_tpch_q20_shape",
@@ -446,7 +446,7 @@ def a19(spark, sf_dir):
         F.round(F.sqrt(var), 6).alias("stddev_qty"),
         F.round(cov, 6).alias("covar_qp"),
         F.round(corr, 6).alias("corr_qp"))
-        .orderBy("l_returnflag"))
+        .coalesce(1).orderBy("l_returnflag"))
 
 
 @register("a20_mode_per_group",
@@ -472,7 +472,7 @@ def a20(spark, sf_dir):
             .where(F.col("rk") == 1)
             .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
                     "cnt")
-            .orderBy("l_returnflag"))
+            .coalesce(1).orderBy("l_returnflag"))
 
 
 @register("j18_shuffle_hash_join",
@@ -498,7 +498,7 @@ def j18(spark, sf_dir):
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-            .orderBy("o_orderpriority"))
+            .coalesce(1).orderBy("o_orderpriority"))
 
 
 @register("w09_rolling_distinct_users",
@@ -530,7 +530,7 @@ def w09(spark, sf_dir):
                             F.flatten(F.collect_list("us").over(w))))
                         .cast("long"))
             .select("d", "n_active_7d")
-            .orderBy("d"))
+            .coalesce(1).orderBy("d"))
 
 
 @register("j19_tpch_q9_shape",
@@ -602,4 +602,4 @@ def a21(spark, sf_dir):
                    .alias("approx_custkeys"))
               .select(F.lit("ALL").alias("o_orderstatus"),
                       "approx_custkeys"))
-    return est.unionByName(merged).orderBy("o_orderstatus")
+    return est.unionByName(merged).coalesce(1).orderBy("o_orderstatus")

@@ -109,7 +109,7 @@ def j20(spark, sf_dir):
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .groupBy("n_name")
             .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
-            .orderBy(F.desc("revenue"), "n_name"))
+            .coalesce(1).orderBy(F.desc("revenue"), "n_name"))
 
 
 @register("q19_tpch_q2_shape",
@@ -249,7 +249,7 @@ def a22(spark, sf_dir):
             .select("l_partkey",
                     F.round("part_value", 2).cast("double")
                     .alias("part_value"))
-            .orderBy(F.desc("part_value"), "l_partkey"))
+            .coalesce(1).orderBy(F.desc("part_value"), "l_partkey"))
 
 
 @register("w10_retention_cohorts",
@@ -291,7 +291,7 @@ def w10(spark, sf_dir):
     return (activity
             .groupBy("cohort_week", week_n.alias("week_n"))
             .agg(F.count("*").cast("long").alias("n_users"))
-            .orderBy("cohort_week", "week_n"))
+            .coalesce(1).orderBy("cohort_week", "week_n"))
 
 
 @register("a23_salted_skew_agg",
@@ -326,7 +326,7 @@ def a23(spark, sf_dir):
         "k", F.col("n").cast("long").alias("n"),
         F.round("dec_total", 2).cast("double").alias("total"),
         "vmin", "vmax")
-        .orderBy("k"))
+        .coalesce(1).orderBy("k"))
 
 
 @register("w11_event_funnel",
@@ -452,4 +452,4 @@ def ts03(spark, sf_dir):
     return (filled.select("day",
                           F.col("v").isNotNull().alias("observed"),
                           interp.alias("v_interp"))
-            .orderBy("day"))
+            .coalesce(1).orderBy("day"))

@@ -79,7 +79,7 @@ def st06(spark, sf_dir):
                  F.sum(F.col("kept").cast("long")).alias("n_kept"),
                  (F.count(F.lit(1))
                   - F.sum(F.col("kept").cast("long"))).alias("n_dupes"))
-            .orderBy("event_type"))
+            .coalesce(1).orderBy("event_type"))
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,7 @@ def t13(spark, sf_dir):
     return (sc.where(F.col("trank") <= 5)
             .select("source", "trank", "token",
                     F.round("tfidf_raw", 4).alias("tfidf"))
-            .orderBy("source", "trank"))
+            .coalesce(1).orderBy("source", "trank"))
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +251,7 @@ def e04(spark, sf_dir):
                     F.round(F.col("dot")
                             / (F.sqrt("sqa") * F.sqrt("sqb")), 4)
                     .alias("cos_sim"))
-            .orderBy("label_a", "label_b"))
+            .coalesce(1).orderBy("label_a", "label_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -496,7 +496,7 @@ def v01(spark, sf_dir):
             .groupBy("klass")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("k").cast("bigint").alias("first_key"))
-            .orderBy("klass"))
+            .coalesce(1).orderBy("klass"))
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +540,7 @@ def p02(spark, sf_dir):
     return (one.selectExpr(
         f"stack({len(_P02_COLS)}, {stack}) AS "
         f"(col_name, n_nulls, n_distinct, min_val, max_val)")
-        .orderBy("col_name"))
+        .coalesce(1).orderBy("col_name"))
 
 
 # ---------------------------------------------------------------------------
@@ -736,7 +736,7 @@ def f14(spark, sf_dir):
                  F.round(F.avg(F.try_divide(F.col("o_totalprice"),
                                             prio - 1)), 2)
                  .alias("avg_safe_ratio"))
-            .orderBy("prio"))
+            .coalesce(1).orderBy("prio"))
 
 
 # ---------------------------------------------------------------------------
@@ -833,7 +833,7 @@ def t16(spark, sf_dir):
                  F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"))
             .withColumn("chars_per_token",
                         F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 # ---------------------------------------------------------------------------
@@ -945,7 +945,7 @@ def ts05(spark, sf_dir):
             F.sqrt(num.cast("double")
                    / (F.col("n_days") * F.col("n_days")).cast("double"))
             / 100.0, 2).alias("resid_stddev"))
-        .orderBy("dow"))
+        .coalesce(1).orderBy("dow"))
 
 
 # ---------------------------------------------------------------------------
@@ -1133,7 +1133,7 @@ def a24(spark, sf_dir):
                           "sk", F.lit(0.5)).alias("p50"),
                       F.kll_sketch_get_quantile_double(
                           "sk", F.lit(0.9)).alias("p90")))
-    return est.unionByName(merged).orderBy("event_type")
+    return est.unionByName(merged).coalesce(1).orderBy("event_type")
 
 
 @register("a25_theta_set_algebra", None)  # sketch bytes: no SQL oracle

@@ -66,7 +66,7 @@ def a27(spark, sf_dir):
             .select("l_returnflag", "n", "med_qty",
                     F.round(F.element_at("pq", 1), 4).alias("p25_price"),
                     F.round(F.element_at("pq", 2), 4).alias("p75_price"))
-            .orderBy("l_returnflag"))
+            .coalesce(1).orderBy("l_returnflag"))
 
 
 @register("t17_hapax_rate",
@@ -103,7 +103,7 @@ def t17(spark, sf_dir):
             .withColumn("hapax_rate",
                         F.round(F.col("hapax") / F.col("vocab"), 6))
             .select("source", "vocab", "hapax", "hapax_rate")
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 _E06_BUDGETS = (8, 16, 32, 64)
@@ -175,7 +175,7 @@ def e06(spark, sf_dir):
             .groupBy(F.col("z.k").cast("bigint").alias("k"))
             .agg(F.round(F.avg("z.retention"), 6).alias("avg_retention"),
                  F.round(F.min("z.retention"), 6).alias("min_retention"))
-            .orderBy("k"))
+            .coalesce(1).orderBy("k"))
 
 
 @register("cdc03_mor_read",
@@ -207,7 +207,7 @@ def cdc03(spark, sf_dir):
     return (live.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("live_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("live_value"))
-            .orderBy("o_orderpriority"))
+            .coalesce(1).orderBy("o_orderpriority"))
 
 
 @register("a28_heavy_hitters",
@@ -298,7 +298,7 @@ def a28(spark, sf_dir):
     return (top.crossJoin(F.broadcast(total))
             .where(certified)
             .select("word", "n")
-            .orderBy(F.desc("n"), "word"))
+            .coalesce(1).orderBy(F.desc("n"), "word"))
 
 
 @register("ts07_autocorrelation",
@@ -333,7 +333,7 @@ def ts07(spark, sf_dir):
             .groupBy(F.col("lag").cast("bigint").alias("lag"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.round(F.corr("x", "y"), 4).alias("acf"))
-            .orderBy("lag"))
+            .coalesce(1).orderBy("lag"))
 
 
 @register("w13_last_touch_attribution",
@@ -369,7 +369,7 @@ def w13(spark, sf_dir):
             .groupBy(F.coalesce("channel", F.lit("(none)"))
                      .alias("channel"))
             .agg(F.count(F.lit(1)).alias("purchases"))
-            .orderBy("channel"))
+            .coalesce(1).orderBy("channel"))
 
 
 @register("e07_pair_cosine_histogram",
@@ -411,7 +411,7 @@ def e07(spark, sf_dir):
                      .alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("c"), 4).alias("avg_cos"))
-            .orderBy("bucket"))
+            .coalesce(1).orderBy("bucket"))
 
 
 @register("ts08_interval_union",

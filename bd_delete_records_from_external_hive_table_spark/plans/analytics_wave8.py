@@ -136,7 +136,7 @@ def t18(spark, sf_dir):
                                   * F.col("n_docs")
                                   / (F.col("df1") * F.col("df2"))), 4)
                     .alias("pmi"))
-            .orderBy(F.desc("cooc"), "w1", "w2"))
+            .coalesce(1).orderBy(F.desc("cooc"), "w1", "w2"))
 
 
 @register("d13_containment_neardup",
@@ -161,7 +161,7 @@ def d13(spark, sf_dir):
     exact all-pairs ground truth on the DuckDB side only."""
     return (dedup.containment_pairs(
         _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.8)
-        .orderBy("a", "b"))
+        .coalesce(1).orderBy("a", "b"))
 
 
 _AUG_PII = (
@@ -262,7 +262,7 @@ def t20(spark, sf_dir):
                  .alias("docs_with_pii"),
                  F.sum("n_residual").cast("long")
                  .alias("residual_after_redact"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 @register("d14_repeated_substring_stats",
@@ -346,7 +346,7 @@ def e08(spark, sf_dir):
     return (votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("query_id", F.col("label").alias("pred_label"), "votes")
-            .orderBy("query_id"))
+            .coalesce(1).orderBy("query_id"))
 
 
 @register("ts09_nearest_event",
@@ -439,7 +439,7 @@ def s08(spark, sf_dir):
                     F.coalesce("train_n", F.lit(0)).alias("train_n"),
                     F.coalesce("val_n", F.lit(0)).alias("val_n"),
                     F.coalesce("leaked_n", F.lit(0)).alias("leaked_n"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 # One trained semantic quantizer per (session, corpus) — e09's round-9
@@ -566,7 +566,7 @@ def e09(spark, sf_dir):
     return (similarity.semantic_dedup(
         _aug_emb(spark, sf_dir), threshold=0.99, n_assign=2,
         quantizer=_e09_quantizer(spark, sf_dir))
-        .orderBy("vec_id"))
+        .coalesce(1).orderBy("vec_id"))
 
 
 @register("t21_sequence_packing", None)  # iterative FFD: no SQL oracle
@@ -596,7 +596,7 @@ def t21(spark, sf_dir):
                  F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
                  F.sum(F.col("oversize").cast("int")).cast("long")
                  .alias("n_oversize"))
-            .orderBy("shard"))
+            .coalesce(1).orderBy("shard"))
 
 
 @register("e10_ann_pq_topk", None)  # trained PQ codebooks: no SQL oracle
@@ -671,7 +671,7 @@ def st07(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * 100).cast("long"))
                  .alias("total_cents"))
-            .orderBy("segment", "event_type"))
+            .coalesce(1).orderBy("segment", "event_type"))
 
 
 @register("t19_gopher_quality_rules",
@@ -769,4 +769,4 @@ def t19(spark, sf_dir):
                  F.sum("f_wordlen").alias("n_bad_wordlen"),
                  F.sum("f_nostop").alias("n_no_stopword"),
                  F.sum(clean.cast("long")).alias("n_clean"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))

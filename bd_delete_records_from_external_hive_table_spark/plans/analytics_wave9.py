@@ -281,7 +281,7 @@ def t22(spark, sf_dir):
                  F.round(F.sum("n_rep").cast("double")
                          / F.greatest(F.sum("n_grams"), F.lit(1)), 4)
                  .alias("dup_share"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 @register("ts10_seasonal_naive_backtest",
@@ -332,7 +332,7 @@ def ts10(spark, sf_dir):
                  F.round(F.sum(err_s).cast("double")
                          / F.greatest(F.sum(err_n), F.lit(1)), 4)
                  .alias("skill"))
-            .orderBy("event_type", "month"))
+            .coalesce(1).orderBy("event_type", "month"))
 
 
 _F15_URL = ("'https://' || source || '.example.com/' || "
@@ -374,7 +374,7 @@ def f15(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("path").alias("n_paths"),
                  F.countDistinct("ref").alias("n_refs"))
-            .orderBy("host"))
+            .coalesce(1).orderBy("host"))
 
 
 @register("m05_audio_quality_report", None)  # binary decode: no SQL oracle
@@ -456,19 +456,31 @@ def t23(spark, sf_dir):
                 F.element_at("ts", i).alias("w1"),
                 F.element_at("ts", i + 1).alias("w2")))).alias("b")) \
         .select("doc_id", "source", "b.w1", "b.w2")
-    blm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # round 11 (the ml02 lesson, guide §2.3): collapse bigram
+    # OCCURRENCES to per-doc (w1, w2, k) counts before the dictionary
+    # joins — the LM join and the per-doc aggregate then carry distinct
+    # (doc, bigram) rows instead of every position, and blm derives
+    # from the already-collapsed frame. The per-doc mean becomes the
+    # weighted form Σk·ce / Σk over the same multiset of ce values —
+    # numerically within libm-ulp territory of the occurrence sum, far
+    # inside the 4-dp rounding the docstring already adjudicates
+    # (oracle re-MATCHed at sf0.001/sf0.01/sfedge).
+    bgc = (bg.groupBy("doc_id", "source", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("k"))
+           .localCheckpoint(eager=False))
+    blm = bgc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     ce = -F.log((F.col("c12") + F.lit(1.0))
                 / (F.col("c1") + F.col("vsz")))
-    per_doc = (bg.join(blm, ["w1", "w2"])
+    per_doc = (bgc.join(blm, ["w1", "w2"])
                .join(ulm.withColumnRenamed("w", "w1"), "w1")
                .crossJoin(F.broadcast(vsz))
                .groupBy("doc_id")
                .agg(F.first("source").alias("source"),
-                    F.avg(ce).alias("dce")))
+                    (F.sum(F.col("k") * ce) / F.sum("k")).alias("dce")))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("dce"), 4).alias("avg_ce"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 _E12_SPLIT = ("CASE WHEN " + _DUCK_HASH28.format("CAST(vec_id AS VARCHAR)")
@@ -548,7 +560,7 @@ def e12(spark, sf_dir):
                     F.round(F.col("dot")
                             / (F.sqrt("na") * F.sqrt("nb")), 4)
                     .alias("drift_cos"))
-            .orderBy("label"))
+            .coalesce(1).orderBy("label"))
 
 
 @register("sa04_weighted_sample",
@@ -583,7 +595,7 @@ def sa04(spark, sf_dir):
                  F.sum(F.col("kept") * F.col("n_chars")).cast("long")
                  .alias("kept_chars"),
                  F.sum("n_chars").cast("long").alias("total_chars"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 _F16_OCTETS = ("user_id % 223 + 1 AS o1, "
@@ -638,7 +650,7 @@ def f16(spark, sf_dir):
                  F.sum((F.col("cls") == "public").cast("long"))
                  .cast("long").alias("n_public"),
                  F.countDistinct("packed").alias("n_distinct_ips"))
-            .orderBy("event_type"))
+            .coalesce(1).orderBy("event_type"))
 
 
 @register("m06_image_quality_report", None)  # binary decode: no SQL oracle

@@ -175,7 +175,7 @@ def d03(spark, sf_dir):
     contains the near-dup pairs at every scale factor."""
     return (dedup.ngram_jaccard_pairs(
         _aug_neardup_docs(spark, sf_dir), shingle_size=3, threshold=0.5)
-        .orderBy("a", "b"))
+        .coalesce(1).orderBy("a", "b"))
 
 
 # d04's DuckDB oracle replays the ENTIRE MinHash-LSH pipeline, not the
@@ -227,7 +227,7 @@ def d04(spark, sf_dir):
     return (dedup.minhash_near_duplicates(
         _aug_neardup_docs(spark, sf_dir),
         num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
-        .orderBy("a", "b"))
+        .coalesce(1).orderBy("a", "b"))
 
 
 _PAIRS_SQL = (
@@ -260,7 +260,7 @@ def d06(spark, sf_dir):
     comps = dedup.connected_components(pairs)
     return (comps.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_members"))
-            .orderBy("component"))
+            .coalesce(1).orderBy("component"))
 
 
 # SimHash in DuckDB: identical 28-bit construction — per bit, set when
@@ -286,7 +286,7 @@ def d05(spark, sf_dir):
     engine-exact, not just property-tested."""
     docs = (load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 100))
-    return dedup.simhash_signatures(docs).orderBy("doc_id")
+    return dedup.simhash_signatures(docs).coalesce(1).orderBy("doc_id")
 
 
 @register("d09_simhash_banded_neardup",
@@ -334,7 +334,7 @@ def e01(spark, sf_dir):
     corpus has no organic ≥0.99 pairs at all (oracle-verified green)."""
     return (similarity.embedding_near_duplicates(
         _aug_emb(spark, sf_dir), threshold=0.99, bands=16, bits=None)
-        .orderBy("a", "b"))
+        .coalesce(1).orderBy("a", "b"))
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +407,7 @@ def t01(spark, sf_dir):
     stats = token_stats_cols(F.col("text"))
     return (docs.select("doc_id",
                         *[c.cast("long").alias(n) for n, c in stats.items()])
-            .orderBy("doc_id"))
+            .coalesce(1).orderBy("doc_id"))
 
 
 @register("t02_quality_scores",
@@ -425,7 +425,7 @@ def t02(spark, sf_dir):
             .where(F.col("doc_id") < 100))
     return (docs.select("doc_id",
                         quality_score_col(F.col("text")).alias("quality"))
-            .orderBy("doc_id"))
+            .coalesce(1).orderBy("doc_id"))
 
 
 def _duck_lang_score(lang: str) -> str:
@@ -464,7 +464,7 @@ def t03(spark, sf_dir):
             .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
             .when(s["fr"] >= s["de"], "fr")
             .otherwise("de"))
-    return (scored.withColumn("lang_pred", pred).orderBy("doc_id"))
+    return (scored.withColumn("lang_pred", pred).coalesce(1).orderBy("doc_id"))
 
 
 @register("t04_fingerprint",
@@ -484,7 +484,7 @@ def t04(spark, sf_dir):
         "doc_id",
         F.array_min(F.transform(sh, stable_hash28)).alias("fp"),
         F.size(sh).cast("long").alias("n_shingles"))
-        .orderBy("doc_id"))
+        .coalesce(1).orderBy("doc_id"))
 
 
 @register("t05_sentence_split",
@@ -533,7 +533,7 @@ def d07(spark, sf_dir):
             .where(F.col("rn") == 1)
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("kept"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 @register("t06_repetition_score",
@@ -567,7 +567,7 @@ def t06(spark, sf_dir):
             .select("doc_id",
                     F.round(F.col("maxn").cast("double") / F.col("total"), 6)
                      .alias("top_gram_frac"))
-            .orderBy("doc_id"))
+            .coalesce(1).orderBy("doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +611,7 @@ def m01(spark, sf_dir):
                  F.round(F.avg(F.aggregate(
                      "features", F.lit(0.0), lambda a, x: a + x)), 4)
                  .alias("avg_feat_sum"))
-            .orderBy("modality"))
+            .coalesce(1).orderBy("modality"))
 
 
 @register("m03_real_media_decode", None)  # binary media decode: no SQL oracle
@@ -631,7 +631,7 @@ def m03(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_media"),
                  F.round(F.avg(F.element_at("features", 2)), 4)
                  .alias("avg_feat2"))
-            .orderBy("modality"))
+            .coalesce(1).orderBy("modality"))
 
 
 @register("m02_video_frame_sample", None)  # binary slicing: no SQL oracle
@@ -664,7 +664,7 @@ def st01(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("total"))
             .select(F.col("w.start").alias("wstart"), "n", "total")
-            .orderBy("wstart"))
+            .coalesce(1).orderBy("wstart"))
 
 
 @register("st02_sliding_window",
@@ -679,7 +679,7 @@ def st02(spark, sf_dir):
     return (ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("wstart"), "n")
-            .orderBy("wstart"))
+            .coalesce(1).orderBy("wstart"))
 
 
 @register("st03_session_window",
@@ -719,7 +719,7 @@ def st03(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
                  F.sum("n_events").cast("long").alias("n_events"),
                  F.sum("cents").cast("long").alias("total_cents"))
-            .orderBy("day"))
+            .coalesce(1).orderBy("day"))
 
 
 @register("st04_interval_join",
@@ -805,7 +805,7 @@ def t08(spark, sf_dir):
             .join(F.broadcast(bench_set), "g")
             .groupBy(F.col("doc_id").alias("train_id"))
             .agg(F.countDistinct("g").alias("n_shared"))
-            .orderBy("train_id"))
+            .coalesce(1).orderBy("train_id"))
 
 
 @register("s02_deterministic_shard",
@@ -829,7 +829,7 @@ def s02(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size(ws_tokens(F.col("text")))).cast("bigint")
                  .alias("n_tokens"))
-            .orderBy("shard"))
+            .coalesce(1).orderBy("shard"))
 
 
 @register("p01_curation_pipeline",
@@ -871,7 +871,7 @@ def p01(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size(bpe_tokens(F.col("text")))).cast("bigint")
                  .alias("n_tokens"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 @register("t09_gopher_quality_flags",
@@ -910,7 +910,7 @@ def t09(spark, sf_dir):
         "doc_id", mean_wl_ok.alias("mean_wl_ok"),
         symbol_ok.alias("symbol_ok"), stopword_ok.alias("stopword_ok"),
         (mean_wl_ok & symbol_ok & stopword_ok).alias("passes"))
-        .orderBy("doc_id"))
+        .coalesce(1).orderBy("doc_id"))
 
 
 #: Incremental-ingest demo: existing corpus = doc_id < 400; new batch =
@@ -974,7 +974,7 @@ def d10(spark, sf_dir):
               .select("doc_id"))
     return (fresh.join(keeper, "doc_id", "left_semi")
             .select(F.col("doc_id").alias("admitted_id"))
-            .orderBy("admitted_id"))
+            .coalesce(1).orderBy("admitted_id"))
 
 
 @register("s03_token_budget_packing",
@@ -1071,7 +1071,7 @@ def f13(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.sum("k").cast("bigint").alias("sum_k"),
                  F.count("tag").alias("n_tagged"))
-            .orderBy("event_type"))
+            .coalesce(1).orderBy("event_type"))
 
 
 @register("s04_temperature_mixing",
@@ -1116,7 +1116,7 @@ def s04(spark, sf_dir):
             .where(F.col("rk") <= F.col("target"))
             .groupBy("source", "target")
             .agg(F.count(F.lit(1)).alias("n_sampled"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 # ---------------------------------------------------------------------------
@@ -1189,7 +1189,7 @@ def s05(spark, sf_dir):
         "source", "split", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 4)
         .alias("share"))
-        .orderBy("source", "split"))
+        .coalesce(1).orderBy("source", "split"))
 
 
 @register("t10_char_bigram_entropy",
@@ -1249,7 +1249,7 @@ def t10(spark, sf_dir):
         lambda acc, c: acc - (c / F.col("n")) * F.log2(c / F.col("n")))
     return (with_runs.select("doc_id",
                              F.round(ent, 4).alias("bigram_entropy"))
-            .orderBy("doc_id"))
+            .coalesce(1).orderBy("doc_id"))
 
 
 @register("t11_boilerplate_ngrams",
@@ -1330,7 +1330,7 @@ def e03(spark, sf_dir):
             .groupBy("label")
             .agg(F.count("*").alias("n_vecs"),
                  F.max("max_err").alias("max_abs_err"))
-            .orderBy("label"))
+            .coalesce(1).orderBy("label"))
 
 
 @register("s06_filter_funnel",
@@ -1382,7 +1382,7 @@ def s06(spark, sf_dir):
                  cnt(lang_ok & len_ok).alias("n_len"),
                  cnt(lang_ok & len_ok & wl_ok).alias("n_wordlen"),
                  cnt(lang_ok & len_ok & wl_ok & stop_ok).alias("n_final"))
-            .orderBy("source"))
+            .coalesce(1).orderBy("source"))
 
 
 @register("sa03_per_source_hash_sample",
@@ -1410,7 +1410,7 @@ def sa03(spark, sf_dir):
                         F.row_number().over(w).alias("rk"))
             .where(F.col("rk") <= 5)
             .select("source", "doc_id", "n_chars")
-            .orderBy("source", "doc_id"))
+            .coalesce(1).orderBy("source", "doc_id"))
 
 
 @register("s07_length_stratification",
@@ -1442,7 +1442,7 @@ def s07(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.min("n_chars").cast("long").alias("min_chars"),
                  F.max("n_chars").cast("long").alias("max_chars"))
-            .orderBy("source", "quartile"))
+            .coalesce(1).orderBy("source", "quartile"))
 
 
 #: Fuzzy-vocab demo relation: the corpus vocabulary plus a planted
@@ -1504,4 +1504,4 @@ def d12(spark, sf_dir):
     return (cand
             .withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
             .where(F.col("dist") <= 1)
-            .orderBy("w1", "w2"))
+            .coalesce(1).orderBy("w1", "w2"))
