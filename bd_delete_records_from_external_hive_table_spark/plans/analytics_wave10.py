@@ -257,9 +257,17 @@ def ml02(spark, sf_dir):
             .select("doc_id", "source", "lab",
                     (F.col("prior_q") - F.col("n_d") * F.col("qtv")
                      + F.coalesce(F.col("s1"), F.lit(0))).alias("score")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lab")
-    return (grid.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .groupBy("source", F.col("lab").alias("pred_source"))
+    # argmax as ONE hash aggregate (round 11): min(struct(-score, lab))
+    # picks the max score and breaks ties to the smaller label — the
+    # exact row_number()-over-(desc score, lab) semantics — without the
+    # window's Sort, and with map-side partial aggregation collapsing
+    # the doc×label grid before the doc_id shuffle. score is an exact
+    # BIGINT micro-nat sum, so its negation is exact too.
+    pred = (grid.groupBy("doc_id")
+            .agg(F.first("source").alias("source"),
+                 F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("lab"))).alias("_best")))
+    return (pred.groupBy("source",
+                         F.col("_best.lab").alias("pred_source"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .orderBy("source", "pred_source"))
