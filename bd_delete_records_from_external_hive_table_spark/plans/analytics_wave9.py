@@ -191,22 +191,22 @@ def d16(spark, sf_dir):
     filtering on the verified pairs. The oracle replays the full
     pipeline with the shared constants, so the reported contamination
     set is engine-exact."""
-    # checkpoint: LSH pipeline + the split projection both consume aug
     aug = _aug_full_neardup(spark, sf_dir).localCheckpoint(eager=False)
     pairs = dedup.minhash_near_duplicates(
         aug, num_hashes=32, bands=8, shingle_size=3, threshold=0.5)
-    split = aug.select(
-        "doc_id",
-        F.when(stable_hash28(F.col("doc_id").cast("string")) % 100 < 70,
-               "corpus").otherwise("benchmark").alias("split"))
-    sa = split.select(F.col("doc_id").alias("a"),
-                      F.col("split").alias("split_a"))
-    sb = split.select(F.col("doc_id").alias("b"),
-                      F.col("split").alias("split_b"))
-    # shuffle_hash: the split frame grows with the corpus (d15's
-    # phantom-broadcast rationale)
-    j = (pairs.join(sa.hint("shuffle_hash"), "a")
-         .join(sb.hint("shuffle_hash"), "b"))
+    # round 11 (guide §2.4 — remove shuffles outright): the split is a
+    # PURE FUNCTION of doc_id (28-bit md5 bucket), so it is computed
+    # INLINE on the pair's own columns instead of joining the pair
+    # frame back to a split projection of the corpus — the old shape
+    # paid two shuffle-hash joins (pairs by a, then by b) to attach a
+    # value each row could derive in codegen. Same expression as the
+    # oracle's sp CTE, engine-exact.
+    def _split(col):
+        return F.when(stable_hash28(F.col(col).cast("string")) % 100 < 70,
+                      "corpus").otherwise("benchmark")
+    j = pairs.select("a", "b", "jaccard",
+                     _split("a").alias("split_a"),
+                     _split("b").alias("split_b"))
     cross = (j.where((F.col("split_a") == "corpus")
                      & (F.col("split_b") == "benchmark"))
              .select(F.col("a").alias("corpus_doc"), "jaccard")
