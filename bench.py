@@ -204,7 +204,22 @@ def run_once(sf_dir: str, cpus: str, limit: int = 0) -> dict:
     number really is analysis + codegen + execution): quiet-host gate,
     warm-up, every registry query cold+warm, min-of-3 extras for the
     fixed-input panel and the slowest-20 warm queries. Returns the full
-    per-run detail dict (the shape BENCH_DETAIL.json always had)."""
+    per-run detail dict (the shape BENCH_DETAIL.json always had).
+
+    Round 12 (r11 verdict What's-wrong #1): each pass points
+    ``SPARK_GRAFT_ARTIFACTS`` at a FRESH per-run temp dir, so queries
+    with a train-once/serve-many disk artifact (e09's semantic
+    quantizer) genuinely TRAIN inside their cold timing instead of
+    loading a quantizer persisted by an earlier bench invocation —
+    cross-run artifact reuse is a product feature, but a bench that
+    reads state from a previous run is not measuring the declared
+    computation. The warm number still reflects the within-session
+    serve path (the declared train-once behavior)."""
+    import shutil
+    import tempfile
+    prev_artifacts = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    artifacts_dir = tempfile.mkdtemp(prefix="bd_bench_artifacts_")
+    os.environ["SPARK_GRAFT_ARTIFACTS"] = artifacts_dir
     spark = SessionFactory.create(
         app_name="bd-engine-bench",
         master=f"local[{cpus}]",
@@ -279,6 +294,11 @@ def run_once(sf_dir: str, cpus: str, limit: int = 0) -> dict:
         }
     finally:
         spark.stop()
+        if prev_artifacts is None:
+            os.environ.pop("SPARK_GRAFT_ARTIFACTS", None)
+        else:
+            os.environ["SPARK_GRAFT_ARTIFACTS"] = prev_artifacts
+        shutil.rmtree(artifacts_dir, ignore_errors=True)
 
 
 def main() -> None:

@@ -55,8 +55,21 @@ def _run_at(sf_dir: str, names: list[str],
     are only meaningful if both tools measure identically). ``done``
     entries are skipped and ``save(out)`` checkpoints after every
     query, so a run killed by a shell timeout resumes where it left
-    off."""
-    from bench import time_query, warmup
+    off.
+
+    Round 12 (r11 verdict Next-round #6): the warm number is the MIN
+    of 3 warm repetitions (the bench's slowest-20 protocol applied to
+    every scaling row — single-sample warm ratios on this steal-prone
+    host steered round-11 flags), each row records ``n_warm_runs`` and
+    its own steal window, and the sf0.1 pass also records whether the
+    final sort runs single-partition (``single_sort``) so the
+    bounded-output classification behind the coalesce(1).orderBy
+    rewrite is GUARDED: a query whose output grows with SF while its
+    plan still carries `Coalesce 1` gets flagged instead of silently
+    single-tasking its final stage at scale (r11 advice #3)."""
+    import time as _time
+
+    from bench import _cpu_ticks, _steal_stats, time_query, warmup
     from bd_delete_records_from_external_hive_table_spark import plans
     from bd_delete_records_from_external_hive_table_spark.session import SessionFactory
 
@@ -71,12 +84,31 @@ def _run_at(sf_dir: str, names: list[str],
             if name in out:
                 continue
             sink = name in OUTPUT_HEAVY
+            ticks0 = _cpu_ticks()
             cold, warm, rows = time_query(spark, plans.REGISTRY[name],
                                           sf_dir, noop_sink=sink)
+            for _ in range(2):   # min-of-3 warm (verdict #6)
+                t0 = _time.perf_counter()
+                df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
+                if sink:
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.collect()
+                warm = min(warm, _time.perf_counter() - t0)
+            steal = _steal_stats(ticks0, _cpu_ticks())
             out[name] = {"cold": round(cold, 4), "warm": round(warm, 4),
-                         "rows_out": rows}
+                         "rows_out": rows, "n_warm_runs": 3,
+                         "steal_pct_of_busy":
+                             (steal or {}).get("steal_pct_of_busy")}
             if sink:
                 out[name]["noop_sink"] = True
+            try:
+                df = plans.REGISTRY[name].spark_fn(spark, sf_dir)
+                plan_txt = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "simple")
+                out[name]["single_sort"] = "Coalesce 1" in plan_txt
+            except Exception:
+                pass
             if save is not None:
                 save(out)
     finally:
@@ -232,6 +264,16 @@ def main(top_n: int = 20, only: str | None = None,
             # bounded demo panel: a flat ratio here measures constant
             # work, not scale — flagged so nobody reads it as evidence
             scaling[name]["fixed_input"] = FIXED_INPUT[name]
+        # bounded-output guard (round 12, r11 advice #3): the fleet-wide
+        # coalesce(1).orderBy rewrite is valid ONLY for report frames
+        # whose row count is ~SF-invariant. If a plan still sorts on a
+        # single partition while its output grew with the data decade,
+        # the one-time classification has rotted — flag it loudly here
+        # (the only tool that sees both SFs' row counts) instead of
+        # letting the final stage silently single-task at scale.
+        if (r01[name].get("single_sort") and ro0 is not None
+                and ro1 is not None and ro1 > max(2 * ro0, ro0 + 50)):
+            scaling[name]["bounded_sort_violation"] = True
     # Single-sample warm times on sub-second queries carry GC/compile
     # noise that can fake a superlinear ratio (a 0.2 s query reading
     # 2.4 s once). Every flagged query gets a min-of-3 confirmation
@@ -267,6 +309,9 @@ def main(top_n: int = 20, only: str | None = None,
                if s["superlinear"]}
     print(json.dumps({"metric": "sf1_over_sf0.1_warm_ratio",
                       "flagged_superlinear": flagged,
+                      "bounded_sort_violations":
+                          [n for n, s in scaling.items()
+                           if s.get("bounded_sort_violation")],
                       "ratios": {n: s["warm_ratio"]
                                  for n, s in scaling.items()}}))
 

@@ -4,10 +4,11 @@ harness' PARITY.md's per-wave entries refer to, now committed so every
 round's sweep is reproducible.
 
 Usage:
-  python tools/check_parity.py <sf_dir> [name1,name2,...]
+  python tools/check_parity.py <sf_dir> [name1,name2,... | sentinel]
 
-With no names, checks every oracle-bearing registry query. Prints one
-line per query (rows + match) and exits non-zero on any mismatch.
+With no names, checks every oracle-bearing registry query; the literal
+``sentinel`` selects the FIXED sentinel panel below. Prints one line
+per query (rows + match) and exits non-zero on any mismatch.
 Comparison mirrors tests/test_oracle_parity.py: pandas-converted
 values, column-name-sorted, order-insensitive, type-sensitive cells.
 """
@@ -24,6 +25,32 @@ import duckdb  # noqa: E402
 from bd_delete_records_from_external_hive_table_spark import plans  # noqa: E402
 from bd_delete_records_from_external_hive_table_spark.session import SessionFactory  # noqa: E402
 from bd_delete_records_from_external_hive_table_spark.sources.tables import TABLES  # noqa: E402
+
+#: Round-12 (r11 verdict Next-round #7): the driver's per-round
+#: correctness sample is ~50 of 219 queries and consecutive rounds'
+#: samples can be DISJOINT, so round-over-round "newly failing" is
+#: structurally unmeasurable for most queries. This FIXED sentinel
+#: panel — the profiled heavy composites every optimization round
+#: touches, plus the 10 reference-anchor q-queries — is swept at every
+#: change wave (``check_parity.py <sf> sentinel``) and the result
+#: recorded in PARITY.md's sentinel table, so the blind spot is closed
+#: by the builder's own committed evidence. Oracle-bearing names only
+#: (rows-only heavies — ml01/t15/e09 — are covered by their parity
+#: tests in tests/).
+SENTINEL = [
+    "d04_minhash_lsh_neardup", "d15_fuzzy_dedup_survivors",
+    "d16_fuzzy_decontamination", "d17_prefix_filter_jaccard",
+    "d18_minhash_calibration", "d19_dup_span_coverage",
+    "d20_lsh_planted_recall", "g01_triangle_count",
+    "g03_dup_graph_assortativity", "ml02_naive_bayes_source",
+    "ml03_kmeans_training", "p02_data_profile", "t22_duplication_profile",
+    "t23_bigram_ce_filter",
+    "q01_scan_count", "q02_time_window", "q03_conjunctive_criteria",
+    "q04_retention_complement", "q05_in_list_filter",
+    "q06_affected_partition_probe", "q07_delete_retain_complement",
+    "q08_ordered_projection", "q09_count_reconciliation",
+    "q10_per_partition_counts",
+]
 
 
 def _norm(pdf):
@@ -66,7 +93,8 @@ def _norm(pdf):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     if len(sys.argv) > 2:
-        names = sys.argv[2].split(",")
+        names = (list(SENTINEL) if sys.argv[2] == "sentinel"
+                 else sys.argv[2].split(","))
     else:
         names = sorted(plans.oracle_sql())
     con = duckdb.connect()

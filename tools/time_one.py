@@ -1,10 +1,11 @@
 """Round-11 measurement harness: isolate named registry queries — time
 them min-of-N in ONE fresh JVM (bench-identical session + warmup) and
-optionally dump .explain("formatted") to plans/r11/<name>_<tag>.txt.
+optionally dump .explain("formatted") to plans/<dir>/<name>_<tag>.txt.
 
 Usage:
   python tools/time_one.py --names d17_prefix_filter_jaccard[,...]
-      [--n 3] [--plan-tag before] [--sf-dir /root/testdata/sf0.1]
+      [--n 3] [--plan-tag before] [--plan-dir r12]
+      [--sf-dir /root/testdata/sf0.1]
 
 Timing protocol matches bench.py's time_query (collect(), cold then
 warm), so isolated numbers are comparable with BENCH_DETAIL rows; the
@@ -32,7 +33,9 @@ def main() -> int:
     ap.add_argument("--names", required=True)
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--plan-tag", default=None,
-                    help="write plans/r11/<name>_<tag>.txt explain output")
+                    help="write plans/<dir>/<name>_<tag>.txt explain output")
+    ap.add_argument("--plan-dir", default="r12",
+                    help="subdirectory of plans/ for --plan-tag dumps")
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
@@ -51,7 +54,7 @@ def main() -> int:
     gate = None if args.no_gate else bench.wait_for_quiet_host()
     ticks0 = bench._cpu_ticks()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r11")
+    plan_dir = os.path.join(here, "plans", args.plan_dir)
     try:
         bench.warmup(spark, args.sf_dir)
         out = {}
@@ -65,7 +68,7 @@ def main() -> int:
                 with open(os.path.join(
                         plan_dir, f"{name}_{args.plan_tag}.txt"), "w") as f:
                     f.write(txt)
-            spark.sparkContext.setJobDescription(f"r11 isolate: {name}")
+            spark.sparkContext.setJobDescription(f"isolate: {name}")
             samples = []
             for _ in range(max(1, args.n)):
                 t0 = time.perf_counter()
