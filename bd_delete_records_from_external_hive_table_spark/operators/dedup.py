@@ -92,12 +92,18 @@ def minhash_permutations(num_hashes: int, seed: int = 42) -> list[tuple[int, int
 
 def _signatures_from_shingles(shf: DataFrame, id_col: str = "doc_id",
                               num_hashes: int = 32, seed: int = 42,
-                              sh_col: str = "sh") -> DataFrame:
+                              sh_col: str = "sh",
+                              keep_shingles: bool = False) -> DataFrame:
     """MinHash signatures from a PRE-SHINGLED frame (id, sh) — the
     expression body of :func:`minhash_signatures`, split out so a
     pipeline that also needs the shingle sets for exact verification
     (:func:`minhash_near_duplicates`) shingles the corpus ONCE and
-    derives both consumers from the same frame."""
+    derives both consumers from the same frame. ``keep_shingles=True``
+    returns (id, sh, sig) — the one-projection combined frame consumers
+    like d18's calibration need; the signature expression lives HERE
+    only (round-12, r11 advice: a hand-inlined copy would silently
+    diverge from the shared permutation/seed constants the oracles
+    replay)."""
     perms = minhash_permutations(num_hashes, seed)
 
     def perm_fn(a: int, b: int):
@@ -108,14 +114,15 @@ def _signatures_from_shingles(shf: DataFrame, id_col: str = "doc_id",
     # keeps a multiply-referenced non-cheap expression in its own stage, so
     # hashing runs once per row (not k times) and the codegen for the
     # signature stays small.
-    hashed = shf.select(F.col(id_col),
+    extra = [F.col(sh_col)] if keep_shingles else []
+    hashed = shf.select(F.col(id_col), *extra,
                         F.transform(F.col(sh_col),
                                     stable_hash28).alias("_h"))
     sig = F.array(*[
         F.coalesce(F.array_min(F.transform(F.col("_h"), perm_fn(a, b))),
                    F.lit(HASH_PRIME))
         for a, b in perms])
-    return hashed.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), *extra, sig.alias("sig"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -132,7 +139,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
                       bands: int = 8,
-                      num_hashes: int | None = None) -> DataFrame:
+                      num_hashes: int | None = None,
+                      sentinel_filter: bool = True) -> DataFrame:
     """(id, band_idx, band_key) — the LSH band keys of each signature,
     exposed as a frame so ANY consumer (the pair join below, the
     streaming ingest store in streaming/ingest.py) shares ONE key
@@ -142,7 +150,18 @@ def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
     Shingle-less docs share the sentinel signature [p, p, ...] — banding
     them would put millions of short/empty docs into ONE bucket and turn
     the candidate join quadratic. They cannot be near-dups of anything
-    (Jaccard undefined/0), so they are excluded from banding."""
+    (Jaccard undefined/0), so they are excluded from banding.
+
+    ``sentinel_filter=False`` is for callers that ALREADY excluded
+    shingle-less docs upstream (``size(sh) > 0`` — exactly the docs
+    whose signature is the sentinel): when ``sig`` is a live projection
+    (not a checkpoint), Catalyst pushes the ``sig[0] < p`` predicate
+    below the signature project and RE-SUBSTITUTES the expression — the
+    executed filter then re-hashes every shingle (md5 transform + one
+    permutation + array_min) per row just to re-derive emptiness, a
+    second full hashing pass over the corpus on EACH banding side
+    (round 12; the plan-verified §4.4 duplicated-evaluation class, in
+    expression form)."""
     if num_hashes is None:  # derive from the signature when not provided
         row = sig_df.select(F.size("sig").alias("k")).first()
         if row is None:  # empty input → no band rows
@@ -150,7 +169,8 @@ def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
         else:
             num_hashes = row["k"]
     rows = num_hashes // bands
-    sig_df = sig_df.where(F.col("sig")[0] < HASH_PRIME)
+    if sentinel_filter:
+        sig_df = sig_df.where(F.col("sig")[0] < HASH_PRIME)
     return (sig_df.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -164,11 +184,14 @@ def banded_signatures(sig_df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 8,
-                        num_hashes: int | None = None) -> DataFrame:
+                        num_hashes: int | None = None,
+                        sentinel_filter: bool = True) -> DataFrame:
     """Band the signature and bucket-join: docs sharing ANY band's full
     sub-signature become a candidate pair (a < b). Shuffle key =
-    (band_idx, band_key) — never the cross product."""
-    banded = banded_signatures(sig_df, id_col, bands, num_hashes)
+    (band_idx, band_key) — never the cross product.
+    ``sentinel_filter`` forwards to :func:`banded_signatures`."""
+    banded = banded_signatures(sig_df, id_col, bands, num_hashes,
+                               sentinel_filter)
     a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     # shuffle_hash pin: BOTH sides are the banded CORPUS (they grow
@@ -204,14 +227,33 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     expensive per-row transform in the pipeline, executed 3×. One
     localCheckpoint makes it compute once; signatures and the verify
     joins read the materialized arrays (the d17/sh0 lesson applied to
-    the LSH family: d04/d15/d16/g03/d20 all inherit the fix)."""
+    the LSH family: d04/d15/d16/g03/d20 all inherit the fix).
+
+    Round 12 (guide §4.4, expression form): shingle-less docs are
+    dropped with a ``size(sh) > 0`` filter applied ABOVE the
+    checkpoint (a pushdown barrier, so the test reads the materialized
+    array header — an O(1) comparison) and banding skips its
+    ``sig[0] < p`` sentinel filter, whose pushed-below-the-projection
+    form used to re-hash every shingle per row on both banding sides
+    just to re-derive emptiness. Equivalent by construction: a doc's
+    signature is the sentinel iff its shingle set is empty, such docs
+    were never banded (so never candidates), and the verify joins are
+    inner joins from candidates — the pair set is unchanged.
+
+    Lifetime note (r11 advice): the lazy localCheckpoint below is
+    never explicitly unpersisted — blocks are reclaimed when the
+    driver GCs the RDD, which is fine for query-scoped use (bench,
+    plans) but means a long-lived session hammering the LSH family
+    holds executor storage between GCs."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(shingles(ws_tokens(F.col(text_col)),
                                   shingle_size)).alias("sh")) \
         .localCheckpoint(eager=False)
-    sigs = _signatures_from_shingles(sh, id_col, num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
+    sigs = _signatures_from_shingles(sh.where(F.size("sh") > 0),
+                                     id_col, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes,
+                                sentinel_filter=False)
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     thr_num = int(round(threshold * 10000))
@@ -280,18 +322,32 @@ def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
     size stays constant across rounds. Convergence is detected by the
     (strictly decreasing, integral) sum of labels reaching a fixpoint —
     one cheap aggregate per round, no change-join.
+
+    Round 12 (guide §2.4 — remove shuffles outright): initialization
+    FOLDS the identity-label round's neighbor-min into label
+    construction. With component₀ = node, round 1's phase 1
+    (min over neighbors' labels) is just min over neighbor ids, so
+    ``labels₀ = least(u, min(v)) GROUP BY u`` replaces the old
+    node-distinct exchange (same one shuffle, strictly more progress)
+    AND the old first edges⨝labels join; the convergence baseline is
+    the init frame's own label sum, so a graph whose init already IS
+    the fixpoint (every cluster a star/clique — the common dedup
+    shape) confirms in ONE loop round instead of two. The fixpoint and
+    its detection are unchanged: labels only ever decrease, the sum
+    strictly decreases iff any label changed, and the returned frame
+    is the identical (node, component) fixpoint.
     """
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    # lazy checkpoints: the first round's convergence aggregate
-    # materializes both in one pass instead of two serial eager jobs
+    # lazy checkpoints: the init-sum aggregate below materializes
+    # edges + labels in one pass instead of serial eager jobs
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
         .distinct().localCheckpoint(eager=False)
-    labels = (edges.select(F.col("u").alias("node"))
-              .distinct()
-              .select("node", F.col("node").alias("component"))
+    labels = (edges.groupBy(F.col("u").alias("node"))
+              .agg(F.least(F.col("node"), F.min("v")).alias("component"))
               .localCheckpoint(eager=False))
-    prev_sum = None
+    row = labels.agg(F.sum("component")).first()
+    prev_sum = row[0] if row is not None else None
     for _ in range(max_iterations):
         # phase 1: min over neighbors
         neigh = (edges.join(labels, edges.v == labels.node)
@@ -674,6 +730,27 @@ _GRID_CELL_ELEMENTS = 3_000_000
 #: round-9 full ladder runs (replica corpora: dup members ≈ corpus).
 _LADDER_BROADCAST_CAP = 200_000
 
+#: dfc-broadcast regime bounds (round 12, r11 verdict #4). The
+#: document-frequency dictionary (g, df) is |vocab|-sized; when it
+#: provably (or measurably) fits a broadcast, the tok⋈dfc join stops
+#: exchanging the EXPLODED TOKEN FRAME — the widest frame in the
+#: pipeline — by shingle and pipelines straight into the rank window's
+#: rid exchange. Σ|sh| (already known from the ladder sizing aggregate,
+#: zero extra jobs) bounds |vocab| from above, so:
+#:   Σ|sh| ≤ _DFC_BCAST_SAFE  → broadcast without counting;
+#:   Σ|sh| ≤ _DFC_COUNT_WORTH → one |vocab|-sized count job decides
+#:                              (checkpointed, so the chosen path
+#:                              reuses the aggregate);
+#:   else                     → the pinned shuffle join (true-scale
+#:                              corpora: an unbounded vocabulary must
+#:                              never ride a broadcast).
+#: 1M grams ≈ 25 MB of strings (~40-80 MB as a built hash relation) —
+#: comfortable on any executor sized for 100 TB work; production
+#: deployments tune via these module constants.
+_DFC_BCAST_SAFE = 1_000_000
+_DFC_COUNT_WORTH = 16_000_000
+_DFC_BCAST_CAP = 1_000_000
+
 
 def _grid_verify_jaccard(cand: DataFrame, sh: DataFrame,
                          thr_num: int,
@@ -935,6 +1012,20 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     tok = sh.select("rid", F.size("sh").alias("n"),
                     F.explode("sh").alias("g"))
     dfc = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # round 12 (r11 verdict #4, guide §3.1): broadcast the df
+    # dictionary when it fits — the tok⋈dfc join then needs NO exchange
+    # of the exploded token frame (the pipeline's widest), which flows
+    # straight from the sh checkpoint into the rank window's rid
+    # exchange. tot_w = Σ|sh| of EXACTLY the frame tok explodes (the
+    # ladder sizing already computed it — no extra job) bounds |vocab|;
+    # the mid band pays one counted decision, true-scale corpora keep
+    # the pinned shuffle join.
+    tot_w = set_stats[0]
+    bcast_dfc = tot_w <= _DFC_BCAST_SAFE
+    if not bcast_dfc and tot_w <= _DFC_COUNT_WORTH:
+        dfc = dfc.localCheckpoint(eager=False)
+        bcast_dfc = dfc.count() <= _DFC_BCAST_CAP
+    dfc = F.broadcast(dfc) if bcast_dfc else dfc.hint("shuffle_hash")
     w = Window.partitionBy("rid").orderBy("df", "g")
     # ⌈thr·n⌉ in pure integers: (thr_num·n + 9999) div 10000
     prefix_len = (F.col("n")
@@ -949,8 +1040,10 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # join at any scale WITHOUT sort-merge's full sort of both sides
     # (measured at sf1: 144 s vs 208-238 s merge vs a broadcast plan
     # that only survives on a single 128 GB JVM); dfc (the gram→df
-    # dictionary) also grows with the corpus, so it is pinned too.
-    pref = (tok.join(dfc.hint("shuffle_hash"), "g")
+    # dictionary) also grows with the corpus, so it is pinned on the
+    # unbounded path — the cost-based dfc broadcast above applies only
+    # when |vocab| is PROVEN (or counted) small.
+    pref = (tok.join(dfc, "g")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
             .select("rid", "n", "rk", "g"))

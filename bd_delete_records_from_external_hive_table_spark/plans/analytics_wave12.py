@@ -233,22 +233,16 @@ def d18(spark, sf_dir):
     # was the whole cost. One projection computes shingles once and
     # derives the signature from them in place; candidates and both
     # pair sides read the same checkpoint, and attachment is TWO
-    # broadcast joins.
-    perms = dedup.minhash_permutations(32)
-    sig = F.array(*[
-        F.coalesce(F.array_min(F.transform(
-            F.col("_h"), (lambda a, b: lambda h:
-                          (a * h + b) % dedup.HASH_PRIME)(a, b))),
-                   F.lit(dedup.HASH_PRIME))
-        for a, b in perms])
-    both = (aug.select(
-        "doc_id",
-        F.array_distinct(dedup.shingles(
-            dedup.ws_tokens(F.col("text")), 3)).alias("sh"))
-        .select("doc_id", "sh",
-                F.transform("sh", dedup.stable_hash28).alias("_h"))
-        .select("doc_id", "sh", sig.alias("sig"))
-        .localCheckpoint(eager=False))
+    # broadcast joins. Round 12 (r11 advice): the signature expression
+    # comes from dedup._signatures_from_shingles(keep_shingles=True) —
+    # the same single source of truth d04/d15/d16 use — instead of a
+    # hand-inlined copy that could silently diverge from the shared
+    # permutation/seed constants the oracle replays.
+    both = dedup._signatures_from_shingles(
+        aug.select("doc_id",
+                   F.array_distinct(dedup.shingles(
+                       dedup.ws_tokens(F.col("text")), 3)).alias("sh")),
+        num_hashes=32, keep_shingles=True).localCheckpoint(eager=False)
     sigs = both.select("doc_id", "sig")
     # num_hashes passed explicitly: deriving it from the frame costs a
     # blocking .first() job per call (round 11 job-count audit)

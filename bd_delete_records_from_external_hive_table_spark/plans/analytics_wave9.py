@@ -465,6 +465,15 @@ def t23(spark, sf_dir):
     # numerically within libm-ulp territory of the occurrence sum, far
     # inside the 4-dp rounding the docstring already adjudicates
     # (oracle re-MATCHed at sf0.001/sf0.01/sfedge).
+    # BOUNDARY RISK (r11 advice, the ts05 class): Σk·ce sums the same
+    # multiset in a DIFFERENT order than the oracle's per-occurrence
+    # AVG, so avg_ce could in principle land within half an ulp of a
+    # 0.5e-4 rounding boundary and flip the 4th decimal on one engine
+    # only. Certified SFs re-MATCHed; if a future SF trips it, the
+    # exact fix is ml02/t25's micro-unit integer quantization of ce
+    # BEFORE the k-multiply (order-free integer sums) — adopted on
+    # evidence, not preemptively, because it changes the declared
+    # output hash.
     bgc = (bg.groupBy("doc_id", "source", "w1", "w2")
            .agg(F.count(F.lit(1)).alias("k"))
            .localCheckpoint(eager=False))
