@@ -264,8 +264,9 @@ def save_merges(spark, merges, path: str, mode: str = "error") -> None:
     """Persist a learned merge table as parquet — the tokenizer
     artifact: encode jobs load the merges instead of re-training, so
     token boundaries stay identical across the corpus's lifetime."""
-    (spark.createDataFrame(
-        [(r, a, b, n) for r, a, b, n in merges],
+    from ..sources.tables import local_frame
+    (local_frame(
+        spark, [(r, a, b, n) for r, a, b, n in merges],
         "rank long, left string, right string, n long")
      .coalesce(1).write.mode(mode).parquet(path))
 

@@ -121,7 +121,8 @@ def global_rank_cumsum(df: DataFrame, order_col: str,
     off_schema = (f"{_BKT} int, _off_n long, "
                   + ", ".join(f"_off_{c} long" for c in sum_cols)
                   ).rstrip(", ")
-    offsets = spark.createDataFrame(off_rows, off_schema)
+    from ..sources.tables import local_frame
+    offsets = local_frame(spark, off_rows, off_schema)
 
     order = F.col(order_col) if ascending else F.col(order_col).desc()
     wrow = Window.partitionBy(_BKT).orderBy(order)

@@ -195,8 +195,10 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
     """
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rank long")
+        from ..sources.tables import local_frame
+        return local_frame(
+            corpus.sparkSession, [],
+            "query_id long, neighbor_id long, sim double, rank long")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
 
@@ -800,8 +802,10 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     codes = pq_encode(corpus, books, id_col, vec_col)
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rank long")
+        from ..sources.tables import local_frame
+        return local_frame(
+            corpus.sparkSession, [],
+            "query_id long, neighbor_id long, sim double, rank long")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     mm, kk, dsub = books.shape
@@ -1273,8 +1277,9 @@ def save_ivf_index(spark, centroids: np.ndarray, path: str,
     quantizer instead of re-sampling and re-running k-means, so bucket
     assignments stay IDENTICAL across jobs (a retrained quantizer would
     silently reshuffle every stored assignment)."""
+    from ..sources.tables import local_frame
     rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
-    (spark.createDataFrame(rows, "bucket int, centroid array<double>")
+    (local_frame(spark, rows, "bucket int, centroid array<double>")
      .coalesce(1).write.mode(mode).parquet(path))
 
 
@@ -1293,10 +1298,11 @@ def save_pq_codebooks(spark, codebooks: np.ndarray, path: str,
     instead of retraining, so stored CODE columns stay join-able (a
     retrained quantizer would silently re-map every code)."""
     m, k, _ = codebooks.shape
+    from ..sources.tables import local_frame
     rows = [(j, c, [float(v) for v in codebooks[j, c]])
             for j in range(m) for c in range(k)]
-    (spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>")
+    (local_frame(
+        spark, rows, "subspace int, code int, centroid array<double>")
      .coalesce(1).write.mode(mode).parquet(path))
 
 

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_frame
 from .registry import register
 
 
@@ -631,8 +631,8 @@ def g01(spark, sf_dir):
     n_tri = closing.count()
     n_edges = edges.count()
     n_nodes = deg.count()
-    return spark.createDataFrame(
-        [(n_edges, n_nodes, n_tri)],
+    return local_frame(
+        spark, [(n_edges, n_nodes, n_tri)],
         "n_edges long, n_nodes long, n_triangles bigint")
 
 
@@ -792,8 +792,8 @@ def t15(spark, sf_dir):
     an independent pure-Python reference trainer at 64 merges.
     Returns the merge table."""
     merges, _ = _trained_bpe(spark, sf_dir, num_merges=64)
-    return spark.createDataFrame(
-        [(r, a, b, a + b, n) for r, a, b, n in merges],
+    return local_frame(
+        spark, [(r, a, b, a + b, n) for r, a, b, n in merges],
         "rank long, left string, right string, merged string, n long")
 
 
@@ -1049,10 +1049,10 @@ def e05(spark, sf_dir):
     whitened, _, _ = pca_whitening(emb)
     n, _, cov_w = embedding_moments(whitened)
     off = cov_w - np.diag(np.diag(cov_w))
-    return spark.createDataFrame(
-        [(n,
-          round(float(np.abs(np.diag(cov_w) - 1.0).max()), 4),
-          round(float(np.abs(off).max()), 4))],
+    return local_frame(
+        spark, [(n,
+                 round(float(np.abs(np.diag(cov_w) - 1.0).max()), 4),
+                 round(float(np.abs(off).max()), 4))],
         "n_vectors long, max_diag_dev double, max_offdiag double")
 
 

@@ -21,12 +21,37 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "dim", "load_table", "register_views", "spread"]
+__all__ = ["TABLES", "dim", "load_table", "local_frame",
+           "register_views", "spread"]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-local DataFrame through the ARROW path.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` parallelizes the
+    rows as a PICKLED RDD over ``defaultParallelism`` slices, and every
+    later action on the frame pays one Python-worker round-trip PER
+    SLICE to unpickle them — measured 2.4–3.6 s per action for a
+    16-row frame on local[32] (vs 0.18 s through Arrow), which was the
+    entire cold cost of the artifact-save paths (e09) and the
+    driver-report queries (g01) that build their result row on the
+    driver (round 12; guide §4 — the Python boundary, in its sneakiest
+    form). Routing the same rows through a pandas DataFrame makes the
+    frame an Arrow-backed LocalTableScan: no Python worker ever runs.
+    Semantics are identical — the explicit ``schema`` pins types and
+    column names exactly as before."""
+    import pandas as pd
+
+    st = (spark.createDataFrame([], schema).schema
+          if isinstance(schema, str) else schema)
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema=st)
 
 
 def _epoch_nanos(ts: datetime) -> int:

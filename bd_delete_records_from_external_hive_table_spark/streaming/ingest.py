@@ -93,7 +93,8 @@ def read_store(spark: SparkSession, store_dir: str,
         if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
                 cond is None and ("PATH_NOT_FOUND" in str(e)
                                   or "UNABLE_TO_INFER_SCHEMA" in str(e))):
-            return spark.createDataFrame([], _store_schema(mode))
+            from ..sources.tables import local_frame
+            return local_frame(spark, [], _store_schema(mode))
         raise
 
 
