@@ -1194,21 +1194,28 @@ def kmeans_fit_exact(corpus: DataFrame, nlist: int,
                     "qsums": [sums[t] for t in touched],
                     "n": counts[touched].astype("int64")})
 
+        # round 12: element-wise array sums instead of posexplode — the
+        # old shape exploded every partial row dim-ways (partitions x
+        # nlist x dim shuffle rows; 8M at sf10) and collected nlist x
+        # dim rows to the driver per iteration. dim is small and fixed,
+        # so dim sum-aggregates over the un-exploded partials shuffle
+        # partitions x nlist rows and collect nlist rows. Same int64
+        # sums, bit-identical update.
         agg = (corpus.select(vec_col)
                .mapInPandas(partials, partial_schema)
-               .select("cluster", "n",
-                       F.posexplode("qsums").alias("pos", "qv"))
-               .groupBy("cluster", "pos")
-               .agg(F.sum("qv").alias("qsum"),
-                    F.sum(F.when(F.col("pos") == 0, F.col("n"))
-                          .otherwise(F.lit(0))).alias("n"))
+               .groupBy("cluster")
+               .agg(F.sum("n").alias("n"),
+                    *[F.sum(F.col("qsums")[j]).alias(f"s{j}")
+                      for j in range(dim)])
                .collect())
         sums = [[0] * dim for _ in range(k)]
         counts = [0] * k
         for r in agg:
-            sums[r["cluster"]][r["pos"]] = int(r["qsum"])
-            if r["pos"] == 0:
-                counts[r["cluster"]] = int(r["n"])
+            c = r["cluster"]
+            counts[c] = int(r["n"])
+            rs = sums[c]
+            for j in range(dim):
+                rs[j] = int(r[f"s{j}"])
         qm = [[_trunc_div(sums[c][j], counts[c]) for j in range(dim)]
               if counts[c] > 0 else qm[c]
               for c in range(k)]

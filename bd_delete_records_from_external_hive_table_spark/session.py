@@ -71,6 +71,20 @@ ENGINE_CONFS: dict[str, str] = {
     # Applied at JVM launch; a live session ignores it. Overridable for
     # constrained hosts.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # ONE BLAS thread per Python worker (round 12, guide §4). Spark
+    # already runs one task per core; OpenBLAS/OMP default to
+    # ncpu-thread pools PER PROCESS, so 32 concurrent pandas-UDF
+    # workers each spawning 32 BLAS threads oversubscribe the host
+    # 32x — the numpy matmuls inside the Arrow operators (k-means
+    # assignment, ANN banding, in-bucket cosine verify) thrash context
+    # switches instead of computing. Task-level parallelism is the
+    # cluster's job; per-task compute stays single-threaded — the
+    # standard production setting for numpy-under-Spark at any scale.
+    # Driver-side numpy (sample-based Lloyd's) is unaffected
+    # (executorEnv applies to workers only).
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
