@@ -305,6 +305,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # Duplicate clustering (transitive closure over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+#: driver-side closure regime bound (round 12, the r11 ladder pattern
+#: applied to clustering): a symmetrized edge set at or below this many
+#: rows is collected (≤ ~5 MB) and closed with union-find on the
+#: driver — microseconds of Python against the distributed path's
+#: multiple shuffle rounds, each of which moves the SAME edge set
+#: anyway. Above the cap (dedup graphs at real corpus scale) the
+#: pointer-doubling rounds run unchanged; the result is the identical
+#: (node, min-reachable-node) fixpoint either way — the same
+#: cost-based-broadcast reasoning as guide §3.1, for an iterative
+#: operator.
+_CC_DRIVER_EDGE_CAP = 200_000
+
+
+def _driver_components(spark, rows) -> list[tuple[int, int]]:
+    """Union-find (path halving + union by min) over collected
+    symmetrized edges → sorted (node, min-component) pairs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:   # min id becomes the root, so the root IS the label
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
                          max_iterations: int = 20) -> DataFrame:
     """(node, component) where component = min node id reachable through
@@ -336,13 +377,27 @@ def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
     its detection are unchanged: labels only ever decrease, the sum
     strictly decreases iff any label changed, and the returned frame
     is the identical (node, component) fixpoint.
+
+    Round 12, cost-based closure regime: the sizing count (which also
+    materializes the edge checkpoint) picks driver union-find for edge
+    sets ≤ ``_CC_DRIVER_EDGE_CAP`` (every distributed round would
+    shuffle that same edge set at least once, plus a blocking
+    convergence job — the driver pass is strictly cheaper there) and
+    the distributed rounds above it. Equality of the two regimes is
+    test-asserted.
     """
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    # lazy checkpoints: the init-sum aggregate below materializes
-    # edges + labels in one pass instead of serial eager jobs
+    # lazy checkpoint: the sizing count below materializes edges once;
+    # whichever regime runs next reads the materialized blocks
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
         .distinct().localCheckpoint(eager=False)
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_EDGE_CAP:
+        from ..sources.tables import local_frame
+        comp = _driver_components(pairs.sparkSession, edges.collect())
+        return local_frame(pairs.sparkSession, comp,
+                           "node long, component long")
     labels = (edges.groupBy(F.col("u").alias("node"))
               .agg(F.least(F.col("node"), F.min("v")).alias("component"))
               .localCheckpoint(eager=False))

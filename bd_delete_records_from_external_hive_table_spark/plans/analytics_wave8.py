@@ -504,7 +504,15 @@ def _e09_quantizer(spark, sf_dir):
         except Exception:
             value = None
     if value is None:
-        value = similarity.train_semantic_quantizer(_aug_emb(spark, sf_dir))
+        # corpus_count passed explicitly (round 12): _aug_emb is the
+        # embeddings table + exactly 20 planted copies (fixed vec_id<500
+        # region), so the quantizer's nlist derivation needs no .count()
+        # job over the union — the memoized parquet-metadata count + 20
+        # is the same integer.
+        from .llm_ops import _corpus_rows
+        value = similarity.train_semantic_quantizer(
+            _aug_emb(spark, sf_dir),
+            corpus_count=_corpus_rows(spark, sf_dir, "embeddings") + 20)
         try:
             os.makedirs(cdir, exist_ok=True)
             # orphan recovery (r10 advice): a crash after the centroid

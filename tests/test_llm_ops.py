@@ -318,6 +318,26 @@ def test_connected_components_long_path_converges(spark):
     assert comps.count() == 31
 
 
+def test_connected_components_regimes_agree(spark, monkeypatch):
+    """Round 12: the driver union-find regime and the distributed
+    pointer-doubling rounds must return the IDENTICAL (node, component)
+    fixpoint — same rows, same schema — on chains, merges, cliques and
+    singleton pairs. The cap is forced to 0 to pin the distributed
+    path (the same edge set stays under the default cap)."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11),
+             (20, 21), (22, 23), (21, 22),
+             (30, 31), (31, 32), (30, 32),       # clique
+             (50, 40)]                            # reversed-order pair
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    driver = dedup.connected_components(pairs)
+    assert driver.schema.simpleString() == \
+        "struct<node:bigint,component:bigint>"
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_CAP", 0)
+    dist = dedup.connected_components(pairs)
+    assert sorted(map(tuple, driver.collect())) == \
+        sorted(map(tuple, dist.collect()))
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     once = dedup.exact_dedup(docs)
