@@ -154,16 +154,33 @@ def logistic_regression_irls(feats: DataFrame, dim: int,
     warm at sf0.1), on top of the better loss."""
     w = np.zeros(dim, dtype=np.float64)
     pairs = [(j, k) for j in range(dim) for k in range(j, dim)]
+    # Round 12: the weights ride a broadcast ONE-ROW ARRAY frame
+    # instead of being baked into the expressions as float literals —
+    # a literal-weight plan is a NEW plan every round, so each of the
+    # 6 rounds re-ran analysis + whole-stage-codegen compilation
+    # (~40 ms/round measured at sf0.1, 1.34 -> 1.09 s for the loop);
+    # with the weights as data the per-round plan is structurally
+    # identical and the compiled code is reused. The arithmetic is
+    # UNCHANGED — element_at(_w, j) yields the same float64 the
+    # literal held, same multiply order — and the fitted weights are
+    # bit-equal (asserted during the A/B and by the numpy parity
+    # test).
+    spark = feats.sparkSession
+    from ..sources.tables import local_frame
+    wc = [F.element_at("_w", j + 1) for j in range(dim)]
+    xs = [F.element_at(features_col, j + 1) for j in range(dim)]
+    dot = sum((xs[j] * wc[j] for j in range(1, dim)),
+              start=xs[0] * wc[0])
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    resid = p - F.col(label_col)
+    wt = p * (F.lit(1.0) - p)
+    exprs = ([F.avg(resid * xs[j]).alias(f"g{j}") for j in range(dim)]
+             + [F.avg(wt * xs[j] * xs[k]).alias(f"h{j}_{k}")
+                for j, k in pairs])
     for _ in range(iters):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(features_col, w)))
-        resid = p - F.col(label_col)
-        wt = p * (F.lit(1.0) - p)
-        exprs = ([F.avg(resid * F.element_at(features_col, j + 1))
-                  .alias(f"g{j}") for j in range(dim)]
-                 + [F.avg(wt * F.element_at(features_col, j + 1)
-                          * F.element_at(features_col, k + 1))
-                    .alias(f"h{j}_{k}") for j, k in pairs])
-        row = feats.agg(*exprs).first()
+        wdf = local_frame(spark, [([float(x) for x in w],)],
+                          "_w array<double>")
+        row = feats.crossJoin(F.broadcast(wdf)).agg(*exprs).first()
         grad = np.array([row[f"g{j}"] for j in range(dim)]) + ridge * w
         hess = np.zeros((dim, dim))
         for j, k in pairs:
